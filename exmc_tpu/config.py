@@ -1,0 +1,46 @@
+"""Global configuration for exmc_tpu.
+
+The reference exposes backend/precision knobs via application env
+(reference jit.ex:61-99, DECISIONS D53: f64 on EXLA-CPU, f32 on
+EMLX/Vulkan). On TPU the native compute dtype is float32; float64 is
+available on CPU for golden-path validation by setting EXMC_TPU_X64=1
+(which flips ``jax_enable_x64``) before importing JAX arrays.
+
+All f32 numeric-hygiene lessons from the reference apply here
+(DECISIONS D53/D54/D55): log-transform clamps, scale floors, and
+overflow-safe logit identities — see exmc_tpu.transforms / exmc_tpu.math.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_X64 = os.environ.get("EXMC_TPU_X64", "0") == "1"
+if _X64:  # pragma: no cover - env-dependent
+    jax.config.update("jax_enable_x64", True)
+
+
+def x64_enabled() -> bool:
+    return jax.config.jax_enable_x64
+
+
+def default_dtype():
+    """Default floating dtype for flat vectors / compiled log-densities."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+# Scale parameters are floored at this value so that badly-scaled warmup
+# points never divide by zero (reference DECISIONS D55; dist modules floor
+# sigma at 1e-30, e.g. reference normal.ex:15-24).
+SCALE_FLOOR = 1e-30
+
+# Clamp for the exp/log constraint transform: exp(20) ~ 4.9e8 stays finite
+# in f32; f64 allows a much wider range (reference transform.ex:15-29, D54).
+def log_transform_clamp():
+    return 200.0 if x64_enabled() else 20.0
+
+
+# Divergence threshold on the joint-logp drop at a tree leaf
+# (reference tree.ex:1040-1048, D26: divergence iff delta_joint < -1000).
+DIVERGENCE_THRESHOLD = 1000.0

@@ -1,0 +1,156 @@
+"""MCMC diagnostics as on-device reductions.
+
+Estimator parity with the reference (diagnostics.ex) — NOT arviz
+defaults (SURVEY.md §7 hard-part (f)):
+
+* ess           — Geyer initial-positive-sequence on the ACF
+                  (diagnostics.ex:42-52,147-167)
+* ess_bulk      — rank-normalize (Blom) + probit, then split-chain ESS
+                  (diagnostics.ex:60-72,184-236)
+* rhat          — split-chain R-hat (Vehtari et al. 2021)
+                  (diagnostics.ex:80-115)
+* summary       — mean/std/quantiles via sorted interpolation
+                  (diagnostics.ex:14-34,170-180)
+
+The reference computes ACF by direct summation in Erlang floats
+(diagnostics.ex:123-143, D23, O(n*lag)); here autocovariance uses an FFT
+(O(n log n)) and everything jits/vmaps over parameters and chains.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+
+def autocovariance(x):
+    """Per-chain autocovariance via FFT. x: (..., n) -> (..., n)."""
+    n = x.shape[-1]
+    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    m = int(2 ** np.ceil(np.log2(2 * n)))
+    f = jnp.fft.rfft(x, n=m, axis=-1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=-1)[..., :n]
+    return jnp.real(acov) / n
+
+
+def _split_chains(x):
+    """(chains, draws) -> (2*chains, draws//2) split-chain view."""
+    c, n = x.shape
+    half = n // 2
+    return x[:, : 2 * half].reshape(c * 2, half)
+
+
+def ess(x):
+    """Effective sample size, Geyer initial positive sequence
+    (diagnostics.ex:42-52). x: (chains, draws) or (draws,)."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    c, n = x.shape
+    acov = autocovariance(x)
+    var_plus = jnp.mean(acov[:, 0])  # pooled variance (within-chain)
+    mean_acov = jnp.mean(acov, axis=0)
+
+    rho = mean_acov / jnp.maximum(var_plus, 1e-30)
+    # Geyer: sum consecutive pairs rho[2t]+rho[2t+1] while positive
+    n_pairs = n // 2
+    pair = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]
+    positive = pair > 0.0
+    # mask everything after the first non-positive pair
+    keep = jnp.cumprod(positive.astype(rho.dtype))
+    tau = -1.0 + 2.0 * jnp.sum(pair * keep)
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n))))
+    return c * n / tau
+
+
+def _rank_normalize(x):
+    """Blom rank-normalization + probit (diagnostics.ex:184-236)."""
+    shape = x.shape
+    flat = x.reshape(-1)
+    n = flat.shape[0]
+    ranks = jnp.argsort(jnp.argsort(flat)) + 1.0
+    u = (ranks - 0.375) / (n + 0.25)  # Blom offsets
+    z = jnp.sqrt(2.0) * jsp.erfinv(2.0 * u - 1.0)
+    return z.reshape(shape)
+
+
+def ess_bulk(x):
+    """Bulk ESS: rank-normalized split-chain ESS (diagnostics.ex:60-72)."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    z = _rank_normalize(x)
+    return ess(_split_chains(z))
+
+
+def ess_tail(x, prob=0.05):
+    """Tail ESS: min ESS of the prob/1-prob quantile indicators."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    lo = jnp.quantile(x, prob)
+    hi = jnp.quantile(x, 1.0 - prob)
+    e_lo = ess(_split_chains(_rank_normalize((x <= lo).astype(x.dtype))))
+    e_hi = ess(_split_chains(_rank_normalize((x <= hi).astype(x.dtype))))
+    return jnp.minimum(e_lo, e_hi)
+
+
+def rhat(x):
+    """Split-chain R-hat (Vehtari 2021; diagnostics.ex:80-115).
+    x: (chains, draws)."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    s = _split_chains(x)
+    m, n = s.shape
+    chain_means = jnp.mean(s, axis=1)
+    chain_vars = jnp.var(s, axis=1, ddof=1)
+    w = jnp.mean(chain_vars)
+    b = n * jnp.var(chain_means, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
+
+
+def rhat_bulk(x):
+    """Rank-normalized split R-hat."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    return rhat(_rank_normalize(x))
+
+
+def autocorrelation(x, max_lag=None):
+    """Normalized ACF (diagnostics.ex:123-143) — FFT-based (the reference
+    notes switching to FFT beyond 10k draws, D23; we always do)."""
+    x = jnp.asarray(x)
+    acov = autocovariance(x)
+    acf = acov / jnp.maximum(acov[..., :1], 1e-30)
+    if max_lag is not None:
+        acf = acf[..., : max_lag + 1]
+    return acf
+
+
+def quantile(x, qs):
+    """Quantiles via sorted linear interpolation (diagnostics.ex:170-180)."""
+    return jnp.quantile(jnp.asarray(x).reshape(-1), jnp.asarray(qs))
+
+
+def summary(trace, var_names=None):
+    """Per-parameter summary table (diagnostics.ex:14-34): mean, std,
+    q5/q25/q50/q75/q95, ess, ess_bulk, rhat.
+
+    ``trace``: dict name -> (chains, draws, *event) constrained samples.
+    Vector parameters are summarized per flattened component ``name[i]``."""
+    out = {}
+    names = var_names if var_names is not None else sorted(trace)
+    for name in names:
+        arr = np.asarray(trace[name])
+        c, n = arr.shape[0], arr.shape[1]
+        flat_ev = arr.reshape(c, n, -1)
+        for i in range(flat_ev.shape[-1]):
+            x = flat_ev[:, :, i]
+            key = name if flat_ev.shape[-1] == 1 else f"{name}[{i}]"
+            qs = np.asarray(quantile(x, jnp.asarray([0.05, 0.25, 0.5, 0.75, 0.95])))
+            out[key] = {
+                "mean": float(np.mean(x)),
+                "std": float(np.std(x, ddof=1)),
+                "q5": float(qs[0]),
+                "q25": float(qs[1]),
+                "q50": float(qs[2]),
+                "q75": float(qs[3]),
+                "q95": float(qs[4]),
+                "ess": float(ess(x)),
+                "ess_bulk": float(ess_bulk(x)),
+                "rhat": float(rhat(x)),
+            }
+    return out

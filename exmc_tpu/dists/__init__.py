@@ -1,0 +1,50 @@
+"""The 21-distribution library (parity with reference lib/exmc/dist/)."""
+
+from exmc_tpu.dists.base import Distribution, get, register, all_dists
+from exmc_tpu.dists.continuous import (
+    NORMAL as Normal,
+    HALF_NORMAL as HalfNormal,
+    EXPONENTIAL as Exponential,
+    GAMMA as Gamma,
+    BETA as Beta,
+    UNIFORM01 as Uniform01,
+    STUDENT_T as StudentT,
+    CAUCHY as Cauchy,
+    HALF_CAUCHY as HalfCauchy,
+    LOGNORMAL as LogNormal,
+    LAPLACE as Laplace,
+    TRUNCATED_NORMAL as TruncatedNormal,
+    WEIBULL as Weibull,
+)
+from exmc_tpu.dists.discrete import BERNOULLI as Bernoulli, POISSON as Poisson
+from exmc_tpu.dists.multivariate import MV_NORMAL as MvNormal, DIRICHLET as Dirichlet
+from exmc_tpu.dists.timeseries import GAUSSIAN_RANDOM_WALK as GaussianRandomWalk
+from exmc_tpu.dists.composite import MIXTURE as Mixture, CENSORED as Censored, Custom
+
+__all__ = [
+    "Distribution",
+    "get",
+    "register",
+    "all_dists",
+    "Normal",
+    "HalfNormal",
+    "Exponential",
+    "Gamma",
+    "Beta",
+    "Uniform01",
+    "StudentT",
+    "Cauchy",
+    "HalfCauchy",
+    "LogNormal",
+    "Laplace",
+    "TruncatedNormal",
+    "Weibull",
+    "Bernoulli",
+    "Poisson",
+    "MvNormal",
+    "Dirichlet",
+    "GaussianRandomWalk",
+    "Mixture",
+    "Censored",
+    "Custom",
+]

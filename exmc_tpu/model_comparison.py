@@ -1,0 +1,118 @@
+"""WAIC / LOO model comparison (reference model_comparison.ex).
+
+Parity: pointwise log-likelihood per observation per posterior draw
+(model_comparison.ex:19-50; vector obs expand to per-element columns);
+waic = lppd - p_waic with SE (model_comparison.ex:63-86); loo via basic
+importance sampling — no PSIS, matching the reference
+(model_comparison.ex:99-119,270-276); ``compare`` returns a ranked table
+(model_comparison.ex:127-147).
+
+TPU-native: the pointwise matrix is one vmapped evaluation of the
+pointwise-compiled log-density over all draws (the reference loops rows
+on the host).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exmc_tpu.compiler import CompiledModel, compile_logp, _make_logp
+from exmc_tpu.config import default_dtype
+
+
+def _as_flat_draws(model: CompiledModel, trace):
+    """Constrained trace (chains, draws, ...) -> (chains*draws, d) flat
+    unconstrained, inverting transforms + NCP (sampler.ex:362-381)."""
+    names = [e.id for e in model.pm.entries]
+    c, n = np.asarray(trace[names[0]]).shape[:2]
+
+    def one(row):
+        return model.unconstrain(row)
+
+    rows = {k: jnp.asarray(trace[k]).reshape((c * n,) + np.asarray(trace[k]).shape[2:]) for k in names}
+    return jax.jit(jax.vmap(lambda i: one({k: rows[k][i] for k in names})))(
+        jnp.arange(c * n)
+    )
+
+
+def pointwise_log_likelihood(ir, trace, data=None, ncp=True):
+    """(draws x obs-element) pointwise log-lik matrix + column keys
+    (model_comparison.ex:19-50). Column keys are obs_id or (obs_id, idx)
+    for vector observations."""
+    model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
+    if data is None:
+        data = model.data
+    pw_fn = _make_logp(model.ir, model.pm, pointwise=True)
+    flat = _as_flat_draws(model, trace)
+    out = jax.jit(jax.vmap(lambda f: pw_fn(f, data)))(flat)
+
+    cols, keys = [], []
+    for obs_id in sorted(out):
+        arr = np.asarray(out[obs_id])
+        arr = arr.reshape(arr.shape[0], -1)
+        for j in range(arr.shape[1]):
+            cols.append(arr[:, j])
+            keys.append(obs_id if arr.shape[1] == 1 else (obs_id, j))
+    return np.stack(cols, axis=1), keys  # (S, n_obs)
+
+
+def waic(ir, trace, data=None, ncp=True):
+    """WAIC = -2(lppd - p_waic) with SE (model_comparison.ex:63-86)."""
+    ll, keys = pointwise_log_likelihood(ir, trace, data=data, ncp=ncp)
+    s, n = ll.shape
+    lppd_i = jax.scipy.special.logsumexp(jnp.asarray(ll), axis=0) - math.log(s)
+    p_waic_i = jnp.var(jnp.asarray(ll), axis=0, ddof=1)
+    elpd_i = np.asarray(lppd_i - p_waic_i)
+    elpd = float(elpd_i.sum())
+    se = float(math.sqrt(n * np.var(elpd_i, ddof=1))) if n > 1 else 0.0
+    return {
+        "waic": -2.0 * elpd,
+        "elpd_waic": elpd,
+        "p_waic": float(np.asarray(p_waic_i).sum()),
+        "se": 2.0 * se,
+        "elpd_se": se,
+        "pointwise": elpd_i,
+    }
+
+
+def loo(ir, trace, data=None, ncp=True):
+    """LOO via basic importance sampling, NO Pareto smoothing — mirrors
+    the reference (model_comparison.ex:99-119,270-276)."""
+    ll, keys = pointwise_log_likelihood(ir, trace, data=data, ncp=ncp)
+    llj = jnp.asarray(ll)
+    s, n = ll.shape
+    # elpd_loo_i = -logsumexp(-ll_i) + log S  (harmonic-mean IS estimate)
+    elpd_i = np.asarray(-(jax.scipy.special.logsumexp(-llj, axis=0)) + math.log(s))
+    elpd = float(elpd_i.sum())
+    lppd_i = np.asarray(jax.scipy.special.logsumexp(llj, axis=0) - math.log(s))
+    p_loo = float(lppd_i.sum() - elpd)
+    se = float(math.sqrt(n * np.var(elpd_i, ddof=1))) if n > 1 else 0.0
+    return {
+        "loo": -2.0 * elpd,
+        "elpd_loo": elpd,
+        "p_loo": p_loo,
+        "se": 2.0 * se,
+        "elpd_se": se,
+        "pointwise": elpd_i,
+    }
+
+
+def compare(models, data=None, criterion="waic"):
+    """Ranked comparison table (model_comparison.ex:127-147).
+
+    ``models``: dict name -> (ir, trace). Returns list of row dicts sorted
+    best-first with delta_elpd vs the winner."""
+    fn = waic if criterion == "waic" else loo
+    elpd_key = "elpd_waic" if criterion == "waic" else "elpd_loo"
+    rows = []
+    for name, (ir, trace) in models.items():
+        res = fn(ir, trace, data=data)
+        rows.append({"name": name, **res, "elpd": res[elpd_key]})
+    rows.sort(key=lambda r: -r["elpd"])
+    best = rows[0]["elpd"]
+    for i, r in enumerate(rows):
+        r["rank"] = i
+        r["delta_elpd"] = best - r["elpd"]
+    return rows

@@ -1,0 +1,440 @@
+"""NUTS sampling orchestrator.
+
+Entry points (parity with reference sampler.ex:33,992,1186,69):
+
+    sample(ir, ...)          — single chain
+    sample_chains(ir, n, ...) — N chains, vmapped into ONE jitted program
+    sample_stream(ir, cb, ...) — chunked draws streamed to a host callback
+
+Where the reference runs chains as BEAM processes or a sequential
+vectorized loop with shared warmup (sampler.ex:992-1176, D35), here the
+whole pipeline — init-point search, find_reasonable_epsilon, 3-phase
+warmup with per-chain adaptation, and the sampling scan — is one
+``jit(vmap(...))``: 1024 chains cost one XLA dispatch total.
+
+Warm-start (D71): pass ``warm_start=stats`` from a previous run and
+warmup shrinks to a 50-iteration step-size fine-tune on the previous
+``inv_mass``/``step_size`` (sampler.ex:176-198, 5.8x on refresh cycles).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
+from exmc_tpu.config import default_dtype
+from exmc_tpu.ir import IR
+from exmc_tpu.nuts.leapfrog import Metric, make_metric
+from exmc_tpu.nuts.mass_matrix import welford_finalize, welford_init, welford_update
+from exmc_tpu.nuts.step_size import (
+    da_finalize,
+    da_init,
+    da_update,
+    find_reasonable_epsilon,
+)
+from exmc_tpu.nuts.tree import nuts_transition
+from exmc_tpu.nuts.warmup import build_schedule
+
+DEFAULT_OPTS = dict(  # reference sampler.ex:16-23
+    num_warmup=1000,
+    num_samples=1000,
+    max_tree_depth=10,
+    target_accept=0.8,
+    seed=0,
+)
+
+# chain i seed offset (reference sampler.ex:1083: base + i*7919)
+CHAIN_SEED_STRIDE = 7919
+
+FINE_TUNE_ITERS = 50  # warm-start fine-tune window (D71)
+
+
+def _init_position(key, d, dtype):
+    """Stan-style random init: z ~ Uniform(-2, 2)^d in unconstrained space."""
+    return jax.random.uniform(key, (d,), dtype, minval=-2.0, maxval=2.0)
+
+
+def _find_valid_init(vag_fn, key, d, dtype, init_flat=None, max_tries=100):
+    """Redraw the init point until logp is finite (bounded while_loop)."""
+    if init_flat is not None:
+        q0 = jnp.asarray(init_flat, dtype)
+    else:
+        key, sub = jax.random.split(key)
+        q0 = _init_position(sub, d, dtype)
+    logp0, grad0 = vag_fn(q0)
+
+    def cond(carry):
+        q, logp, grad, key, i = carry
+        bad = ~(jnp.isfinite(logp) & jnp.all(jnp.isfinite(grad)))
+        return bad & (i < max_tries)
+
+    def body(carry):
+        q, logp, grad, key, i = carry
+        key, sub = jax.random.split(key)
+        q = _init_position(sub, d, dtype)
+        logp, grad = vag_fn(q)
+        return q, logp, grad, key, i + 1
+
+    q0, logp0, grad0, key, _ = jax.lax.while_loop(
+        cond, body, (q0, logp0, grad0, key, jnp.zeros((), jnp.int32))
+    )
+    return q0, logp0, grad0, key
+
+
+def _run_warmup(vag_fn, schedule, q0, logp0, grad0, key, metric0, target_accept,
+                max_depth, eps0=None, adapt_mass=True):
+    """Jitted (traceable) warmup for ONE chain; vmapped by the caller.
+
+    Returns (q, logp, grad, key, eps_final, metric)."""
+    dtype = q0.dtype
+    d = q0.shape[0]
+    dense = metric0.inv.ndim == 2
+
+    key, eps_key = jax.random.split(key)
+    if eps0 is None:
+        eps0 = find_reasonable_epsilon(vag_fn, q0, logp0, grad0, eps_key, metric0)
+    else:
+        eps0 = jnp.asarray(eps0, dtype)
+    da0 = da_init(eps0)
+    wf0 = welford_init(d, dense=dense, dtype=dtype)
+
+    xs = (
+        jnp.asarray(schedule.update_mass),
+        jnp.asarray(schedule.window_end),
+        jnp.asarray(schedule.depth_cap),
+    )
+
+    def step(carry, x):
+        q, logp, grad, key, da, wf, metric = carry
+        upd_mass, win_end, cap = x
+        key, tkey, ekey = jax.random.split(key, 3)
+        eps = jnp.exp(da.log_eps)
+        q, logp, grad, stats = nuts_transition(
+            vag_fn, metric, eps, q, logp, grad, tkey, max_depth, cap
+        )
+        da = da_update(da, stats["accept_prob"], target_accept)
+        if adapt_mass:
+            # divergent draws excluded from Welford (D44)
+            wf = welford_update(wf, q, enabled=upd_mass & ~stats["diverging"])
+
+            def on_window_end(args):
+                da, wf, metric = args
+                inv = welford_finalize(wf, metric.inv)
+                new_metric = make_metric(inv)
+                # re-search epsilon after each window (sampler.ex:668-762)
+                eps_new = find_reasonable_epsilon(
+                    vag_fn, q, logp, grad, ekey, new_metric
+                )
+                return da_init(eps_new), welford_init(d, dense=dense, dtype=dtype), new_metric
+
+            da, wf, metric = jax.lax.cond(
+                win_end, on_window_end, lambda a: a, (da, wf, metric)
+            )
+        return (q, logp, grad, key, da, wf, metric), None
+
+    (q, logp, grad, key, da, wf, metric), _ = jax.lax.scan(
+        step, (q0, logp0, grad0, key, da0, wf0, metric0), xs
+    )
+    eps_final = da_finalize(da)
+    return q, logp, grad, key, eps_final, metric
+
+
+def _run_sampling(vag_fn, num_samples, q, logp, grad, key, eps, metric, max_depth):
+    """Sampling scan for one chain; collects unconstrained draws + stats."""
+
+    def step(carry, _):
+        q, logp, grad, key = carry
+        key, tkey = jax.random.split(key)
+        q, logp, grad, stats = nuts_transition(
+            vag_fn, metric, eps, q, logp, grad, tkey, max_depth
+        )
+        stats = dict(stats, logp=logp)
+        return (q, logp, grad, key), (q, stats)
+
+    (q, logp, grad, key), (draws, stats) = jax.lax.scan(
+        step, (q, logp, grad, key), None, length=num_samples
+    )
+    return draws, stats, (q, logp, grad, key)
+
+
+@dataclass
+class NUTSSampler:
+    """Compiled, reusable sampler. Construction compiles the model; the
+    jitted run function is cached so repeated runs (warm-start refresh
+    cycles, streaming chunks) skip retracing."""
+
+    model: CompiledModel
+    num_warmup: int = DEFAULT_OPTS["num_warmup"]
+    num_samples: int = DEFAULT_OPTS["num_samples"]
+    max_tree_depth: int = DEFAULT_OPTS["max_tree_depth"]
+    target_accept: float = DEFAULT_OPTS["target_accept"]
+    dense_mass: bool = False
+    shared_warmup: bool = False
+
+    def __post_init__(self):
+        self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
+        self._ft_schedule = build_schedule(
+            FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,
+            term_buffer=0, early_cap_iters=0,
+        )
+        self._run_jit = jax.jit(
+            self._run, static_argnames=("num_chains", "warm_started")
+        )
+
+    # ---- traced pipeline ----
+
+    def _vag(self, data):
+        vag = self.model.value_and_grad
+
+        def fn(q):
+            return vag(q, data)
+
+        return fn
+
+    def _init_metric(self, dtype):
+        d = self.model.size
+        if self.dense_mass:
+            return make_metric(jnp.eye(d, dtype=dtype))
+        return make_metric(jnp.ones((d,), dtype=dtype))
+
+    def _one_chain(self, data, q_init, key, warm_started, ws_eps, ws_inv):
+        dtype = default_dtype()
+        vag_fn = self._vag(data)
+        d = self.model.size
+        q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, q_init)
+
+        if warm_started:
+            metric = make_metric(ws_inv)
+            q, logp, grad, key, eps, metric = _run_warmup(
+                vag_fn, self._ft_schedule, q0, logp0, grad0, key, metric,
+                self.target_accept, self.max_tree_depth, eps0=ws_eps,
+                adapt_mass=False,
+            )
+        else:
+            metric = self._init_metric(dtype)
+            q, logp, grad, key, eps, metric = _run_warmup(
+                vag_fn, self._schedule, q0, logp0, grad0, key, metric,
+                self.target_accept, self.max_tree_depth,
+            )
+
+        draws, stats, _ = _run_sampling(
+            vag_fn, self.num_samples, q, logp, grad, key, eps, metric,
+            self.max_tree_depth,
+        )
+        tuning = {"step_size": eps, "inv_mass": metric.inv}
+        return draws, stats, tuning
+
+    def _run(self, data, q_inits, keys, ws_eps, ws_inv, *, num_chains, warm_started):
+        one = partial(self._one_chain, data)
+        if self.shared_warmup and not warm_started:
+            # warmup on chain 0 only, broadcast tuning
+            # (reference sampler.ex:1020-1135 vectorized shared-warmup path)
+            dtype = default_dtype()
+            vag_fn = self._vag(data)
+            d = self.model.size
+            q0, logp0, grad0, k0 = _find_valid_init(
+                vag_fn, keys[0], d, dtype, q_inits[0] if q_inits is not None else None
+            )
+            metric = self._init_metric(dtype)
+            _, _, _, _, eps, metric = _run_warmup(
+                vag_fn, self._schedule, q0, logp0, grad0, k0,
+                metric, self.target_accept, self.max_tree_depth,
+            )
+
+            def sample_only(q_init, key):
+                q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, q_init)
+                draws, stats, _ = _run_sampling(
+                    vag_fn, self.num_samples, q0, logp0, grad0, key, eps, metric,
+                    self.max_tree_depth,
+                )
+                tuning = {"step_size": eps, "inv_mass": metric.inv}
+                return draws, stats, tuning
+
+            return jax.vmap(sample_only)(q_inits, keys)
+        return jax.vmap(lambda qi, k, we, wi: one(qi, k, warm_started, we, wi))(
+            q_inits, keys, ws_eps, ws_inv
+        )
+
+    # ---- host-side API ----
+
+    def run(self, num_chains=1, seed=0, init=None, warm_start=None, data=None,
+            return_unconstrained=False):
+        dtype = default_dtype()
+        d = self.model.size
+        if d == 0:
+            # degenerate no-free-params model (reference sampler.ex:141-152)
+            return {}, {"note": "model has no free parameters"}
+        if data is None:
+            data = self.model.data
+
+        base = jax.random.PRNGKey(seed)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i * CHAIN_SEED_STRIDE))(
+            jnp.arange(num_chains)
+        )
+
+        if init is not None:
+            flat0 = self.model.unconstrain(init).astype(dtype)
+            q_inits = jnp.broadcast_to(flat0, (num_chains, d))
+        else:
+            init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
+            )
+            q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
+
+        warm_started = warm_start is not None
+        if warm_started:
+            ws_eps = jnp.broadcast_to(
+                jnp.asarray(warm_start["step_size"], dtype), (num_chains,)
+            )
+            inv = jnp.asarray(warm_start["inv_mass"], dtype)
+            ws_inv = jnp.broadcast_to(inv, (num_chains,) + inv.shape[-(2 if self.dense_mass else 1):])
+        else:
+            ws_eps = jnp.ones((num_chains,), dtype)
+            ws_inv = (
+                jnp.broadcast_to(jnp.eye(d, dtype=dtype), (num_chains, d, d))
+                if self.dense_mass
+                else jnp.ones((num_chains, d), dtype)
+            )
+
+        draws, stats, tuning = self._run_jit(
+            data, q_inits, keys, ws_eps, ws_inv,
+            num_chains=num_chains, warm_started=warm_started,
+        )
+
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+        stats["step_size"] = np.asarray(tuning["step_size"])
+        stats["inv_mass"] = np.asarray(tuning["inv_mass"])
+        stats["divergences"] = stats["diverging"].sum(axis=-1)
+
+        if return_unconstrained:
+            return np.asarray(draws), stats
+        trace = self.constrain_trace(draws, data)
+        return trace, stats
+
+    def constrain_trace(self, draws, data=None):
+        """(chains, samples, d) unconstrained -> named constrained trace,
+        vmapped on device (reference sampler.ex:1281-1348 builds this on
+        the host per-entry)."""
+        ir, pm = self.model.ir, self.model.pm
+
+        def one(flat):
+            return constrain_flat(ir, pm, flat)
+
+        fn = jax.jit(jax.vmap(jax.vmap(one)))
+        out = fn(jnp.asarray(draws))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
+    model = (
+        ir_or_model
+        if isinstance(ir_or_model, CompiledModel)
+        else compile_logp(ir_or_model, ncp=ncp)
+    )
+    known = {
+        k: opts[k]
+        for k in (
+            "num_warmup",
+            "num_samples",
+            "max_tree_depth",
+            "target_accept",
+            "dense_mass",
+            "shared_warmup",
+        )
+        if k in opts
+    }
+    return NUTSSampler(model=model, **known)
+
+
+def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
+           ncp=True, return_unconstrained=False, **opts):
+    """Single-/multi-chain NUTS (reference Sampler.sample, sampler.ex:33).
+
+    Returns (trace, stats); trace arrays are (chains, samples, *shape)
+    constrained values (chain axis kept even for num_chains=1)."""
+    sampler = _make_sampler(ir, ncp=ncp, **opts)
+    return sampler.run(
+        num_chains=num_chains, seed=seed, init=init, warm_start=warm_start,
+        data=data, return_unconstrained=return_unconstrained,
+    )
+
+
+def sample_chains(ir, num_chains=4, **kwargs):
+    """Multi-chain NUTS (reference Sampler.sample_chains, sampler.ex:992)."""
+    return sample(ir, num_chains=num_chains, **kwargs)
+
+
+def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
+                  init=None, data=None, ncp=True, **opts):
+    """Streaming sampling (reference sample_stream, sampler.ex:1186-1276):
+    after each chunk of draws the host ``callback(start_index,
+    constrained_chunk, stats_chunk)`` is invoked — the io_callback analogue
+    of the reference's per-sample BEAM messages (batched for TPU).
+
+    Returns the full (trace, stats) like ``sample``."""
+    opts = dict(opts)
+    total = opts.pop("num_samples", DEFAULT_OPTS["num_samples"])
+    sampler = _make_sampler(ir, ncp=ncp, num_samples=chunk_size, **opts)
+    model = sampler.model
+    d = model.size
+    dtype = default_dtype()
+    if data is None:
+        data = model.data
+    vag_fn = sampler._vag(data)
+
+    base = jax.random.PRNGKey(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i * CHAIN_SEED_STRIDE))(
+        jnp.arange(num_chains)
+    )
+
+    @jax.jit
+    def warm(q_inits, keys):
+        def one(qi, key):
+            q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, qi)
+            metric = sampler._init_metric(dtype)
+            return _run_warmup(
+                vag_fn, sampler._schedule, q0, logp0, grad0, key, metric,
+                sampler.target_accept, sampler.max_tree_depth,
+            )
+        return jax.vmap(one)(q_inits, keys)
+
+    @jax.jit
+    def chunk(q, logp, grad, key, eps, metric):
+        def one(q, logp, grad, key, eps, metric):
+            return _run_sampling(
+                vag_fn, chunk_size, q, logp, grad, key, eps, metric,
+                sampler.max_tree_depth,
+            )
+        return jax.vmap(one)(q, logp, grad, key, eps, metric)
+
+    if init is not None:
+        flat0 = model.unconstrain(init).astype(dtype)
+        q_inits = jnp.broadcast_to(flat0, (num_chains, d))
+    else:
+        q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(keys)
+
+    q, logp, grad, key, eps, metric = warm(q_inits, keys)
+
+    all_draws, all_stats = [], []
+    done = 0
+    while done < total:
+        draws, stats, (q, logp, grad, key) = chunk(q, logp, grad, key, eps, metric)
+        trace_chunk = sampler.constrain_trace(draws, data)
+        callback(done, trace_chunk, {k: np.asarray(v) for k, v in stats.items()})
+        all_draws.append(np.asarray(draws))
+        all_stats.append(stats)
+        done += chunk_size
+
+    draws = np.concatenate(all_draws, axis=1)[:, :total]
+    stats = {
+        k: np.concatenate([np.asarray(s[k]) for s in all_stats], axis=1)[:, :total]
+        for k in all_stats[0]
+    }
+    stats["step_size"] = np.asarray(eps)
+    stats["inv_mass"] = np.asarray(metric.inv)
+    trace = sampler.constrain_trace(draws, data)
+    return trace, stats

@@ -1,0 +1,131 @@
+"""Pathfinder variational inference (Zhang et al. 2022, as realized by
+the reference pathfinder.ex — the crude diag-normal variant, NOT the
+paper's full low-rank covariance).
+
+Parity with reference pathfinder.ex: L-BFGS path via two-loop recursion
+(pathfinder.ex:119-154) with fixed step alpha=0.01 and history 6, a
+diagonal-normal fit at each path point with sigma = 1/sqrt(|grad|+1e-6)
+(pathfinder.ex:156-171), ELBO estimated by MC at each point, max-ELBO
+point selected, draws taken from its diag-normal (pathfinder.ex:30-58).
+
+TPU-native: the L-BFGS path is a ``lax.scan`` (history buffers are
+fixed-size arrays), per-point ELBOs evaluate as one vmapped batch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
+from exmc_tpu.config import default_dtype
+
+HISTORY = 6
+ALPHA = 0.01
+
+
+def _two_loop(grad, s_hist, y_hist, rho_hist, valid):
+    """L-BFGS two-loop recursion over fixed-size history buffers."""
+    q = grad
+    alphas = jnp.zeros((HISTORY,), grad.dtype)
+    for i in range(HISTORY - 1, -1, -1):
+        a = rho_hist[i] * jnp.dot(s_hist[i], q)
+        a = jnp.where(valid[i], a, 0.0)
+        q = q - a * y_hist[i]
+        alphas = alphas.at[i].set(a)
+    # initial scaling gamma = s.y / y.y of most recent pair
+    sy = jnp.dot(s_hist[-1], y_hist[-1])
+    yy = jnp.dot(y_hist[-1], y_hist[-1])
+    gamma = jnp.where(valid[-1] & (yy > 0), sy / jnp.maximum(yy, 1e-12), 1.0)
+    r = gamma * q
+    for i in range(HISTORY):
+        b = rho_hist[i] * jnp.dot(y_hist[i], r)
+        b = jnp.where(valid[i], b, 0.0)
+        r = r + s_hist[i] * (alphas[i] - b)
+    return r
+
+
+def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
+                   seed=0, data=None, ncp=True):
+    """Run Pathfinder; returns {draws (constrained trace), mu, sigma,
+    elbo_path, best_iter}."""
+    model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
+    dtype = default_dtype()
+    d = model.size
+    if data is None:
+        data = model.data
+    vag = model.value_and_grad
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key, elbo_key, draw_key = jax.random.split(key, 4)
+
+    @jax.jit
+    def run(init_key, elbo_key):
+        x0 = jax.random.uniform(init_key, (d,), dtype, minval=-2.0, maxval=2.0)
+        logp0, grad0 = vag(x0, data)
+
+        def step(carry, _):
+            x, logp, grad, s_h, y_h, rho_h, valid = carry
+            # ascent direction on logp (minimize -logp)
+            direction = _two_loop(-grad, s_h, y_h, rho_h, valid)
+            x_new = x - ALPHA * direction
+            logp_new, grad_new = vag(x_new, data)
+            ok = jnp.isfinite(logp_new) & jnp.all(jnp.isfinite(grad_new))
+            x_new = jnp.where(ok, x_new, x)
+            logp_new = jnp.where(ok, logp_new, logp)
+            grad_new = jnp.where(ok, grad_new, grad)
+            s = x_new - x
+            y = -(grad_new - grad)  # gradient of -logp
+            sy = jnp.dot(s, y)
+            pair_ok = ok & (sy > 1e-12)
+            s_h = jnp.where(pair_ok, jnp.roll(s_h, -1, axis=0).at[-1].set(s), s_h)
+            y_h = jnp.where(pair_ok, jnp.roll(y_h, -1, axis=0).at[-1].set(y), y_h)
+            rho_h = jnp.where(
+                pair_ok,
+                jnp.roll(rho_h, -1).at[-1].set(1.0 / jnp.maximum(sy, 1e-12)),
+                rho_h,
+            )
+            valid = jnp.where(pair_ok, jnp.roll(valid, -1).at[-1].set(True), valid)
+            carry = (x_new, logp_new, grad_new, s_h, y_h, rho_h, valid)
+            # diag-normal fit at this point (pathfinder.ex:156-171)
+            sigma = 1.0 / jnp.sqrt(jnp.abs(grad_new) + 1e-6)
+            return carry, (x_new, sigma)
+
+        init = (
+            x0, logp0, grad0,
+            jnp.zeros((HISTORY, d), dtype),
+            jnp.zeros((HISTORY, d), dtype),
+            jnp.zeros((HISTORY,), dtype),
+            jnp.zeros((HISTORY,), bool),
+        )
+        _, (path_mu, path_sigma) = jax.lax.scan(step, init, None, length=num_iters)
+
+        # MC-ELBO at each path point (vmapped over points and draws)
+        eps = jax.random.normal(elbo_key, (num_iters, num_elbo_draws, d), dtype)
+
+        def point_elbo(mu, sigma, eps_i):
+            z = mu + sigma * eps_i  # (K, d)
+            lps = jax.vmap(lambda zz: vag(zz, data)[0])(z)
+            entropy = jnp.sum(jnp.log(sigma))
+            lps = jnp.where(jnp.isfinite(lps), lps, -1e30)
+            return jnp.mean(lps) + entropy
+
+        elbos = jax.vmap(point_elbo)(path_mu, path_sigma, eps)
+        best = jnp.argmax(elbos)
+        return path_mu[best], path_sigma[best], elbos, best
+
+    mu, sigma, elbos, best = run(init_key, elbo_key)
+
+    @jax.jit
+    def draw(key):
+        z = mu + sigma * jax.random.normal(key, (num_draws, d), dtype)
+        return z, jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f))(z)
+
+    z, trace = draw(draw_key)
+    return {
+        "mu": np.asarray(mu),
+        "sigma": np.asarray(sigma),
+        "elbo_path": np.asarray(elbos),
+        "best_iter": int(best),
+        "draws": {k: np.asarray(v)[None] for k, v in trace.items()},
+        "draws_unconstrained": np.asarray(z)[None],
+    }

@@ -1,0 +1,45 @@
+"""Automatic non-centered parameterization (reference
+non_centered_parameterization.ex).
+
+A free RV ``x ~ Normal(mu_ref, sigma_ref)`` with BOTH params string
+references becomes ``x ~ Normal(0, 1)`` and ``ir.ncp_info[x] = {"mu":
+mu_ref, "sigma": sigma_ref}``. The compiler reconstructs
+``mu + sigma * z`` whenever another node references ``x``
+(compiler.ex:446-458); the sampler reconstructs the constrained trace in
+topological order (sampler.ex:1301-1348) and inverts user inits
+``z = (x - mu) / sigma`` (sampler.ex:362-381, D36).
+
+Eliminates funnel geometry in hierarchical models — the decision worth
+~10x ESS on eight_schools.
+"""
+
+from dataclasses import replace
+
+from exmc_tpu.dists.continuous import NORMAL
+from exmc_tpu.ir import IR, Node, observed_target_ids
+
+
+def non_centered_parameterization(ir: IR) -> IR:
+    observed = observed_target_ids(ir)
+    nodes = dict(ir.nodes)
+    ncp_info = dict(ir.ncp_info)
+    for nid, node in ir.nodes.items():
+        if node.op[0] != "rv" or nid in observed:
+            continue
+        # only untransformed Normal RVs with both params as refs
+        if len(node.op) != 3:
+            continue
+        _, dist, params = node.op
+        if getattr(dist, "name", None) != "normal":
+            continue
+        mu, sigma = params.get("mu"), params.get("sigma")
+        if isinstance(mu, str) and isinstance(sigma, str):
+            nodes[nid] = Node(
+                id=nid,
+                op=("rv", NORMAL, {"mu": 0.0, "sigma": 1.0}),
+                deps=(),
+                shape=node.shape,
+                dtype=node.dtype,
+            )
+            ncp_info[nid] = {"mu": mu, "sigma": sigma}
+    return replace(ir, nodes=nodes, ncp_info=ncp_info)

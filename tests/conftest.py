@@ -1,0 +1,34 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding tests
+execute without TPU hardware (the analogue of the reference's
+``nodes: [node()]`` trick, SURVEY.md §4) — and in float32, matching the
+TPU compute dtype, so f32 numeric hygiene is actually exercised.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin (sitecustomize) forces jax_platforms="axon,cpu" at
+# interpreter startup, overriding the JAX_PLATFORMS env var — select CPU
+# via config instead (must happen before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def assert_close(a, b, atol=1e-5, rtol=1e-5):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol, rtol=rtol)

@@ -1,0 +1,79 @@
+"""Diagnostics estimator tests (reference diagnostics.ex semantics)."""
+
+import numpy as np
+import pytest
+
+from exmc_tpu import diagnostics as diag
+
+
+def ar1(rng, n, rho, chains=4):
+    x = np.zeros((chains, n))
+    eps = rng.normal(size=(chains, n))
+    for t in range(1, n):
+        x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho**2) * eps[:, t]
+    return x
+
+
+def test_ess_iid_close_to_n():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 1000))
+    e = float(diag.ess(x))
+    assert 2500 < e < 5500  # ~4000 with estimator noise
+
+
+def test_ess_ar1_reduced():
+    rng = np.random.default_rng(1)
+    x = ar1(rng, 2000, 0.9)
+    e = float(diag.ess(x))
+    # theoretical ESS factor (1-rho)/(1+rho) ~ 0.0526 -> ~421 of 8000
+    assert 150 < e < 900
+
+
+def test_ess_bulk_rank_normalized():
+    rng = np.random.default_rng(2)
+    # heavy-tailed draws: bulk-ESS should still behave (rank normalization)
+    x = rng.standard_cauchy(size=(4, 1000))
+    e = float(diag.ess_bulk(x))
+    assert 1000 < e < 6000
+
+
+def test_rhat_converged():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 1000))
+    assert abs(float(diag.rhat(x)) - 1.0) < 0.02
+
+
+def test_rhat_detects_nonconvergence():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(4, 500))
+    x[0] += 5.0  # one chain far away
+    assert float(diag.rhat(x)) > 1.5
+
+
+def test_autocorrelation():
+    rng = np.random.default_rng(5)
+    x = ar1(rng, 4000, 0.8, chains=1)[0]
+    acf = np.asarray(diag.autocorrelation(x, max_lag=5))
+    assert abs(acf[0] - 1.0) < 1e-5
+    assert abs(acf[1] - 0.8) < 0.05
+    assert abs(acf[2] - 0.64) < 0.07
+
+
+def test_summary_table():
+    rng = np.random.default_rng(6)
+    trace = {
+        "mu": rng.normal(2.0, 0.5, size=(4, 500)),
+        "w": rng.dirichlet([1, 1, 1], size=(4, 500)),
+    }
+    s = diag.summary(trace)
+    assert abs(s["mu"]["mean"] - 2.0) < 0.05
+    assert abs(s["mu"]["std"] - 0.5) < 0.05
+    assert s["mu"]["q5"] < s["mu"]["q50"] < s["mu"]["q95"]
+    assert s["mu"]["rhat"] < 1.05
+    assert "w[0]" in s and "w[2]" in s
+
+
+def test_quantile_interpolation():
+    x = np.arange(101, dtype=float)
+    qs = np.asarray(diag.quantile(x, [0.05, 0.5, 0.95]))
+    np.testing.assert_allclose(qs, [5.0, 50.0, 95.0], atol=0.01)

@@ -1,0 +1,303 @@
+"""Golden logpdf tests vs torch.distributions (independent oracle),
+mirroring the reference's numeric-first test strategy (SURVEY.md §4:
+dist_test.exs / new_dist_test.exs compare against explicit expressions).
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.distributions as td
+
+import jax
+import jax.numpy as jnp
+
+from exmc_tpu import dists
+from exmc_tpu import transforms as tf
+
+ATOL = 2e-4  # f32 compute vs torch f64 reference
+
+
+def t64(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float64)
+
+
+def check(dist, params, torch_dist, xs):
+    ours = np.asarray(dist.logpdf(jnp.asarray(xs, jnp.float32), params))
+    theirs = torch_dist.log_prob(t64(xs)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=ATOL, rtol=1e-4)
+
+
+XS_REAL = np.array([-2.3, -0.5, 0.0, 0.7, 1.9, 4.2])
+XS_POS = np.array([0.05, 0.3, 1.0, 2.5, 7.0])
+XS_UNIT = np.array([0.05, 0.3, 0.5, 0.77, 0.95])
+
+
+def test_normal():
+    check(dists.Normal, {"mu": 0.5, "sigma": 1.7}, td.Normal(0.5, 1.7), XS_REAL)
+
+
+def test_half_normal():
+    check(dists.HalfNormal, {"sigma": 1.3}, td.HalfNormal(1.3), XS_POS)
+
+
+def test_exponential():
+    check(dists.Exponential, {"lambda": 2.2}, td.Exponential(2.2), XS_POS)
+
+
+def test_gamma():
+    check(dists.Gamma, {"alpha": 2.5, "beta": 1.4}, td.Gamma(2.5, 1.4), XS_POS)
+
+
+def test_beta():
+    check(dists.Beta, {"alpha": 2.0, "beta": 3.5}, td.Beta(2.0, 3.5), XS_UNIT)
+
+
+def test_uniform01():
+    assert np.allclose(np.asarray(dists.Uniform01.logpdf(jnp.asarray(XS_UNIT), {})), 0.0)
+
+
+def test_student_t():
+    check(
+        dists.StudentT,
+        {"df": 4.0, "loc": 0.3, "scale": 1.2},
+        td.StudentT(4.0, 0.3, 1.2),
+        XS_REAL,
+    )
+
+
+def test_cauchy():
+    check(dists.Cauchy, {"loc": 0.1, "scale": 2.0}, td.Cauchy(0.1, 2.0), XS_REAL)
+
+
+def test_half_cauchy():
+    check(dists.HalfCauchy, {"scale": 1.5}, td.HalfCauchy(1.5), XS_POS)
+
+
+def test_lognormal():
+    check(dists.LogNormal, {"mu": 0.2, "sigma": 0.9}, td.LogNormal(0.2, 0.9), XS_POS)
+
+
+def test_laplace():
+    check(dists.Laplace, {"mu": -0.3, "b": 1.1}, td.Laplace(-0.3, 1.1), XS_REAL)
+
+
+def test_weibull():
+    # torch Weibull(scale, concentration): scale=lambda, concentration=k
+    check(
+        dists.Weibull, {"k": 1.7, "lambda": 2.3}, td.Weibull(2.3, 1.7), XS_POS
+    )
+
+
+def test_weibull_log_survival():
+    t = jnp.asarray(XS_POS)
+    params = {"k": jnp.asarray(1.7), "lambda": jnp.asarray(2.3)}
+    ls = np.asarray(dists.Weibull.log_survival(t, params))
+    expected = -((XS_POS / 2.3) ** 1.7)
+    np.testing.assert_allclose(ls, expected, atol=1e-5, rtol=1e-5)
+
+
+def test_truncated_normal():
+    params = {"mu": 0.0, "sigma": 1.0, "lower": -1.0, "upper": 1.0}
+    # analytic: log[ phi(0) / (Phi(1) - Phi(-1)) ] = -0.53727
+    # (the reference doctest claims -0.2676, truncated_normal.ex:10-12,
+    # which is not the truncated-normal density at 0 — ours is correct)
+    got = float(dists.TruncatedNormal.logpdf(jnp.asarray(0.0), params))
+    expected = math.log(
+        math.exp(-0.5 * math.log(2 * math.pi))
+        / (td.Normal(0.0, 1.0).cdf(torch.tensor(1.0)).item() * 2 - 1.0)
+    )
+    assert abs(got - expected) < 1e-4
+
+
+def test_bernoulli():
+    ys = np.array([0.0, 1.0, 1.0, 0.0])
+    check(dists.Bernoulli, {"p": 0.7}, td.Bernoulli(0.7), ys)
+
+
+def test_poisson():
+    ys = np.array([0.0, 1.0, 3.0, 7.0])
+    check(dists.Poisson, {"mu": 2.5}, td.Poisson(2.5), ys)
+
+
+def test_mv_normal():
+    mu = np.array([0.5, -0.3, 1.0])
+    a = np.array([[2.0, 0.3, 0.1], [0.3, 1.5, 0.2], [0.1, 0.2, 1.0]])
+    x = np.array([0.1, 0.2, -0.5])
+    ours = float(
+        dists.MvNormal.logpdf(jnp.asarray(x, jnp.float32), {"mu": mu, "cov": a})
+    )
+    theirs = float(td.MultivariateNormal(t64(mu), t64(a)).log_prob(t64(x)))
+    assert abs(ours - theirs) < 1e-4
+
+
+def test_mv_normal_prepare_params():
+    mu = np.zeros(2)
+    cov = np.array([[1.0, 0.0], [0.0, 1.0]])
+    prepared = dists.MvNormal.prepare_params({"mu": mu, "cov": cov})
+    assert "chol" in prepared and "log_det_cov" in prepared
+    # reference doctest value (mv_normal.ex:14-16): logpdf(0; I) = -1.8379
+    got = float(dists.MvNormal.logpdf(jnp.zeros(2), prepared))
+    assert abs(got - (-1.8379)) < 1e-3
+
+
+def test_dirichlet():
+    alpha = np.array([2.0, 3.0, 1.5])
+    x = np.array([0.3, 0.5, 0.2])
+    ours = float(dists.Dirichlet.logpdf(jnp.asarray(x, jnp.float32), {"alpha": alpha}))
+    theirs = float(td.Dirichlet(t64(alpha)).log_prob(t64(x)))
+    assert abs(ours - theirs) < 5e-4
+
+
+def test_gaussian_random_walk():
+    x = np.array([0.1, 0.2, 0.15, -0.3])
+    sigma = 0.7
+    ours = float(
+        dists.GaussianRandomWalk.logpdf(jnp.asarray(x, jnp.float32), {"sigma": sigma})
+    )
+    # x[0] ~ N(0, sigma); diffs ~ N(0, sigma)
+    diffs = np.concatenate([[x[0]], np.diff(x)])
+    theirs = td.Normal(0.0, sigma).log_prob(t64(diffs)).sum().item()
+    assert abs(ours - theirs) < 1e-4
+
+
+def test_mixture():
+    params = {
+        "components": [dists.Normal, dists.Normal],
+        "params": [{"mu": -2.0, "sigma": 1.0}, {"mu": 2.0, "sigma": 0.5}],
+        "weights": np.array([0.3, 0.7]),
+    }
+    x = np.array([0.0, -2.0, 2.0])
+    ours = np.asarray(dists.Mixture.logpdf(jnp.asarray(x, jnp.float32), params))
+    mix = td.MixtureSameFamily(
+        td.Categorical(t64([0.3, 0.7])),
+        td.Normal(t64([-2.0, 2.0]), t64([1.0, 0.5])),
+    )
+    np.testing.assert_allclose(ours, mix.log_prob(t64(x)).numpy(), atol=1e-4)
+
+
+def test_censored_normal():
+    mu, sigma = 0.5, 1.2
+    c = 1.0
+    z = (c - mu) / sigma
+    right = float(
+        dists.Censored.log_likelihood("right", jnp.asarray(c), dists.Normal,
+                                      {"mu": mu, "sigma": sigma})
+    )
+    expected = torch.log(1 - td.Normal(0.0, 1.0).cdf(torch.tensor(z))).item()
+    assert abs(right - expected) < 1e-5
+    left = float(
+        dists.Censored.log_likelihood("left", jnp.asarray(c), dists.Normal,
+                                      {"mu": mu, "sigma": sigma})
+    )
+    expected_l = torch.log(td.Normal(0.0, 1.0).cdf(torch.tensor(z))).item()
+    assert abs(left - expected_l) < 1e-5
+
+
+def test_censored_weibull_right():
+    params = {"k": jnp.asarray(1.5), "lambda": jnp.asarray(2.0)}
+    got = float(
+        dists.Censored.log_likelihood("right", jnp.asarray(3.0), dists.Weibull, params)
+    )
+    assert abs(got - (-((3.0 / 2.0) ** 1.5))) < 1e-5
+
+
+def test_censored_interval():
+    got = float(
+        dists.Censored.log_likelihood(
+            "interval",
+            {"lower": jnp.asarray(-1.0), "upper": jnp.asarray(1.0)},
+            dists.Normal,
+            {"mu": 0.0, "sigma": 1.0},
+        )
+    )
+    expected = math.log(
+        td.Normal(0.0, 1.0).cdf(torch.tensor(1.0)).item()
+        - td.Normal(0.0, 1.0).cdf(torch.tensor(-1.0)).item()
+    )
+    assert abs(got - expected) < 1e-4
+
+
+def test_custom_dist():
+    custom = dists.Custom(
+        logpdf_fn=lambda x, params: -0.5 * x**2, support="real"
+    )
+    got = float(custom.logpdf(jnp.asarray(2.0), {}))
+    assert abs(got - (-2.0)) < 1e-6
+
+
+# ---- samplers are statistically sane ----
+
+@pytest.mark.parametrize(
+    "dist,params,mean,tol",
+    [
+        (dists.Normal, {"mu": 1.0, "sigma": 2.0}, 1.0, 0.1),
+        (dists.Exponential, {"lambda": 2.0}, 0.5, 0.05),
+        (dists.Gamma, {"alpha": 3.0, "beta": 2.0}, 1.5, 0.1),
+        (dists.Beta, {"alpha": 2.0, "beta": 2.0}, 0.5, 0.03),
+        (dists.Weibull, {"k": 1.0, "lambda": 2.0}, 2.0, 0.15),
+        (dists.Poisson, {"mu": 3.0}, 3.0, 0.15),
+    ],
+)
+def test_sampler_means(dist, params, mean, tol):
+    key = jax.random.PRNGKey(0)
+    draws = dist.sample(key, {k: jnp.asarray(v) for k, v in params.items()}, (4000,))
+    assert abs(float(jnp.mean(draws)) - mean) < 3 * tol
+
+
+# ---- transforms ----
+
+@pytest.mark.parametrize("name", ["log", "softplus", "logit"])
+def test_transform_roundtrip(name):
+    t = tf.get(name)
+    z = jnp.asarray(np.linspace(-3, 3, 11), jnp.float32)
+    x = t.forward(z)
+    z2 = t.inverse(x)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=5e-4)
+
+
+@pytest.mark.parametrize("name", ["log", "softplus", "logit"])
+def test_transform_ladj_matches_autodiff(name):
+    t = tf.get(name)
+    z = jnp.asarray([-1.3, 0.4, 2.1], jnp.float32)
+    jac = jax.jacfwd(t.forward)(z)
+    expected = float(jnp.sum(jnp.log(jnp.abs(jnp.diagonal(jac)))))
+    got = float(t.log_abs_det_jacobian(z))
+    assert abs(got - expected) < 1e-4
+
+
+def test_stick_breaking_simplex():
+    t = tf.get("stick_breaking")
+    z = jnp.asarray([0.3, -1.2, 0.8], jnp.float32)
+    x = t.forward(z)
+    assert x.shape == (4,)
+    assert abs(float(jnp.sum(x)) - 1.0) < 1e-4
+    assert bool(jnp.all(x > 0))
+    z2 = t.inverse(x)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=5e-4)
+
+
+def test_stick_breaking_ladj_matches_autodiff():
+    t = tf.get("stick_breaking")
+    z = jnp.asarray([0.3, -1.2, 0.8], jnp.float32)
+    # Jacobian of first K-1 outputs wrt z is lower-triangular; its det is
+    # the product of the diagonal
+    jac = jax.jacfwd(t.forward)(z)[:-1, :]
+    expected = float(jnp.log(jnp.abs(jnp.linalg.det(jac))))
+    got = float(t.log_abs_det_jacobian(z))
+    assert abs(got - expected) < 1e-3
+
+
+def test_stick_breaking_batched():
+    t = tf.get("stick_breaking")
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)), jnp.float32)
+    x = t.forward(z)
+    assert x.shape == (5, 4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(x, axis=-1)), 1.0, atol=1e-4)
+
+
+def test_log_transform_clamped():
+    t = tf.get("log")
+    big = jnp.asarray(1e6, jnp.float32)
+    assert np.isfinite(float(t.forward(big)))
