@@ -1,0 +1,102 @@
+"""Hierarchical opponent model (reference poker/opponent_model.ex).
+
+Population hyperparams (logit-scale for vpip/pfr/bluff, log-scale for
+agg) + per-player raws partially pooled via manual NCP, softmax action
+likelihood. TPU-first: raws are four (P,)-vector RVs and the likelihood
+is one vectorized (P, H, 3) log-softmax (the reference loops players in
+a closure, opponent_model.ex:77-104)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from exmc_tpu import dists
+from exmc_tpu.apps.poker.action_model import gather_log_probs, log_action_probs
+from exmc_tpu.ir import Builder
+
+PARAMS = ("vpip", "pfr", "agg", "bluff")
+HYPER_PRIORS = {  # (mu prior mean, mu prior sd) — opponent_model.ex:47-54
+    "vpip": (-0.85, 0.5),
+    "pfr": (-1.4, 0.5),
+    "agg": (0.0, 0.5),
+    "bluff": (-1.4, 0.5),
+}
+
+
+def build(observations):
+    """Build the IR. observations: list of
+    {"hand_strengths": [float], "actions": [0|1|2]} per player."""
+    num_players = len(observations)
+    h = max(len(o["hand_strengths"]) for o in observations)
+    hs = np.zeros((num_players, h), np.float32)
+    acts = np.zeros((num_players, h), np.float32)
+    mask = np.zeros((num_players, h), np.float32)
+    for i, o in enumerate(observations):
+        n = len(o["hand_strengths"])
+        hs[i, :n] = o["hand_strengths"]
+        acts[i, :n] = o["actions"]
+        mask[i, :n] = 1.0
+
+    ir = Builder.new_ir()
+    for p in PARAMS:
+        m0, s0 = HYPER_PRIORS[p]
+        ir = Builder.rv(ir, f"mu_{p}", dists.Normal, {"mu": m0, "sigma": s0})
+        ir = Builder.rv(ir, f"sigma_{p}", dists.HalfCauchy, {"scale": 0.5},
+                        transform="log")
+        ir = Builder.rv(ir, f"{p}_raw", dists.Normal,
+                        {"mu": 0.0, "sigma": 1.0}, shape=(num_players,))
+
+    def likelihood(_x, params, data=None):
+        # manual NCP reconstruction (opponent_model.ex:84-93)
+        def recon(p):
+            return params[f"mu_{p}"] + params[f"sigma_{p}"] * params[f"{p}_raw"]
+
+        vpip = jnp.clip(recon("vpip"), -10.0, 10.0)
+        pfr = jnp.clip(recon("pfr"), -10.0, 10.0)
+        agg = jnp.exp(jnp.clip(recon("agg"), -3.0, 3.0))
+        bluff = jnp.clip(recon("bluff"), -10.0, 10.0)
+        # vectorized over (P, H): broadcast per-player params over hands
+        lp = log_action_probs(
+            jnp.reciprocal(1.0 + jnp.exp(-vpip))[:, None],
+            jnp.reciprocal(1.0 + jnp.exp(-pfr))[:, None],
+            agg[:, None],
+            jnp.reciprocal(1.0 + jnp.exp(-bluff))[:, None],
+            jnp.asarray(hs),
+        )
+        sel = gather_log_probs(lp, jnp.asarray(acts))
+        return jnp.sum(sel * jnp.asarray(mask))
+
+    lik = dists.Custom(logpdf_fn=likelihood, support="real")
+    refs = {}
+    for p in PARAMS:
+        refs[f"mu_{p}"] = f"mu_{p}"
+        refs[f"sigma_{p}"] = f"sigma_{p}"
+        refs[f"{p}_raw"] = f"{p}_raw"
+    ir = Builder.rv(ir, "likelihood", lik, refs)
+    ir = Builder.obs(ir, "likelihood_obs", "likelihood", 0.0)
+    return ir
+
+
+def extract_profiles(trace, num_players):
+    """Posterior per-player constrained params
+    (opponent_model.ex extract_profiles). Returns a list of dicts of
+    (draws,) arrays: vpip/pfr/bluff in (0,1), agg > 0."""
+    def recon(p):
+        mu = trace[f"mu_{p}"]            # (chains, draws)
+        sigma = trace[f"sigma_{p}"]
+        raw = trace[f"{p}_raw"]          # (chains, draws, P)
+        return mu[..., None] + sigma[..., None] * raw
+
+    sigmoid = lambda x: 1.0 / (1.0 + np.exp(-np.clip(x, -10, 10)))
+    vpip = sigmoid(recon("vpip"))
+    pfr = sigmoid(recon("pfr"))
+    agg = np.exp(np.clip(recon("agg"), -3, 3))
+    bluff = sigmoid(recon("bluff"))
+    out = []
+    for i in range(num_players):
+        out.append({
+            "vpip": vpip[..., i].reshape(-1),
+            "pfr": pfr[..., i].reshape(-1),
+            "agg": agg[..., i].reshape(-1),
+            "bluff": bluff[..., i].reshape(-1),
+        })
+    return out

@@ -237,16 +237,10 @@ def _obs_term(node, ir, resolve, data):
         lp = CENSORED.log_likelihood(censor, value, dist, params)
         return _apply_obs_meta(lp, {k: v for k, v in meta.items() if k != "censored"})
 
-    transform = target.op[3] if len(target.op) == 4 else None
-    if transform is not None:
-        # mirror reference semantics: evaluate in z-space with Jacobian
-        # (compiler.ex:286-292) — a constant shift for fixed obs, kept for
-        # logp/WAIC parity with the reference.
-        t = tf.get(transform)
-        z = t.inverse(value)
-        lp = dist.logpdf(t.forward(z), params) + t.log_abs_det_jacobian(z)
-    else:
-        lp = dist.logpdf(value, params)
+    # obs logp is the dist's density at the observed value — no transform
+    # Jacobian (the rewrite pass no longer attaches transforms to observed
+    # RVs; see attach_default_transforms)
+    lp = dist.logpdf(value, params)
     return _apply_obs_meta(lp, meta)
 
 
@@ -272,13 +266,7 @@ def _meas_obs_term(node, ir, resolve, data):
     else:
         raise ValueError(f"unknown measurable op: {kind!r}")
 
-    transform = target.op[3] if len(target.op) == 4 else None
-    if transform is not None:
-        t = tf.get(transform)
-        z = t.inverse(x)
-        lp = dist.logpdf(t.forward(z), params) + t.log_abs_det_jacobian(z)
-    else:
-        lp = dist.logpdf(x, params)
+    lp = dist.logpdf(x, params)
     return _apply_obs_meta(lp, meta) + meas_jac
 
 

@@ -12,12 +12,23 @@ from exmc_tpu.dists.base import Distribution, register
 
 
 class Bernoulli(Distribution):
-    """Bernoulli(p) — reference bernoulli.ex (logit default transform)."""
+    """Bernoulli(p) — reference bernoulli.ex (logit default transform).
+
+    Also accepts ``logits`` instead of ``p`` for the numerically stable
+    log-sigmoid path (essential in f32: clipping p at 1-1e-12 rounds to
+    exactly 1.0 in float32 and log1p(-p) returns -inf at moderate
+    logits — the bug class DECISIONS D53-55 warns about)."""
 
     name = "bernoulli"
 
     def logpdf(self, y, params):
-        p = jnp.clip(params["p"], 1e-12, 1.0 - 1e-12)
+        if "logits" in params:
+            eta = params["logits"]
+            # y*logsigmoid(eta) + (1-y)*logsigmoid(-eta)
+            return y * eta - jnp.logaddexp(0.0, eta)
+        p = jnp.asarray(params["p"])
+        eps = jnp.finfo(jnp.result_type(p, jnp.float32)).eps
+        p = jnp.clip(p, eps, 1.0 - eps)
         return y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p)
 
     def support(self, params):
@@ -27,7 +38,11 @@ class Bernoulli(Distribution):
         return "logit"
 
     def sample(self, key, params, shape=()):
-        return jax.random.bernoulli(key, params["p"], shape).astype(jnp.float32)
+        if "logits" in params:
+            p = jax.nn.sigmoid(jnp.asarray(params["logits"]))
+        else:
+            p = params["p"]
+        return jax.random.bernoulli(key, p, shape).astype(jnp.float32)
 
 
 class Poisson(Distribution):

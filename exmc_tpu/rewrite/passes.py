@@ -6,16 +6,24 @@ Pure IR->IR functions; each node is rewritten independently.
 from dataclasses import replace
 
 from exmc_tpu.dists.base import get as get_dist
-from exmc_tpu.ir import IR, Node
+from exmc_tpu.ir import IR, Node, observed_target_ids
 
 
 def attach_default_transforms(ir: IR) -> IR:
     """("rv", d, p) -> ("rv", d, p, transform) from the dist's default
     (reference attach_default_transforms.ex:24-29). RVs that already carry
-    an explicit transform are left alone."""
+    an explicit transform are left alone.
+
+    Deliberate divergence from the reference: OBSERVED RVs are skipped.
+    Constraint transforms exist so NUTS can explore free RVs in
+    unconstrained space; an observed RV's value never moves, and pushing
+    it through the inverse transform only injects a spurious Jacobian —
+    which is -inf for discrete observations (logit(0)), the bug that made
+    every Bernoulli-observation model's logp -inf."""
+    observed = observed_target_ids(ir)
     nodes = {}
     for nid, node in ir.nodes.items():
-        if node.op[0] == "rv" and len(node.op) == 3:
+        if node.op[0] == "rv" and len(node.op) == 3 and nid not in observed:
             _, dist, params = node.op
             transform = get_dist(dist).default_transform(params)
             if transform is not None:

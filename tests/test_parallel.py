@@ -1,0 +1,83 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh — the
+analogue of the reference's distributed tests without a real cluster
+(``nodes: [node()]`` trick, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from exmc_tpu import Builder, dists
+from exmc_tpu.compiler import compile_logp
+from exmc_tpu.parallel import data_parallel_vag, make_mesh, sample_chains_sharded
+
+
+def _simple_ir():
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+    return ir
+
+
+def test_make_mesh():
+    mesh = make_mesh(8, dp=4, sp=2)
+    assert mesh.shape == {"dp": 4, "sp": 2}
+
+
+def test_chain_sharding_posterior():
+    mesh = make_mesh(8, dp=8, sp=1)
+    trace, stats = sample_chains_sharded(
+        _simple_ir(), 16, mesh, num_warmup=150, num_samples=100, seed=0
+    )
+    assert trace["mu"].shape == (16, 100)
+    assert abs(float(trace["mu"].mean()) - 2.1) < 0.3
+
+
+def test_chain_sharding_statistically_matches_unsharded():
+    """Sharded and single-device runs agree statistically. (Bitwise
+    equality does not hold: partitioned compilation changes f32 fusion
+    order, and NUTS trajectories are chaotic — a 1-ulp logp difference
+    eventually picks a different leaf. Posterior laws must agree.)"""
+    from exmc_tpu.nuts.sampler import sample_chains
+
+    ir = _simple_ir()
+    mesh = make_mesh(8, dp=8, sp=1)
+    t_sharded, _ = sample_chains_sharded(
+        ir, 16, mesh, num_warmup=200, num_samples=200, seed=3
+    )
+    t_plain, _ = sample_chains(
+        ir, num_chains=16, num_warmup=200, num_samples=200, seed=3
+    )
+    assert abs(t_sharded["mu"].mean() - t_plain["mu"].mean()) < 0.05
+    assert abs(t_sharded["mu"].std() - t_plain["mu"].std()) < 0.05
+
+
+def test_data_parallel_vag_matches():
+    mesh = make_mesh(8, dp=2, sp=4)
+    data = np.random.default_rng(0).normal(1.0, 1.0, size=(64,)).astype(np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", "__obs_data")
+    ir = Builder.data(ir, data)
+    m = compile_logp(ir)
+    vag_sp, _ = data_parallel_vag(m, mesh, jnp.asarray(data))
+    v_sp, g_sp = vag_sp(jnp.asarray([0.5]))
+    v_ref, g_ref = m.value_and_grad(jnp.asarray([0.5]), jnp.asarray(data))
+    assert abs(float(v_sp) - float(v_ref)) < 1e-2
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref), atol=1e-3)
+
+
+def test_uneven_chains_rejected():
+    mesh = make_mesh(8, dp=8, sp=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        sample_chains_sharded(_simple_ir(), 12, mesh, num_warmup=10,
+                              num_samples=10)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
