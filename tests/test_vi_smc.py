@@ -1,0 +1,125 @@
+"""ADVI / SMC / Pathfinder accuracy + WAIC/LOO + predictive tests
+(reference advi/smc/pathfinder/model_comparison/predictive coverage)."""
+
+import numpy as np
+import pytest
+
+from exmc_tpu import (
+    Builder,
+    advi_fit,
+    dists,
+    model_comparison,
+    pathfinder_fit,
+    predictive,
+    sample,
+    smc_sample,
+)
+
+
+def conjugate_ir(n=40, true_mu=1.5, seed=0):
+    rng = np.random.default_rng(seed)
+    ys = rng.normal(true_mu, 1.0, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    post_var = 1.0 / (1.0 / 100.0 + n)
+    post_mean = post_var * ys.sum()
+    return ir, post_mean, np.sqrt(post_var), ys
+
+
+def test_advi_conjugate():
+    ir, post_mean, post_sd, _ = conjugate_ir()
+    out = advi_fit(ir, num_steps=4000, seed=0)
+    mu_draws = out["draws"]["mu"]
+    assert abs(float(mu_draws.mean()) - post_mean) < 0.1
+    assert abs(float(mu_draws.std()) - post_sd) < 0.12
+    assert out["elbo_history"].shape == (4000,)
+
+
+def test_advi_constrained():
+    rng = np.random.default_rng(1)
+    ys = np.abs(rng.normal(0, 2.0, size=60))
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 5.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": 0.0, "sigma": "sigma"})
+    ir = Builder.obs(ir, "y_obs", "y", rng.normal(0, 2.0, size=60))
+    out = advi_fit(ir, num_steps=3000, seed=1)
+    s = out["draws"]["sigma"]
+    assert (s > 0).all()
+    assert 1.2 < float(s.mean()) < 3.0
+
+
+def test_smc_conjugate():
+    ir, post_mean, post_sd, _ = conjugate_ir()
+    trace, info = smc_sample(ir, num_particles=1500, seed=0)
+    mu = trace["mu"]
+    assert abs(float(mu.mean()) - post_mean) < 0.15
+    assert info["betas"][-1] == 1.0
+    assert info["num_stages"] >= 1
+
+
+def test_pathfinder_conjugate():
+    ir, post_mean, post_sd, _ = conjugate_ir()
+    out = pathfinder_fit(ir, num_iters=150, seed=0)
+    mu = out["draws"]["mu"]
+    # pathfinder's diag-normal fit is crude (reference pathfinder.ex:
+    # sigma = 1/sqrt(|grad|+eps) blows up near the mode where grad -> 0,
+    # so max-ELBO lands slightly off-mode); check rough location only
+    assert abs(float(mu.mean()) - post_mean) < 0.7
+    assert np.isfinite(out["elbo_path"]).any()
+
+
+def test_waic_loo_finite_and_consistent():
+    ir, _, _, ys = conjugate_ir()
+    trace, _ = sample(ir, num_warmup=300, num_samples=300, seed=2)
+    w = model_comparison.waic(ir, trace)
+    l = model_comparison.loo(ir, trace)
+    assert np.isfinite(w["waic"]) and np.isfinite(l["loo"])
+    assert w["p_waic"] > 0
+    # elpd estimates should roughly agree on a well-specified model
+    assert abs(w["elpd_waic"] - l["elpd_loo"]) < 5.0
+    assert len(w["pointwise"]) == len(ys)
+
+
+def test_compare_ranks_better_model_first():
+    rng = np.random.default_rng(3)
+    ys = rng.normal(2.0, 1.0, size=50)
+
+    def make(prior_mu):
+        ir = Builder.new_ir()
+        ir = Builder.rv(ir, "mu", dists.Normal, {"mu": prior_mu, "sigma": 0.1})
+        ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+        ir = Builder.obs(ir, "y_obs", "y", ys)
+        return ir
+
+    good = make(2.0)   # prior tightly at the truth
+    bad = make(-3.0)   # prior tightly wrong
+    t_good, _ = sample(good, num_warmup=200, num_samples=200, seed=3)
+    t_bad, _ = sample(bad, num_warmup=200, num_samples=200, seed=3)
+    rows = model_comparison.compare({"good": (good, t_good), "bad": (bad, t_bad)})
+    assert rows[0]["name"] == "good"
+    assert rows[0]["rank"] == 0
+    assert rows[1]["delta_elpd"] > 0
+
+
+def test_prior_samples():
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 2.0, "sigma": 0.5})
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+    draws = predictive.prior_samples(ir, num_draws=2000, seed=0)
+    assert abs(float(draws["mu"].mean()) - 2.0) < 0.05
+    assert (draws["sigma"] > 0).all()
+    # y marginal mean = E[mu]
+    assert abs(float(draws["y"].mean()) - 2.0) < 0.1
+
+
+def test_posterior_predictive():
+    ir, post_mean, _, ys = conjugate_ir()
+    trace, _ = sample(ir, num_warmup=300, num_samples=200, seed=4)
+    ppc = predictive.posterior_predictive(ir, trace, seed=0)
+    assert "y_obs" in ppc
+    assert ppc["y_obs"].shape[:2] == (1, 200)
+    # posterior predictive mean ~ posterior mean of mu
+    assert abs(float(ppc["y_obs"].mean()) - post_mean) < 0.2
