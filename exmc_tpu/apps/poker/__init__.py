@@ -13,5 +13,7 @@ fused kernel.
 from exmc_tpu.apps.poker.api import simulate, profile, decide, compare
 from exmc_tpu.apps.poker import cards
 from exmc_tpu.apps.poker.simulator import archetypes
+from exmc_tpu.apps.poker.table import Table
 
-__all__ = ["simulate", "profile", "decide", "compare", "cards", "archetypes"]
+__all__ = ["simulate", "profile", "decide", "compare", "cards", "archetypes",
+           "Table"]

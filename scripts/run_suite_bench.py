@@ -1,0 +1,69 @@
+"""Run the seven-model suite on the real chip and write
+BENCH_SUITE.json + BENCHMARKS.md (the reference's STANDARD_BENCHMARKS
+race protocol adapted to vmapped chains)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from exmc_tpu.benchmarks.suite import MODELS, REFERENCE_ESS_PER_S, run_model
+
+CHAINS = {
+    "simple": 256, "medium": 256, "stress": 256, "eight_schools": 256,
+    "funnel": 256, "logistic": 128, "sv": 64,
+}
+
+
+def main():
+    models = sys.argv[1:] or list(MODELS)
+    results = {}
+    for name in models:
+        print(f"=== {name} ===", flush=True)
+        try:
+            r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
+                          num_samples=1000, seed=0, ncp=False)
+        except Exception as e:  # noqa
+            r = {"model": name, "error": str(e)}
+        results[name] = r
+        print(json.dumps(r, default=float), flush=True)
+
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=1, default=float)
+
+    lines = [
+        "# BENCHMARKS — seven-model suite on one TPU v5e chip",
+        "",
+        "Protocol: 1000 warmup + 1000 draws per chain, vmapped chains per",
+        "the table, per-chain adaptation, target_accept 0.8, max_depth 10.",
+        "Wall time excludes compile (reported separately); min-ESS/s is the",
+        "worst parameter, matching the reference's metric",
+        "(STANDARD_BENCHMARKS.md:105).",
+        "",
+        "| model | chains | wall s | compile s | min-ESS/s | vs eXMC | vs PyMC | max R-hat | div rate |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        if "error" in r:
+            lines.append(f"| {name} | - | ERROR: {r['error'][:60]} |")
+            continue
+        lines.append(
+            f"| {name} | {r['num_chains']} | {r['wall_s']:.1f} | "
+            f"{r['compile_s']:.0f} | {r['min_ess_per_s']:.1f} | "
+            f"{r['vs_exmc']:.0f}x | {r['vs_pymc']:.0f}x | "
+            f"{r['max_rhat']:.3f} | {r['divergence_rate']:.4f} |"
+        )
+    ref = ", ".join(
+        f"{k}: eXMC {v[0]}/PyMC {v[1]}" for k, v in REFERENCE_ESS_PER_S.items()
+    )
+    lines += ["", f"Reference ESS/s baselines (88-thread Xeon): {ref}", ""]
+    with open("BENCHMARKS.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH_SUITE.json + BENCHMARKS.md")
+
+
+if __name__ == "__main__":
+    main()
