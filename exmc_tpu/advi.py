@@ -43,9 +43,19 @@ def advi_fit(ir, *, num_steps=5000, lr=0.01, seed=0, num_draws=1000,
         # reparameterized gradients (advi.ex:117-156); +1 is the entropy grad
         grad_mu = grad
         grad_ls = grad * sigma * eps_noise + 1.0
-        mu = mu + lr * grad_mu
-        log_sigma = log_sigma + lr * grad_ls
-        elbo = logp + jnp.sum(log_sigma)  # + const entropy terms
+        # global-norm clip + non-finite-step rejection: the reference's
+        # plain SGD (no Adam, advi.ex) explodes on steep likelihoods
+        # (e.g. the Weibull reliability model) in f32 without these
+        gnorm = jnp.sqrt(jnp.sum(grad_mu**2) + jnp.sum(grad_ls**2))
+        scale = jnp.minimum(1.0, 10.0 / jnp.maximum(gnorm, 1e-12))
+        mu_new = mu + lr * scale * grad_mu
+        ls_new = log_sigma + lr * scale * grad_ls
+        ok = jnp.isfinite(logp) & jnp.all(jnp.isfinite(mu_new)) & jnp.all(
+            jnp.isfinite(ls_new)
+        )
+        mu = jnp.where(ok, mu_new, mu)
+        log_sigma = jnp.where(ok, ls_new, log_sigma)
+        elbo = jnp.where(ok, logp + jnp.sum(log_sigma), -jnp.inf)
         return (mu, log_sigma), elbo
 
     @jax.jit
