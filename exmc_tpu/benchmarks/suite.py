@@ -170,21 +170,32 @@ def build_model(name):
 
 
 def run_model(name, num_chains=64, num_warmup=1000, num_samples=1000,
-              seed=0, ncp=False, **opts):
+              seed=0, ncp=False, chunked=None, **opts):
     """Run one suite model; returns a result dict with min/median ESS/s
     across parameters (protocol: STANDARD_BENCHMARKS.md:105, adapted to
-    vmapped chains — wall excludes compile, reported separately)."""
+    vmapped chains — wall excludes compile, reported separately).
+
+    ``chunked``: run in bounded device calls of this many iterations —
+    needed for pathological models (funnel) where vmap-lockstep trees at
+    max depth make one 2000-iteration call exceed runtime watchdogs."""
     from exmc_tpu.diagnostics import ess, rhat
     from exmc_tpu.nuts.sampler import _make_sampler
 
     ir = build_model(name)
     sampler = _make_sampler(ir, ncp=ncp, num_warmup=num_warmup,
                             num_samples=num_samples, **opts)
+
+    def go(seed):
+        if chunked:
+            return sampler.run_chunked(num_chains=num_chains, seed=seed,
+                                       chunk_iters=chunked)
+        return sampler.run(num_chains=num_chains, seed=seed)
+
     t0 = time.time()
-    sampler.run(num_chains=num_chains, seed=seed)
+    go(seed)
     compile_s = time.time() - t0
     t0 = time.time()
-    trace, stats = sampler.run(num_chains=num_chains, seed=seed + 1)
+    trace, stats = go(seed + 1)
     wall = time.time() - t0
 
     ess_vals, rhat_vals = {}, {}

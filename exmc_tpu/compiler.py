@@ -25,7 +25,7 @@ not by data values. Obs values / meta referencing the string
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

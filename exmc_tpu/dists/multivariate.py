@@ -7,8 +7,6 @@ is both cheaper and better-conditioned, and under jit it is free to
 compute at trace time when cov is constant.
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular

@@ -15,7 +15,7 @@ context manager accumulating Builder calls::
     ir = m.ir
 """
 
-from exmc_tpu.ir import Builder, IR
+from exmc_tpu.ir import Builder
 
 
 class Model:

@@ -7,8 +7,6 @@ plain Python function until jitted — so this module is a thin
 convenience API: evaluate a model's log-density at a named point
 without touching flat vectors."""
 
-import jax.numpy as jnp
-
 from exmc_tpu.compiler import CompiledModel, compile_logp
 
 

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from exmc_tpu.compiler import CompiledModel, compile_logp, _make_logp
-from exmc_tpu.config import default_dtype
 
 
 def _as_flat_draws(model: CompiledModel, trace):

@@ -12,7 +12,7 @@ Sign convention: we carry logp (not potential energy); the kick uses
 +grad(logp).
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

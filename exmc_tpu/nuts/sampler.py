@@ -19,7 +19,6 @@ warmup shrinks to a 50-iteration step-size fine-tune on the previous
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Optional
 
 import numpy as np
 import jax
@@ -27,8 +26,7 @@ import jax.numpy as jnp
 
 from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
 from exmc_tpu.config import default_dtype
-from exmc_tpu.ir import IR
-from exmc_tpu.nuts.leapfrog import Metric, make_metric
+from exmc_tpu.nuts.leapfrog import make_metric
 from exmc_tpu.nuts.mass_matrix import welford_finalize, welford_init, welford_update
 from exmc_tpu.nuts.step_size import (
     da_finalize,
@@ -143,6 +141,108 @@ def _run_warmup(vag_fn, schedule, q0, logp0, grad0, key, metric0, target_accept,
     return q, logp, grad, key, eps_final, metric
 
 
+def _pipeline_xs(schedule, num_samples, max_depth):
+    """Per-iteration control arrays for the unified warmup+sampling scan
+    (host numpy; sliced into segments for chunked execution)."""
+    num_warmup = schedule.num_warmup
+    pad = np.zeros(num_samples, dtype=bool)
+    return (
+        np.concatenate([schedule.update_mass, pad]),
+        np.concatenate([schedule.window_end, pad]),
+        np.concatenate(
+            [schedule.depth_cap, np.full(num_samples, max_depth, np.int32)]
+        ),
+        np.concatenate([np.ones(num_warmup, bool), pad]),
+    )
+
+
+def _pipeline_init(vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype,
+                   dense):
+    key, eps_key = jax.random.split(key)
+    if eps0 is None:
+        eps0 = find_reasonable_epsilon(vag_fn, q0, logp0, grad0, eps_key, metric0)
+    else:
+        eps0 = jnp.asarray(eps0, dtype)
+    da0 = da_init(eps0)
+    wf0 = welford_init(d, dense=dense, dtype=dtype)
+    return (q0, logp0, grad0, key, da0, wf0, metric0)
+
+
+def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
+                      adapt_mass, d, dtype, dense):
+    """Scan a segment of the unified pipeline; carry threads across
+    segments so execution can be chunked into bounded device calls."""
+
+    def step(carry, x):
+        q, logp, grad, key, da, wf, metric = carry
+        upd_mass, win_end, cap, in_warmup = x
+        key, tkey, ekey = jax.random.split(key, 3)
+        eps = jnp.where(in_warmup, jnp.exp(da.log_eps), da_finalize(da))
+        q, logp, grad, stats = nuts_transition(
+            vag_fn, metric, eps, q, logp, grad, tkey, max_depth, cap
+        )
+        da_new = da_update(da, stats["accept_prob"], target_accept)
+        da = jax.tree.map(
+            lambda new, old: jnp.where(in_warmup, new, old), da_new, da
+        )
+        if adapt_mass:
+            # divergent draws excluded from Welford (D44)
+            wf = welford_update(wf, q, enabled=upd_mass & ~stats["diverging"])
+
+            def on_window_end(args):
+                da, wf, metric = args
+                inv = welford_finalize(wf, metric.inv)
+                new_metric = make_metric(inv)
+                # re-search epsilon after each window (sampler.ex:668-762)
+                eps_new = find_reasonable_epsilon(
+                    vag_fn, q, logp, grad, ekey, new_metric
+                )
+                return (
+                    da_init(eps_new),
+                    welford_init(d, dense=dense, dtype=dtype),
+                    new_metric,
+                )
+
+            da, wf, metric = jax.lax.cond(
+                win_end, on_window_end, lambda a: a, (da, wf, metric)
+            )
+        out_stats = dict(stats, logp=logp, step_size=eps)
+        return (q, logp, grad, key, da, wf, metric), (q, out_stats)
+
+    return jax.lax.scan(step, carry, xs)
+
+
+def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
+                 target_accept, max_depth, eps0=None, adapt_mass=True):
+    """Warmup + sampling as ONE scan (one chain; vmapped by the caller).
+
+    The tree kernel is the largest traced subprogram; tracing it once
+    for a combined scan instead of once per phase roughly halves XLA
+    compile time for the full pipeline. Per-iteration booleans gate the
+    adaptation: dual-averaging updates and mass windows only fire while
+    ``in_warmup``; afterwards eps freezes at exp(log_eps_bar)
+    (= da_finalize) and the metric stays at its last window value.
+
+    Returns (draws[num_samples], stats, eps_final, metric)."""
+    dtype = q0.dtype
+    d = q0.shape[0]
+    dense = metric0.inv.ndim == 2
+    num_warmup = schedule.num_warmup
+
+    carry = _pipeline_init(
+        vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype, dense
+    )
+    xs = jax.tree.map(jnp.asarray, _pipeline_xs(schedule, num_samples, max_depth))
+    carry, (draws, stats) = _pipeline_segment(
+        vag_fn, carry, xs, target_accept, max_depth, adapt_mass, d, dtype,
+        dense,
+    )
+    da, metric = carry[4], carry[6]
+    draws = draws[num_warmup:]
+    stats = jax.tree.map(lambda a: a[num_warmup:], stats)
+    return draws, stats, da_finalize(da), metric
+
+
 def _run_sampling(vag_fn, num_samples, q, logp, grad, key, eps, metric, max_depth):
     """Sampling scan for one chain; collects unconstrained draws + stats."""
 
@@ -209,22 +309,18 @@ class NUTSSampler:
 
         if warm_started:
             metric = make_metric(ws_inv)
-            q, logp, grad, key, eps, metric = _run_warmup(
-                vag_fn, self._ft_schedule, q0, logp0, grad0, key, metric,
-                self.target_accept, self.max_tree_depth, eps0=ws_eps,
-                adapt_mass=False,
+            draws, stats, eps, metric = _run_unified(
+                vag_fn, self._ft_schedule, self.num_samples, q0, logp0,
+                grad0, key, metric, self.target_accept, self.max_tree_depth,
+                eps0=ws_eps, adapt_mass=False,
             )
         else:
             metric = self._init_metric(dtype)
-            q, logp, grad, key, eps, metric = _run_warmup(
-                vag_fn, self._schedule, q0, logp0, grad0, key, metric,
-                self.target_accept, self.max_tree_depth,
+            draws, stats, eps, metric = _run_unified(
+                vag_fn, self._schedule, self.num_samples, q0, logp0, grad0,
+                key, metric, self.target_accept, self.max_tree_depth,
             )
 
-        draws, stats, _ = _run_sampling(
-            vag_fn, self.num_samples, q, logp, grad, key, eps, metric,
-            self.max_tree_depth,
-        )
         tuning = {"step_size": eps, "inv_mass": metric.inv}
         return draws, stats, tuning
 
@@ -314,6 +410,87 @@ class NUTSSampler:
             return np.asarray(draws), stats
         trace = self.constrain_trace(draws, data)
         return trace, stats
+
+    def run_chunked(self, num_chains=1, chunk_iters=200, seed=0, init=None,
+                    data=None, return_unconstrained=False, progress=False):
+        """Run the same pipeline as ``run`` but in bounded device calls of
+        ``chunk_iters`` iterations, threading the scan carry across calls.
+
+        Use for pathological models where vmap-lockstep trees keep every
+        transition at max depth (e.g. the funnel): a single device call
+        covering 2000 iterations can run for >10 minutes, which trips
+        runtime watchdogs — chunking bounds each call. Also the natural
+        place for mid-run checkpointing."""
+        dtype = default_dtype()
+        d = self.model.size
+        dense = self.dense_mass
+        if data is None:
+            data = self.model.data
+        vag_fn = self._vag(data)
+
+        base = jax.random.PRNGKey(seed)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i * CHAIN_SEED_STRIDE))(
+            jnp.arange(num_chains)
+        )
+        if init is not None:
+            flat0 = self.model.unconstrain(init).astype(dtype)
+            q_inits = jnp.broadcast_to(flat0, (num_chains, d))
+        else:
+            init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
+            )
+            q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
+
+        metric0 = self._init_metric(dtype)
+
+        @jax.jit
+        def init_fn(q_inits, keys):
+            def one(qi, key):
+                q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, qi)
+                return _pipeline_init(
+                    vag_fn, q0, logp0, grad0, key, metric0, None, d, dtype,
+                    dense,
+                )
+            return jax.vmap(one)(q_inits, keys)
+
+        def seg(carry, xs):
+            return _pipeline_segment(
+                vag_fn, carry, xs, self.target_accept, self.max_tree_depth,
+                True, d, dtype, dense,
+            )
+
+        seg_fn = jax.jit(jax.vmap(seg, in_axes=(0, None)))
+
+        carry = init_fn(q_inits, keys)
+        xs_full = _pipeline_xs(self._schedule, self.num_samples,
+                               self.max_tree_depth)
+        total = xs_full[0].shape[0]
+        draws_parts, stats_parts = [], []
+        done = 0
+        while done < total:
+            end = min(done + chunk_iters, total)
+            xs_chunk = tuple(jnp.asarray(a[done:end]) for a in xs_full)
+            carry, (draws, stats) = seg_fn(carry, xs_chunk)
+            draws_parts.append(np.asarray(draws))
+            stats_parts.append(jax.tree.map(np.asarray, stats))
+            done = end
+            if progress:
+                print(f"  chunk {done}/{total}", flush=True)
+
+        draws = np.concatenate(draws_parts, axis=1)[:, self._schedule.num_warmup:]
+        stats = {
+            k: np.concatenate([s[k] for s in stats_parts], axis=1)[
+                :, self._schedule.num_warmup:
+            ]
+            for k in stats_parts[0]
+        }
+        da, metric = carry[4], carry[6]
+        stats["step_size"] = np.asarray(jax.vmap(da_finalize)(da))
+        stats["inv_mass"] = np.asarray(metric.inv)
+        stats["divergences"] = stats["diverging"].sum(axis=-1)
+        if return_unconstrained:
+            return draws, stats
+        return self.constrain_trace(draws, data), stats
 
     def constrain_trace(self, draws, data=None):
         """(chains, samples, d) unconstrained -> named constrained trace,

@@ -27,6 +27,7 @@ from exmc_tpu.parallel.distributed import (
     initialize_distributed,
     sample_chains_sharded,
 )
+from exmc_tpu.parallel.diagnostics import sharded_ess, sharded_rhat
 
 __all__ = [
     "make_mesh",
@@ -34,4 +35,6 @@ __all__ = [
     "shard_chains",
     "initialize_distributed",
     "sample_chains_sharded",
+    "sharded_rhat",
+    "sharded_ess",
 ]

@@ -6,7 +6,7 @@ Pure IR->IR functions; each node is rewritten independently.
 from dataclasses import replace
 
 from exmc_tpu.dists.base import get as get_dist
-from exmc_tpu.ir import IR, Node, observed_target_ids
+from exmc_tpu.ir import IR, observed_target_ids
 
 
 def attach_default_transforms(ir: IR) -> IR:

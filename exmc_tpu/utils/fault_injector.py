@@ -16,8 +16,6 @@ reports finite draws.
 """
 
 from dataclasses import dataclass
-from typing import Optional
-
 import jax.numpy as jnp
 
 

@@ -14,18 +14,27 @@ from exmc_tpu.benchmarks.suite import MODELS, REFERENCE_ESS_PER_S, run_model
 
 CHAINS = {
     "simple": 256, "medium": 256, "stress": 256, "eight_schools": 256,
-    "funnel": 256, "logistic": 128, "sv": 64,
+    "funnel": 128, "logistic": 128, "sv": 64,
 }
+# pathological / heavy models run in bounded device calls (vmap-lockstep
+# trees at max depth make one 2000-iteration call trip the runtime
+# watchdog — see NUTSSampler.run_chunked)
+CHUNKED = {"funnel": 100, "logistic": 250, "sv": 100}
 
 
 def main():
     models = sys.argv[1:] or list(MODELS)
+    # merge with prior results so partial re-runs don't clobber the table
     results = {}
+    if os.path.exists("BENCH_SUITE.json"):
+        with open("BENCH_SUITE.json") as f:
+            results = json.load(f)
     for name in models:
         print(f"=== {name} ===", flush=True)
         try:
             r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
-                          num_samples=1000, seed=0, ncp=False)
+                          num_samples=1000, seed=0, ncp=False,
+                          chunked=CHUNKED.get(name))
         except Exception as e:  # noqa
             r = {"model": name, "error": str(e)}
         results[name] = r

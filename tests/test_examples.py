@@ -1,0 +1,24 @@
+"""Example scripts run end-to-end in smoke mode (the reference's
+notebooks_test.exs keeps its livemd examples compiling)."""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = [
+    "01_quickstart.py",
+    "02_eight_schools.py",
+    "03_stan_frontend.py",
+    "04_reliability_vi.py",
+    "05_physics_inversion.py",
+    "06_poker.py",
+]
+
+
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_runs(name, monkeypatch):
+    monkeypatch.setenv("EXMC_EXAMPLES_SMOKE", "1")
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", name)
+    runpy.run_path(path, run_name="__main__")

@@ -1,0 +1,37 @@
+"""Cross-chip diagnostics agree exactly with the host estimators."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from exmc_tpu.diagnostics import ess, rhat
+from exmc_tpu.parallel.diagnostics import sharded_ess, sharded_rhat
+from exmc_tpu.parallel.sharding import make_mesh
+
+
+def test_sharded_rhat_matches_host():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 400)), jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        got = float(sharded_rhat(x, mesh))
+    assert abs(got - float(rhat(x))) < 1e-5
+
+
+def test_sharded_rhat_detects_bad_chain():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(16, 300))
+    x[3] += 5.0
+    x = jnp.asarray(x, jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        got = float(sharded_rhat(x, mesh))
+    assert got > 1.5
+
+
+def test_sharded_ess_matches_host():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(16, 512)), jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        got = float(sharded_ess(x, mesh))
+    assert abs(got - float(ess(x))) / float(ess(x)) < 1e-4
