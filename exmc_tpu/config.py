@@ -44,3 +44,19 @@ def log_transform_clamp():
 # Divergence threshold on the joint-logp drop at a tree leaf
 # (reference tree.ex:1040-1048, D26: divergence iff delta_joint < -1000).
 DIVERGENCE_THRESHOLD = 1000.0
+
+
+def backend_info():
+    """Runtime backend report (the analogue of the reference's
+    Exmc.JIT backend auto-detection, jit.ex:127-134 — on JAX the
+    platform is already unified; this is observability only)."""
+    devices = jax.devices()
+    return {
+        "platform": jax.default_backend(),
+        "num_devices": len(devices),
+        "devices": [str(d) for d in devices],
+        "x64": x64_enabled(),
+        "default_dtype": str(default_dtype().__name__
+                             if hasattr(default_dtype(), "__name__")
+                             else default_dtype()),
+    }

@@ -1,0 +1,29 @@
+"""Streaming sampling (reference sample_stream, sampler.ex:1186-1276)."""
+
+import numpy as np
+
+from exmc_tpu import Builder, dists
+from exmc_tpu.nuts.sampler import sample_stream
+
+
+def test_sample_stream_chunks_and_totals():
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+
+    seen = []
+
+    def cb(start, trace_chunk, stats_chunk):
+        seen.append((start, trace_chunk["mu"].shape, stats_chunk["depth"].shape))
+
+    trace, stats = sample_stream(
+        ir, cb, num_samples=120, chunk_size=50, num_warmup=150, seed=0,
+        num_chains=2,
+    )
+    assert [s[0] for s in seen] == [0, 50, 100]
+    assert seen[0][1] == (2, 50)
+    assert trace["mu"].shape == (2, 120)
+    assert abs(float(trace["mu"].mean()) - 2.1) < 0.3
+    assert stats["depth"].shape == (2, 120)
