@@ -21,6 +21,11 @@ CHAINS = {
 # watchdog — see NUTSSampler.run_chunked)
 CHUNKED = {"funnel": 100, "logistic": 250, "sv": 100}
 
+# the reference pipeline applies automatic NCP by default; only
+# eight_schools runs centered "deliberately, because the centered
+# version is the harder test" (STANDARD_BENCHMARKS.md §II)
+NCP = {name: name != "eight_schools" for name in MODELS}
+
 
 def main():
     models = sys.argv[1:] or list(MODELS)
@@ -33,7 +38,7 @@ def main():
         print(f"=== {name} ===", flush=True)
         try:
             r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
-                          num_samples=1000, seed=0, ncp=False,
+                          num_samples=1000, seed=0, ncp=NCP[name],
                           chunked=CHUNKED.get(name))
         except Exception as e:  # noqa
             r = {"model": name, "error": str(e)}
