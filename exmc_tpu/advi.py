@@ -83,7 +83,7 @@ def advi_fit(ir, *, num_steps=5000, lr=0.01, seed=0, num_draws=1000,
     @jax.jit
     def draw(key):
         z = mu + sigma * jax.random.normal(key, (num_draws, d), dtype)
-        trace = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f))(z)
+        trace = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(z)
         return z, trace
 
     z, trace = draw(draw_key)

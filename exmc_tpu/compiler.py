@@ -153,7 +153,8 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
             fn = node.op[1]
             fn = DET_OPS[fn] if isinstance(fn, str) else fn
             args = [
-                resolve(a) if _is_ref(a) else jnp.asarray(a) for a in node.op[2]
+                resolve(a) if isinstance(a, str) else jnp.asarray(a)
+                for a in node.op[2]  # str = node ref or "__obs_data"
             ]
             val = fn(*args)
         elif tag == "rv":
@@ -283,6 +284,13 @@ def _make_logp(ir: IR, pm: PointMap, pointwise: bool = False):
         for nid in node_ids:
             node = ir.nodes[nid]
             tag = node.op[0]
+            if tag in ("obs", "meas_obs") and node.op[-1].get(
+                "likelihood", True
+            ) is False:
+                # likelihood=False obs are excluded from the sampled
+                # log-density (reference compiler.ex:244-246); they exist
+                # for bookkeeping (e.g. held-out data) only
+                continue
             if tag == "rv" and nid in free_ids:
                 terms[nid] = _rv_prior_term(node, entry_by_id[nid], zmap, resolve, ir)
             elif tag == "obs":
@@ -343,9 +351,13 @@ def compile_pointwise(ir: IR, *, ncp: bool = True) -> Callable:
     return _make_logp(rw, pm, pointwise=True)
 
 
-def constrain_flat(ir: IR, pm: PointMap, flat) -> dict:
+def constrain_flat(ir: IR, pm: PointMap, flat, data=None) -> dict:
     """flat -> named constrained values with NCP reconstruction
-    (sampler.ex:1281-1348). Pure jnp; vmap over draws for whole traces."""
+    (sampler.ex:1281-1348). Pure jnp; vmap over draws for whole traces.
+    ``data`` overrides ``ir.data`` (NCP refs may resolve through det
+    nodes that read the data argument)."""
+    if data is None:
+        data = ir.data
     zmap = pm.unpack(jnp.asarray(flat, dtype=default_dtype()))
-    resolve = _make_resolver(ir, pm, zmap, ir.data)
+    resolve = _make_resolver(ir, pm, zmap, data)
     return {e.id: resolve(e.id) for e in pm.entries}

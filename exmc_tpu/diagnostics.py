@@ -62,11 +62,18 @@ def ess(x):
 
 
 def _rank_normalize(x):
-    """Blom rank-normalization + probit (diagnostics.ex:184-236)."""
+    """Blom rank-normalization + probit (diagnostics.ex:184-236).
+
+    Ties receive AVERAGE ranks (scipy rankdata semantics) — positional
+    tie-breaking turns a mostly-tied tail indicator into a
+    position-trending sequence and collapses tail-ESS estimates."""
     shape = x.shape
     flat = x.reshape(-1)
     n = flat.shape[0]
-    ranks = jnp.argsort(jnp.argsort(flat)) + 1.0
+    sorted_x = jnp.sort(flat)
+    left = jnp.searchsorted(sorted_x, flat, side="left")
+    right = jnp.searchsorted(sorted_x, flat, side="right")
+    ranks = 0.5 * (left + right + 1.0)
     u = (ranks - 0.375) / (n + 0.25)  # Blom offsets
     z = jnp.sqrt(2.0) * jsp.erfinv(2.0 * u - 1.0)
     return z.reshape(shape)

@@ -342,6 +342,10 @@ class NUTSSampler:
             )
 
             def sample_only(q_init, key):
+                # decorrelate from the warmup key stream: chain 0's key
+                # was consumed by warmup above, and split-prefix reuse
+                # would replay the warmup's transition randomness
+                key = jax.random.fold_in(key, 777_000_111)
                 q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, q_init)
                 draws, stats, _ = _run_sampling(
                     vag_fn, self.num_samples, q0, logp0, grad0, key, eps, metric,
@@ -495,14 +499,18 @@ class NUTSSampler:
     def constrain_trace(self, draws, data=None):
         """(chains, samples, d) unconstrained -> named constrained trace,
         vmapped on device (reference sampler.ex:1281-1348 builds this on
-        the host per-entry)."""
-        ir, pm = self.model.ir, self.model.pm
-
-        def one(flat):
-            return constrain_flat(ir, pm, flat)
-
-        fn = jax.jit(jax.vmap(jax.vmap(one)))
-        out = fn(jnp.asarray(draws))
+        the host per-entry). The jitted constrainer is cached on the
+        sampler so streaming chunks don't retrace it."""
+        if data is None:
+            data = self.model.data
+        if not hasattr(self, "_constrain_jit"):
+            ir, pm = self.model.ir, self.model.pm
+            self._constrain_jit = jax.jit(
+                jax.vmap(jax.vmap(
+                    lambda flat, data: constrain_flat(ir, pm, flat, data),
+                    in_axes=(0, None)), in_axes=(0, None))
+            )
+        out = self._constrain_jit(jnp.asarray(draws), data)
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -592,7 +600,12 @@ def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
         flat0 = model.unconstrain(init).astype(dtype)
         q_inits = jnp.broadcast_to(flat0, (num_chains, d))
     else:
-        q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(keys)
+        # separate key stream for init positions (as in run()) so the
+        # pipeline keys aren't consumed twice
+        init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
+        )
+        q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
 
     q, logp, grad, key, eps, metric = warm(q_inits, keys)
 

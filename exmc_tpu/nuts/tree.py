@@ -21,20 +21,22 @@ reference DECISIONS D43/D46/D49/D50, guarded by test_tree_properties):
 * outer merge: biased progressive — the new subtree's proposal wins
   w.p. min(1, exp(lsw_subtree - lsw_trajectory)) (tree.ex:1479-1568 D50).
 * U-turn: generalized rho criterion rho . (M^-1 p_boundary) <= 0
-  (uturn.rs:8-30, D43), applied (a) inside subtrees over every
-  power-of-two sub-trajectory via the checkpoint scheme below, and
-  (b) at every outer merge: full-trajectory check PLUS Stan's two
-  extended sub-trajectory checks (tree.ex:1424-1449,1516-1541, D46 —
-  "from Stan nuts.hpp, not in the papers").
+  (uturn.rs:8-30, D43), applied at EVERY merge — inner and outer —
+  with the full-trajectory check PLUS Stan's two extended
+  half-trajectory checks (tree.ex:1424-1449,1516-1541, D46 — "from
+  Stan nuts.hpp, not in the papers").
 
 Checkpoint scheme (per subtree of depth j, leaves indexed 0..2^j-1):
 scanning leaves sequentially, the set of power-of-two sub-trajectories
 still "open" behaves like a binary counter. An even leaf n opens
-sub-trajectories and stores (r_n, rho_through_n) at slot popcount(n);
-an odd leaf n closes ctz(n+1) sub-trajectories, checked at slots
-popcount(n)-1 down to popcount(n)-ctz(n+1). The sub-trajectory momentum
-sum from checkpoint leaf s through n is rho_through_n - rho_through_s + r_s.
-At most max_depth slots are ever live, so the stacks are fixed-size
+sub-trajectories and stores (r_n, rho_through_n, r_{n-1}) at slot
+popcount(n); an odd leaf n closes ctz(n+1) sub-trajectories, checked at
+slots popcount(n)-1 down to popcount(n)-ctz(n+1). The sub-trajectory
+momentum sum from checkpoint leaf s through n is
+rho_through_n - rho_through_s + r_s; the closing sub-trajectory's
+midpoint is exactly the checkpoint at the next slot, which makes both
+extended checks computable (see _iterative_uturn_check). At most
+max_depth slots are ever live, so the stacks are fixed-size
 (max_depth, d) arrays in the while_loop carry.
 """
 
@@ -84,6 +86,8 @@ class _Subtree(NamedTuple):
     diverging: jnp.ndarray
     ckpt_r: jnp.ndarray       # (max_depth, d) checkpoint momenta
     ckpt_rho: jnp.ndarray     # (max_depth, d) rho-through-checkpoint
+    ckpt_prev_r: jnp.ndarray  # (max_depth, d) momentum of the leaf BEFORE
+    #                           each checkpoint leaf (for extended check c)
     key: jnp.ndarray
 
 
@@ -96,9 +100,22 @@ def _ctz(n):
     return jax.lax.population_count((n & -n) - 1)
 
 
-def _iterative_uturn_check(metric, r_new, rho_through, ckpt_r, ckpt_rho, idx_min, idx_max):
+def _iterative_uturn_check(metric, r_new, rho_through, ckpt_r, ckpt_rho,
+                           ckpt_prev_r, idx_min, idx_max, max_depth):
     """Check U-turn for every power-of-two sub-trajectory ending at the
-    current (odd) leaf, walking checkpoint slots idx_max..idx_min."""
+    current (odd) leaf, walking checkpoint slots idx_max..idx_min.
+
+    For the sub-trajectory closing at slot i (leaves [s..n], size 2^k,
+    k = idx_max - i + 1), its midpoint mid = s + 2^{k-1} is exactly the
+    checkpoint leaf at slot i+1 (binary-counter property), so Stan's two
+    extended half-trajectory checks (reference tree.ex:1424-1449, D46)
+    are available in the iterative formulation:
+      (a) full:  rho[s..n],        boundaries (r_s, r_n)
+      (b) left:  rho[s..mid-1]+r_mid,   boundaries (r_s, r_mid)
+      (c) right: rho[mid..n]+r_{mid-1}, boundaries (r_{mid-1}, r_n)
+    with r_{mid-1} read from the prev-momentum stack stored when mid's
+    checkpoint was written. At i == idx_max (the leaf pair) all three
+    collapse to (a)."""
 
     def cond(carry):
         i, turning = carry
@@ -108,6 +125,13 @@ def _iterative_uturn_check(metric, r_new, rho_through, ckpt_r, ckpt_rho, idx_min
         i, _ = carry
         rho_sub = rho_through - ckpt_rho[i] + ckpt_r[i]
         turning = _is_turning(metric, ckpt_r[i], r_new, rho_sub)
+        # extended checks at levels with a genuine midpoint (i < idx_max)
+        j = jnp.minimum(i + 1, max_depth - 1)  # mid's slot (clamped; masked)
+        rho_left_ext = ckpt_rho[j] - ckpt_rho[i] + ckpt_r[i]
+        turn_b = _is_turning(metric, ckpt_r[i], ckpt_r[j], rho_left_ext)
+        rho_right_ext = rho_through - ckpt_rho[j] + ckpt_r[j] + ckpt_prev_r[j]
+        turn_c = _is_turning(metric, ckpt_prev_r[j], r_new, rho_right_ext)
+        turning = turning | ((i < idx_max) & (turn_b | turn_c))
         return i - 1, turning
 
     _, turning = jax.lax.while_loop(
@@ -141,6 +165,7 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
         diverging=jnp.zeros((), bool),
         ckpt_r=jnp.zeros((max_depth, d), dtype),
         ckpt_rho=jnp.zeros((max_depth, d), dtype),
+        ckpt_prev_r=jnp.zeros((max_depth, d), dtype),
         key=key,
     )
 
@@ -169,7 +194,10 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
         g_prop = jnp.where(take, g, st.g_prop)
         joint_prop = jnp.where(take, joint, st.joint_prop)
 
-        # checkpoint store at even leaves (slot = popcount(n))
+        # checkpoint store at even leaves (slot = popcount(n)); st.r is
+        # still the PREVIOUS leaf's momentum here (leaf n-1, or the
+        # start boundary for n=0 — never read as a midpoint, see
+        # _iterative_uturn_check)
         is_even = (n & 1) == 0
         slot = jnp.minimum(_popcount(n), max_depth - 1)
         ckpt_r = jnp.where(
@@ -177,6 +205,9 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
         )
         ckpt_rho = jnp.where(
             is_even, st.ckpt_rho.at[slot].set(rho), st.ckpt_rho
+        )
+        ckpt_prev_r = jnp.where(
+            is_even, st.ckpt_prev_r.at[slot].set(st.r), st.ckpt_prev_r
         )
 
         # U-turn checks at odd leaves over all sub-trajectories ending here
@@ -186,7 +217,8 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
             is_even | diverging_leaf,
             jnp.zeros((), bool),
             _iterative_uturn_check(
-                metric, r, rho, ckpt_r, ckpt_rho, idx_min, idx_max
+                metric, r, rho, ckpt_r, ckpt_rho, ckpt_prev_r, idx_min,
+                idx_max, max_depth,
             ),
         )
 
@@ -207,6 +239,7 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
             diverging=diverging_leaf,
             ckpt_r=ckpt_r,
             ckpt_rho=ckpt_rho,
+            ckpt_prev_r=ckpt_prev_r,
             key=key,
         )
 

@@ -118,7 +118,7 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
     @jax.jit
     def draw(key):
         z = mu + sigma * jax.random.normal(key, (num_draws, d), dtype)
-        return z, jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f))(z)
+        return z, jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(z)
 
     z, trace = draw(draw_key)
     return {

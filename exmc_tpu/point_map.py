@@ -12,7 +12,6 @@ point_map.ex:85-91).
 """
 
 from dataclasses import dataclass
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -28,9 +27,9 @@ class Entry:
     id: str
     offset: int
     length: int
-    shape: tuple            # constrained shape
-    ushape: tuple           # unconstrained shape
-    transform: Optional[str]
+    shape: tuple                 # constrained shape
+    ushape: tuple                # unconstrained shape
+    transform: object = None     # name (str), Transform instance, or None
 
 
 def _infer_shape(node):
@@ -75,6 +74,8 @@ class PointMap:
             t = tf.get(transform)
             ushape = t.unconstrained_shape(shape)
             length = int(np.prod(ushape)) if ushape else 1
+            # transform may be a name (str), None, or a Transform instance
+            # (e.g. IntervalTransform from the Stan frontend) — stored as-is
             entries.append(
                 Entry(
                     id=node.id,
@@ -82,9 +83,7 @@ class PointMap:
                     length=length,
                     shape=shape,
                     ushape=tuple(ushape),
-                    transform=transform
-                    if transform is None or isinstance(transform, str)
-                    else transform,
+                    transform=transform,
                 )
             )
             offset += length

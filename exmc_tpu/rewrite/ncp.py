@@ -30,7 +30,9 @@ def non_centered_parameterization(ir: IR) -> IR:
         if len(node.op) != 3:
             continue
         _, dist, params = node.op
-        if getattr(dist, "name", None) != "normal":
+        from exmc_tpu.dists.base import get as get_dist
+
+        if get_dist(dist).name != "normal":
             continue
         mu, sigma = params.get("mu"), params.get("sigma")
         if isinstance(mu, str) and isinstance(sigma, str):

@@ -122,13 +122,23 @@ def smc_sample(ir, *, num_particles=1000, ess_threshold=0.5, num_mh_steps=5,
         acc_hist.append(float(acc))
         stage += 1
 
-    trace = jax.jit(jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f)))(particles)
+    converged = beta >= 1.0
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"SMC beta ladder stopped at beta={beta:.4f} after max_stages="
+            f"{max_stages}; the returned particles target the TEMPERED "
+            "density, not the posterior", stacklevel=2,
+        )
+    trace = jax.jit(jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data)))(particles)
     trace = {k: np.asarray(v)[None] for k, v in trace.items()}
     info = {
         "betas": np.asarray(betas),
         "ess": np.asarray(ess_hist),
         "accept_rates": np.asarray(acc_hist),
         "num_stages": stage,
+        "converged": converged,
         "particles_unconstrained": np.asarray(particles)[None],
     }
     return trace, info
