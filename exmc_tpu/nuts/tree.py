@@ -115,29 +115,43 @@ def _iterative_uturn_check(metric, r_new, rho_through, ckpt_r, ckpt_rho,
       (c) right: rho[mid..n]+r_{mid-1}, boundaries (r_{mid-1}, r_n)
     with r_{mid-1} read from the prev-momentum stack stored when mid's
     checkpoint was written. At i == idx_max (the leaf pair) all three
-    collapse to (a)."""
+    collapse to (a).
 
-    def cond(carry):
-        i, turning = carry
-        return (i >= idx_min) & ~turning
+    Vectorized: all max_depth slots are checked as one batch of masked
+    VPU reductions — a nested while_loop here costs more in control
+    overhead than the handful of (max_depth, d) elementwise ops."""
 
-    def body(carry):
-        i, _ = carry
-        rho_sub = rho_through - ckpt_rho[i] + ckpt_r[i]
-        turning = _is_turning(metric, ckpt_r[i], r_new, rho_sub)
-        # extended checks at levels with a genuine midpoint (i < idx_max)
-        j = jnp.minimum(i + 1, max_depth - 1)  # mid's slot (clamped; masked)
-        rho_left_ext = ckpt_rho[j] - ckpt_rho[i] + ckpt_r[i]
-        turn_b = _is_turning(metric, ckpt_r[i], ckpt_r[j], rho_left_ext)
-        rho_right_ext = rho_through - ckpt_rho[j] + ckpt_r[j] + ckpt_prev_r[j]
-        turn_c = _is_turning(metric, ckpt_prev_r[j], r_new, rho_right_ext)
-        turning = turning | ((i < idx_max) & (turn_b | turn_c))
-        return i - 1, turning
+    def vel(r):
+        if metric.dense:
+            return r @ metric.inv.T
+        return metric.inv * r
 
-    _, turning = jax.lax.while_loop(
-        cond, body, (idx_max, jnp.zeros((), bool))
+    def dots(rho, r):  # row-wise <rho_i, v(r_i)>
+        return jnp.sum(rho * vel(r), axis=-1)
+
+    slots = jnp.arange(ckpt_r.shape[0])
+    active = (slots >= idx_min) & (slots <= idx_max)
+    has_mid = active & (slots < idx_max)
+    nxt = jnp.minimum(slots + 1, max_depth - 1)
+
+    v_new = vel(r_new)
+    # (a) full sub-trajectory [s..n]
+    rho_sub = rho_through[None, :] - ckpt_rho + ckpt_r
+    turn_a = (dots(rho_sub, ckpt_r) <= 0.0) | (rho_sub @ v_new <= 0.0)
+    # (b) left half + its far boundary momentum (midpoint checkpoint)
+    rho_left = ckpt_rho[nxt] - ckpt_rho + ckpt_r
+    turn_b = (dots(rho_left, ckpt_r) <= 0.0) | (
+        dots(rho_left, ckpt_r[nxt]) <= 0.0
     )
-    return turning
+    # (c) right half + momentum of the leaf before the midpoint
+    rho_right = (
+        rho_through[None, :] - ckpt_rho[nxt] + ckpt_r[nxt] + ckpt_prev_r[nxt]
+    )
+    turn_c = (dots(rho_right, ckpt_prev_r[nxt]) <= 0.0) | (
+        rho_right @ v_new <= 0.0
+    )
+    per_slot = turn_a | (has_mid & (turn_b | turn_c))
+    return jnp.any(active & per_slot)
 
 
 def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, max_depth):
