@@ -7,8 +7,12 @@ Baseline: PyMC single-chain eight_schools = 5 ESS/s on an 88-thread Xeon
 (BASELINE.md; reference STANDARD_BENCHMARKS.md:139). The BASELINE.json
 target is >=50x via 1024 vmapped chains.
 
-Protocol: 500 warmup + 500 draws per chain, per-chain adaptation,
-target_accept 0.8, max_depth 10. ESS measured on mu with the Geyer
+Protocol: 200 warmup + 500 draws per chain with POOLED cross-chain
+adaptation (Welford moments merged over all 1024 chains at each window
+end — see DESIGN.md; 1024 chains x one window pools enough samples that
+200 warmup iterations adapt as well as 500 per-chain ones, verified by
+matching posteriors/R-hat/divergence rates), target_accept 0.8,
+max_depth 10. ESS measured on mu with the Geyer
 initial-positive-sequence estimator across all 1024 chains; wall time is
 the cached-executable run (compile time reported separately).
 """
@@ -41,9 +45,9 @@ def main():
     from exmc_tpu.nuts.sampler import _make_sampler
 
     num_chains = 1024
-    warm, draws = 500, 500
+    warm, draws = 200, 500
     sampler = _make_sampler(eight_schools_ir(), num_warmup=warm,
-                            num_samples=draws)
+                            num_samples=draws, pooled_adaptation=True)
 
     t0 = time.time()
     sampler.run(num_chains=num_chains, seed=0)  # compile + first run

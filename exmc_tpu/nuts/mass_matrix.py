@@ -47,6 +47,29 @@ def welford_update(state: WelfordState, x, enabled=True):
     )
 
 
+def welford_merge_across(state: WelfordState, axis_name):
+    """Merge per-chain Welford states across a vmap/shard axis as if all
+    chains' samples were one stream (Chan et al. parallel variance).
+
+    TPU-native improvement over the reference: with a thousand vmapped
+    chains, one adaptation window pools 1000x the samples — mass
+    estimates converge in far fewer warmup iterations (the reference's
+    per-process chains could only share tuning by broadcasting chain
+    0's, sampler.ex:1053-1080)."""
+    import jax
+
+    n_tot = jax.lax.psum(state.n, axis_name)
+    safe = jnp.maximum(n_tot, 1.0)
+    mean_tot = jax.lax.psum(state.n * state.mean, axis_name) / safe
+    delta = state.mean - mean_tot
+    if state.m2.ndim == 2:
+        corr = state.n * jnp.outer(delta, delta)
+    else:
+        corr = state.n * delta * delta
+    m2_tot = jax.lax.psum(state.m2 + corr, axis_name)
+    return WelfordState(n=n_tot, mean=mean_tot, m2=m2_tot)
+
+
 def welford_finalize(state: WelfordState, prev):
     """Finalize to a variance (diag) or covariance (dense) with Stan
     shrinkage + floor (mass_matrix.ex:82-143). Falls back to ``prev``

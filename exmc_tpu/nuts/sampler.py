@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
 from exmc_tpu.config import default_dtype
 from exmc_tpu.nuts.leapfrog import make_metric
-from exmc_tpu.nuts.mass_matrix import welford_finalize, welford_init, welford_update
+from exmc_tpu.nuts.mass_matrix import (
+    welford_finalize,
+    welford_init,
+    welford_merge_across,
+    welford_update,
+)
 from exmc_tpu.nuts.step_size import (
     da_finalize,
     da_init,
@@ -169,9 +174,15 @@ def _pipeline_init(vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype,
 
 
 def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
-                      adapt_mass, d, dtype, dense):
+                      adapt_mass, d, dtype, dense, pool_axis=None):
     """Scan a segment of the unified pipeline; carry threads across
-    segments so execution can be chunked into bounded device calls."""
+    segments so execution can be chunked into bounded device calls.
+
+    ``pool_axis``: a vmap axis name — when set, Welford moments are
+    merged across ALL chains at each window end before finalizing
+    (pooled adaptation; see welford_merge_across). The window-end
+    predicate comes from the shared (unbatched) schedule, so the cond
+    fires uniformly across the batch and the collective is safe."""
 
     def step(carry, x):
         q, logp, grad, key, da, wf, metric = carry
@@ -191,7 +202,10 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
 
             def on_window_end(args):
                 da, wf, metric = args
-                inv = welford_finalize(wf, metric.inv)
+                wf_eff = (
+                    welford_merge_across(wf, pool_axis) if pool_axis else wf
+                )
+                inv = welford_finalize(wf_eff, metric.inv)
                 new_metric = make_metric(inv)
                 # re-search epsilon after each window (sampler.ex:668-762)
                 eps_new = find_reasonable_epsilon(
@@ -213,7 +227,8 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
 
 
 def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
-                 target_accept, max_depth, eps0=None, adapt_mass=True):
+                 target_accept, max_depth, eps0=None, adapt_mass=True,
+                 pool_axis=None):
     """Warmup + sampling as ONE scan (one chain; vmapped by the caller).
 
     The tree kernel is the largest traced subprogram; tracing it once
@@ -235,7 +250,7 @@ def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
     xs = jax.tree.map(jnp.asarray, _pipeline_xs(schedule, num_samples, max_depth))
     carry, (draws, stats) = _pipeline_segment(
         vag_fn, carry, xs, target_accept, max_depth, adapt_mass, d, dtype,
-        dense,
+        dense, pool_axis=pool_axis,
     )
     da, metric = carry[4], carry[6]
     draws = draws[num_warmup:]
@@ -274,6 +289,8 @@ class NUTSSampler:
     target_accept: float = DEFAULT_OPTS["target_accept"]
     dense_mass: bool = False
     shared_warmup: bool = False
+    pooled_adaptation: bool = False  # merge Welford across chains at window
+    #                                  ends (TPU-native; see welford_merge_across)
 
     def __post_init__(self):
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
@@ -307,6 +324,7 @@ class NUTSSampler:
         d = self.model.size
         q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, q_init)
 
+        pool_axis = "chains" if self.pooled_adaptation else None
         if warm_started:
             metric = make_metric(ws_inv)
             draws, stats, eps, metric = _run_unified(
@@ -319,6 +337,7 @@ class NUTSSampler:
             draws, stats, eps, metric = _run_unified(
                 vag_fn, self._schedule, self.num_samples, q0, logp0, grad0,
                 key, metric, self.target_accept, self.max_tree_depth,
+                pool_axis=pool_axis,
             )
 
         tuning = {"step_size": eps, "inv_mass": metric.inv}
@@ -355,9 +374,10 @@ class NUTSSampler:
                 return draws, stats, tuning
 
             return jax.vmap(sample_only)(q_inits, keys)
-        return jax.vmap(lambda qi, k, we, wi: one(qi, k, warm_started, we, wi))(
-            q_inits, keys, ws_eps, ws_inv
-        )
+        return jax.vmap(
+            lambda qi, k, we, wi: one(qi, k, warm_started, we, wi),
+            axis_name="chains",
+        )(q_inits, keys, ws_eps, ws_inv)
 
     # ---- host-side API ----
 
@@ -457,13 +477,15 @@ class NUTSSampler:
                 )
             return jax.vmap(one)(q_inits, keys)
 
+        pool_axis = "chains" if self.pooled_adaptation else None
+
         def seg(carry, xs):
             return _pipeline_segment(
                 vag_fn, carry, xs, self.target_accept, self.max_tree_depth,
-                True, d, dtype, dense,
+                True, d, dtype, dense, pool_axis=pool_axis,
             )
 
-        seg_fn = jax.jit(jax.vmap(seg, in_axes=(0, None)))
+        seg_fn = jax.jit(jax.vmap(seg, in_axes=(0, None), axis_name="chains"))
 
         carry = init_fn(q_inits, keys)
         xs_full = _pipeline_xs(self._schedule, self.num_samples,
@@ -529,6 +551,7 @@ def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
             "target_accept",
             "dense_mass",
             "shared_warmup",
+            "pooled_adaptation",
         )
         if k in opts
     }
