@@ -28,9 +28,9 @@ def main():
     for c in chain_counts:
         s = _make_sampler(eight_schools_ir(), num_warmup=warm,
                           num_samples=draws, pooled_adaptation=True)
-        s.run_chunked(num_chains=c, seed=0, chunk_iters=250)  # compile
+        s.run(num_chains=c, seed=0)  # compile
         t0 = time.time()
-        trace, stats = s.run_chunked(num_chains=c, seed=1, chunk_iters=250)
+        trace, stats = s.run(num_chains=c, seed=1)
         wall = time.time() - t0
         e = float(ess(trace["mu"]))
         row = {
