@@ -16,10 +16,11 @@ CHAINS = {
     "simple": 256, "medium": 256, "stress": 256, "eight_schools": 256,
     "funnel": 128, "logistic": 128, "sv": 64,
 }
-# pathological / heavy models run in bounded device calls (vmap-lockstep
-# trees at max depth make one 2000-iteration call trip the runtime
-# watchdog — see NUTSSampler.run_chunked)
-CHUNKED = {"funnel": 100, "logistic": 250, "sv": 100}
+# After the vectorized U-turn checks all seven models complete 2000
+# iterations in one device call within watchdog limits; run_chunked
+# remains available for longer runs (its per-call dispatch overhead on
+# this tunnel is large — DESIGN D-T15).
+CHUNKED = {}
 
 # the reference pipeline applies automatic NCP by default; only
 # eight_schools runs centered "deliberately, because the centered
