@@ -293,6 +293,12 @@ class NUTSSampler:
     #                                  ends (TPU-native; see welford_merge_across)
 
     def __post_init__(self):
+        if self.shared_warmup and self.pooled_adaptation:
+            raise ValueError(
+                "shared_warmup and pooled_adaptation are mutually exclusive: "
+                "shared warmup adapts on chain 0 only, pooling needs all "
+                "chains' warmup to run"
+            )
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
         self._ft_schedule = build_schedule(
             FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,
@@ -599,16 +605,29 @@ def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
         jnp.arange(num_chains)
     )
 
+    pool_axis = "chains" if sampler.pooled_adaptation else None
+
     @jax.jit
     def warm(q_inits, keys):
         def one(qi, key):
             q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, qi)
-            metric = sampler._init_metric(dtype)
-            return _run_warmup(
-                vag_fn, sampler._schedule, q0, logp0, grad0, key, metric,
-                sampler.target_accept, sampler.max_tree_depth,
+            metric0 = sampler._init_metric(dtype)
+            carry = _pipeline_init(
+                vag_fn, q0, logp0, grad0, key, metric0, None, d, dtype,
+                sampler.dense_mass,
             )
-        return jax.vmap(one)(q_inits, keys)
+            xs = jax.tree.map(
+                jnp.asarray, _pipeline_xs(sampler._schedule, 0,
+                                          sampler.max_tree_depth)
+            )
+            carry, _ = _pipeline_segment(
+                vag_fn, carry, xs, sampler.target_accept,
+                sampler.max_tree_depth, True, d, dtype, sampler.dense_mass,
+                pool_axis=pool_axis,
+            )
+            q, logp, grad, key, da, wf, metric = carry
+            return q, logp, grad, key, da_finalize(da), metric
+        return jax.vmap(one, axis_name="chains")(q_inits, keys)
 
     @jax.jit
     def chunk(q, logp, grad, key, eps, metric):

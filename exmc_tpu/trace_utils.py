@@ -26,12 +26,22 @@ def to_inference_dict(trace, stats=None):
     is installed."""
     posterior = {k: np.asarray(v) for k, v in trace.items()}
     sample_stats = {}
+    n_draws = None
+    for v in posterior.values():
+        n_draws = v.shape[1]
+        break
     if stats:
         for k, name in _STAT_RENAME.items():
             if k in stats:
                 arr = np.asarray(stats[k])
-                if arr.ndim >= 2:  # (chain, draw, ...) per-draw stats only
+                if arr.ndim >= 2:  # (chain, draw, ...) per-draw stats
                     sample_stats[name] = arr
+                elif k == "step_size" and arr.ndim == 1 and n_draws:
+                    # final per-chain value; broadcast to the arviz
+                    # per-draw convention
+                    sample_stats[name] = np.broadcast_to(
+                        arr[:, None], (arr.shape[0], n_draws)
+                    ).copy()
     out = {"posterior": posterior, "sample_stats": sample_stats}
     try:  # pragma: no cover - arviz not in the base image
         import arviz as az
@@ -47,6 +57,8 @@ def summary_table(trace, var_names=None):
     from exmc_tpu.diagnostics import summary
 
     rows = summary(trace, var_names)
+    if not rows:
+        return "(no free parameters)"
     cols = ["mean", "std", "q5", "q50", "q95", "ess", "ess_bulk", "rhat"]
     width = max(len(k) for k in rows) + 2
     lines = [" " * width + "".join(f"{c:>10}" for c in cols)]

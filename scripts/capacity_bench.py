@@ -42,7 +42,8 @@ def main():
         }
         results.append(row)
         print(json.dumps(row), flush=True)
-    with open("CAPACITY.json", "w") as f:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CAPACITY.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 

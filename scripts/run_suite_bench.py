@@ -1,6 +1,8 @@
 """Run the seven-model suite on the real chip and write
-BENCH_SUITE.json + BENCHMARKS.md (the reference's STANDARD_BENCHMARKS
-race protocol adapted to vmapped chains)."""
+BENCH_SUITE.json + BENCH_SUITE_AUTO.md (the reference's
+STANDARD_BENCHMARKS race protocol adapted to vmapped chains).
+BENCHMARKS.md is the hand-curated results document — this script never
+overwrites it."""
 
 import json
 import os
@@ -75,9 +77,9 @@ def main():
         f"{k}: eXMC {v[0]}/PyMC {v[1]}" for k, v in REFERENCE_ESS_PER_S.items()
     )
     lines += ["", f"Reference ESS/s baselines (88-thread Xeon): {ref}", ""]
-    with open("BENCHMARKS.md", "w") as f:
+    with open("BENCH_SUITE_AUTO.md", "w") as f:
         f.write("\n".join(lines))
-    print("wrote BENCH_SUITE.json + BENCHMARKS.md")
+    print("wrote BENCH_SUITE.json + BENCH_SUITE_AUTO.md")
 
 
 if __name__ == "__main__":
