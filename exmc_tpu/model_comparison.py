@@ -76,19 +76,84 @@ def waic(ir, trace, data=None, ncp=True):
     }
 
 
-def loo(ir, trace, data=None, ncp=True):
-    """LOO via basic importance sampling, NO Pareto smoothing — mirrors
-    the reference (model_comparison.ex:99-119,270-276)."""
+def _psis_smooth(log_w):
+    """Pareto-smoothed importance weights for ONE observation
+    (Vehtari/Simpson/Gelman 2015). log_w: (S,) raw log importance
+    weights. Returns (smoothed log_w, pareto k-hat)."""
+    s = log_w.shape[0]
+    m = max(int(np.ceil(min(0.2 * s, 3.0 * np.sqrt(s)))), 5)
+    order = np.argsort(log_w)
+    tail_idx = order[-m:]
+    tail = np.exp(log_w[tail_idx] - log_w.max())
+    cutoff = np.exp(log_w[order[-m - 1]] - log_w.max())
+    exceed = tail - cutoff
+    # Zhang & Stephens (2009) profile-posterior GPD fit
+    x = np.sort(exceed[exceed > 0])
+    if x.size < 5:
+        return log_w, 0.0
+    n = x.size
+    x_star = x[max(int(n / 4 + 0.5) - 1, 0)]
+    mth = 30 + int(np.sqrt(n))
+    jj = np.arange(1, mth + 1)
+    thetas = 1.0 / x[-1] + (1.0 - np.sqrt(mth / (jj - 0.5))) / (3.0 * x_star)
+    ks = np.array([-np.mean(np.log1p(-t * x)) for t in thetas])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = n * (np.log(thetas / ks) + ks - 1.0)
+    ls = np.where(np.isfinite(ls), ls, -np.inf)
+    w = np.exp(ls - ls.max())
+    w = w / w.sum()
+    theta_hat = float(np.sum(thetas * w))
+    k_hat = float(-np.mean(np.log1p(-theta_hat * x)))
+    sigma_hat = k_hat / theta_hat if theta_hat != 0 else 0.0
+    # replace tail by expected GPD order statistics
+    if sigma_hat > 0 and np.isfinite(k_hat):
+        probs = (np.arange(1, m + 1) - 0.5) / m
+        if abs(k_hat) < 1e-6:
+            quant = -sigma_hat * np.log1p(-probs)
+        else:
+            quant = sigma_hat / k_hat * ((1 - probs) ** (-k_hat) - 1.0)
+        smoothed_tail = np.log(cutoff + quant) + log_w.max()
+        new = log_w.copy()
+        new[tail_idx] = np.minimum(np.sort(smoothed_tail), log_w.max())
+        return new, k_hat
+    return log_w, k_hat if np.isfinite(k_hat) else 0.0
+
+
+def loo(ir, trace, data=None, ncp=True, psis=False):
+    """LOO via importance sampling.
+
+    Default ``psis=False`` mirrors the reference exactly: basic IS, no
+    Pareto smoothing (model_comparison.ex:99-119,270-276). ``psis=True``
+    enables Pareto-smoothed IS (Vehtari 2015): per-observation tail
+    weights are replaced by fitted GPD quantiles and the result carries
+    per-observation ``pareto_k`` reliability diagnostics (k > 0.7 =
+    unreliable)."""
     ll, keys = pointwise_log_likelihood(ir, trace, data=data, ncp=ncp)
     llj = jnp.asarray(ll)
     s, n = ll.shape
-    # elpd_loo_i = -logsumexp(-ll_i) + log S  (harmonic-mean IS estimate)
-    elpd_i = np.asarray(-(jax.scipy.special.logsumexp(-llj, axis=0)) + math.log(s))
+    if psis:
+        elpd_list, k_list = [], []
+        for j in range(n):
+            log_w = -ll[:, j]
+            log_w = log_w - log_w.max()
+            log_w, k_hat = _psis_smooth(log_w)
+            lse_w = jax.scipy.special.logsumexp(jnp.asarray(log_w))
+            lse_wl = jax.scipy.special.logsumexp(jnp.asarray(log_w + ll[:, j]))
+            elpd_list.append(float(lse_wl - lse_w))
+            k_list.append(k_hat)
+        elpd_i = np.asarray(elpd_list)
+        pareto_k = np.asarray(k_list)
+    else:
+        # elpd_loo_i = -logsumexp(-ll_i) + log S (harmonic-mean IS)
+        elpd_i = np.asarray(
+            -(jax.scipy.special.logsumexp(-llj, axis=0)) + math.log(s)
+        )
+        pareto_k = None
     elpd = float(elpd_i.sum())
     lppd_i = np.asarray(jax.scipy.special.logsumexp(llj, axis=0) - math.log(s))
     p_loo = float(lppd_i.sum() - elpd)
     se = float(math.sqrt(n * np.var(elpd_i, ddof=1))) if n > 1 else 0.0
-    return {
+    out = {
         "loo": -2.0 * elpd,
         "elpd_loo": elpd,
         "p_loo": p_loo,
@@ -96,6 +161,9 @@ def loo(ir, trace, data=None, ncp=True):
         "elpd_se": se,
         "pointwise": elpd_i,
     }
+    if pareto_k is not None:
+        out["pareto_k"] = pareto_k
+    return out
 
 
 def compare(models, data=None, criterion="waic"):
