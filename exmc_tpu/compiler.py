@@ -104,14 +104,39 @@ class CompiledModel:
             progressed = False
             for nid, info in list(pending.items()):
                 mu_ref, sigma_ref = info["mu"], info["sigma"]
-                if mu_ref in resolved and sigma_ref in resolved:
-                    mu = jnp.asarray(resolved[mu_ref])
+                mu_ok = not isinstance(mu_ref, str) or mu_ref in resolved
+                # sigma may reference a det node (e.g. the funnel's
+                # exp(y/2)); resolve through the compiled graph when the
+                # named map alone can't supply it
+                if mu_ok and sigma_ref in resolved:
+                    mu = (
+                        jnp.asarray(resolved[mu_ref])
+                        if isinstance(mu_ref, str)
+                        else jnp.asarray(mu_ref)
+                    )
                     sigma = jnp.asarray(resolved[sigma_ref])
                     zmap[nid] = (jnp.asarray(xmap[nid]) - mu) / sigma
                     del pending[nid]
                     progressed = True
             if not progressed:
-                raise ValueError(f"unresolvable NCP refs: {sorted(pending)}")
+                # remaining refs point at det nodes: evaluate them via the
+                # resolver over the already-known unconstrained values
+                known_flat = self.pm.to_unconstrained(
+                    {k: zmap.get(k, xmap[k]) for k in xmap}
+                )
+                z_known = self.pm.unpack(known_flat)
+                resolver = _make_resolver(self.ir, self.pm, z_known, self.data)
+                for nid, info in list(pending.items()):
+                    mu_ref, sigma_ref = info["mu"], info["sigma"]
+                    mu = (
+                        resolver(mu_ref)
+                        if isinstance(mu_ref, str)
+                        else jnp.asarray(mu_ref)
+                    )
+                    sigma = resolver(sigma_ref)
+                    zmap[nid] = (jnp.asarray(xmap[nid]) - mu) / sigma
+                    del pending[nid]
+                break
         return self.pm.to_unconstrained(zmap)
 
 
@@ -168,7 +193,12 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
             x = tf.get(transform).forward(z)
             if ref in ir.ncp_info:
                 info = ir.ncp_info[ref]
-                x = resolve(info["mu"]) + resolve(info["sigma"]) * x
+                mu_v = (
+                    resolve(info["mu"])
+                    if isinstance(info["mu"], str)
+                    else jnp.asarray(info["mu"])
+                )
+                x = mu_v + resolve(info["sigma"]) * x
             val = x
         else:
             raise ValueError(f"cannot resolve node {ref!r} of kind {tag!r}")

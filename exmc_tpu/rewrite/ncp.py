@@ -26,7 +26,7 @@ def non_centered_parameterization(ir: IR) -> IR:
     for nid, node in ir.nodes.items():
         if node.op[0] != "rv" or nid in observed:
             continue
-        # only untransformed Normal RVs with both params as refs
+        # only untransformed Normal RVs whose scale is a reference
         if len(node.op) != 3:
             continue
         _, dist, params = node.op
@@ -35,7 +35,15 @@ def non_centered_parameterization(ir: IR) -> IR:
         if get_dist(dist).name != "normal":
             continue
         mu, sigma = params.get("mu"), params.get("sigma")
-        if isinstance(mu, str) and isinstance(sigma, str):
+        # WIDENED vs the reference (which requires BOTH params to be RV
+        # refs, non_centered_parameterization.ex:53-57): a referenced
+        # scale alone already creates funnel geometry — e.g. Neal's
+        # funnel x ~ N(0, exp(y/2)) with a det-node scale becomes
+        # EXACTLY standard normal under z = x / scale. mu may be a
+        # constant or a ref; sigma must be a ref (RV or det node).
+        if isinstance(sigma, str) and (
+            isinstance(mu, str) or not hasattr(mu, "__len__")
+        ):
             nodes[nid] = Node(
                 id=nid,
                 op=("rv", NORMAL, {"mu": 0.0, "sigma": 1.0}),
