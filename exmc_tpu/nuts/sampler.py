@@ -548,20 +548,21 @@ def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
         if isinstance(ir_or_model, CompiledModel)
         else compile_logp(ir_or_model, ncp=ncp)
     )
-    known = {
-        k: opts[k]
-        for k in (
-            "num_warmup",
-            "num_samples",
-            "max_tree_depth",
-            "target_accept",
-            "dense_mass",
-            "shared_warmup",
-            "pooled_adaptation",
-        )
-        if k in opts
-    }
-    return NUTSSampler(model=model, **known)
+    known_keys = (
+        "num_warmup",
+        "num_samples",
+        "max_tree_depth",
+        "target_accept",
+        "dense_mass",
+        "shared_warmup",
+        "pooled_adaptation",
+    )
+    unknown = set(opts) - set(known_keys)
+    if unknown:
+        raise TypeError(f"unknown sampler options: {sorted(unknown)}")
+    return NUTSSampler(
+        model=model, **{k: opts[k] for k in known_keys if k in opts}
+    )
 
 
 def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,

@@ -58,17 +58,17 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
     if num_chains % dp != 0:
         raise ValueError(f"num_chains={num_chains} not divisible by dp={dp}")
 
+    known = (
+        "num_warmup", "num_samples", "max_tree_depth", "target_accept",
+        "dense_mass", "pooled_adaptation",
+    )
+    unknown = set(opts) - set(known)
+    if unknown:
+        raise TypeError(f"unknown sampler options: {sorted(unknown)}")
     sampler = NUTSSampler(
         model=model,
         shared_warmup=shared_warmup,
-        **{
-            k: opts[k]
-            for k in (
-                "num_warmup", "num_samples", "max_tree_depth",
-                "target_accept", "dense_mass",
-            )
-            if k in opts
-        },
+        **{k: opts[k] for k in known if k in opts},
     )
     dtype = default_dtype()
     d = model.size

@@ -81,3 +81,27 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_pooled_adaptation():
+    """Pooled Welford merge rides the cross-device psum under mesh
+    sharding: every chain (on every device) gets the same mass matrix."""
+    cov = np.diag([1.0, 9.0])
+    ir = Builder.rv(Builder.new_ir(), "x", dists.MvNormal,
+                    {"mu": np.zeros(2), "cov": cov})
+    mesh = make_mesh(8, dp=8, sp=1)
+    trace, stats = sample_chains_sharded(
+        ir, 16, mesh, num_warmup=150, num_samples=150, seed=0,
+        pooled_adaptation=True,
+    )
+    inv = stats["inv_mass"]
+    np.testing.assert_allclose(inv[0], inv[15], rtol=1e-5)
+    ratios = inv[0] / np.array([1.0, 9.0])
+    assert (ratios > 0.4).all() and (ratios < 2.5).all()
+
+
+def test_unknown_sampler_option_rejected():
+    ir = _simple_ir()
+    mesh = make_mesh(8, dp=8, sp=1)
+    with pytest.raises(TypeError, match="unknown sampler options"):
+        sample_chains_sharded(ir, 8, mesh, nmu_warmup=10)
