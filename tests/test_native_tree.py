@@ -177,8 +177,9 @@ def test_cpp_vs_xla_kernel_statistics():
     keys = jax.random.split(jax.random.PRNGKey(7), n_trials)
     xla_depth, xla_steps, xla_accept = jax.jit(jax.vmap(one))(keys)
 
-    assert abs(np.mean(cpp_depth) - np.mean(np.asarray(xla_depth))) < 0.8
-    assert abs(np.mean(cpp_accept) - np.mean(np.asarray(xla_accept))) < 0.08
-    # leapfrog counts within 2x of each other on average
+    # with full Stan-check parity at inner merges the two formulations
+    # agree almost exactly (measured: depth 2.800 vs 2.803 at 300 trials)
+    assert abs(np.mean(cpp_depth) - np.mean(np.asarray(xla_depth))) < 0.25
+    assert abs(np.mean(cpp_accept) - np.mean(np.asarray(xla_accept))) < 0.03
     ratio = np.mean(cpp_steps) / max(np.mean(np.asarray(xla_steps)), 1)
-    assert 0.5 < ratio < 2.0
+    assert 0.85 < ratio < 1.18
