@@ -93,6 +93,42 @@ def compile(code: str, data=None):
 
     ir = Builder.new_ir()
     declared_rvs = set()
+    expr_counter = [0]
+
+    _FNS = {"sqrt", "exp", "log", "abs", "softplus", "sigmoid"}
+
+    def compile_arg(ir, expr, line):
+        """Lower an argument expression AST to a constant or node ref;
+        arithmetic compiles to det nodes (extension beyond the
+        reference's no-arithmetic limitation, stan.ex:31-36)."""
+        if isinstance(expr, float):
+            return ir, expr
+        if isinstance(expr, str):
+            if expr in data_names:
+                return ir, np.asarray(data[expr], dtype=np.float32)
+            return ir, expr  # ref to another RV/det
+        tag = expr[0]
+        expr_counter[0] += 1
+        nid = f"__expr_{expr_counter[0]}"
+        if tag == "binop":
+            ir, l = compile_arg(ir, expr[2], line)
+            ir, r = compile_arg(ir, expr[3], line)
+            ir = Builder.det(ir, nid, expr[1], [l, r])
+            return ir, nid
+        if tag == "neg":
+            ir, x = compile_arg(ir, expr[1], line)
+            ir = Builder.det(ir, nid, "neg", [x])
+            return ir, nid
+        if tag == "call":
+            if expr[1] not in _FNS:
+                raise StanSyntaxError(
+                    f"unknown function {expr[1]!r} (supported: "
+                    f"{', '.join(sorted(_FNS))})", line=line,
+                )
+            ir, x = compile_arg(ir, expr[2], line)
+            ir = Builder.det(ir, nid, expr[1], [x])
+            return ir, nid
+        raise StanSyntaxError(f"bad expression {expr!r}", line=line)
 
     for stmt in ast["model"]:
         target, dist_name, args = stmt["target"], stmt["dist"], stmt["args"]
@@ -104,13 +140,8 @@ def compile(code: str, data=None):
             )
         params = {}
         for pname, arg in zip(param_names, args):
-            if isinstance(arg, str):
-                if arg in data_names:
-                    params[pname] = np.asarray(data[arg], dtype=np.float32)
-                else:
-                    params[pname] = arg  # ref to another RV
-            else:
-                params[pname] = arg
+            ir, val = compile_arg(ir, arg, stmt["line"])
+            params[pname] = val
         if dist_name == "dirichlet" and isinstance(params.get("alpha"), (int, float)):
             raise StanSyntaxError("dirichlet needs a vector alpha", line=stmt["line"])
 

@@ -9,7 +9,7 @@ TOKEN_SPEC = [
     ("WS", r"[ \t\r]+"),
     ("NEWLINE", r"\n"),
     ("LINE_COMMENT", r"//[^\n]*|#[^\n]*"),
-    ("NUMBER", r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+([eE][+-]?\d+)?"),
+    ("NUMBER", r"\d+\.\d+([eE][+-]?\d+)?|\d+([eE][+-]?\d+)?"),
     ("IDENT", r"[A-Za-z_][A-Za-z0-9_]*"),
     ("TILDE", r"~"),
     ("LBRACE", r"\{"),
@@ -23,6 +23,10 @@ TOKEN_SPEC = [
     ("COMMA", r","),
     ("SEMI", r";"),
     ("EQUALS", r"="),
+    ("PLUS", r"\+"),
+    ("MINUS", r"-"),
+    ("STAR", r"\*"),
+    ("SLASH", r"/"),
 ]
 
 KEYWORDS = {

@@ -89,8 +89,12 @@ class Parser:
                 if bound_tok[0] not in ("LOWER", "UPPER"):
                     self.error("expected lower/upper", line=bound_tok[2])
                 self.expect("EQUALS")
+                neg = False
+                if self.peek()[0] == "MINUS":
+                    self.next()
+                    neg = True
                 num = self.expect("NUMBER")
-                decl[bound_tok[1]] = float(num[1])
+                decl[bound_tok[1]] = -float(num[1]) if neg else float(num[1])
                 if self.peek()[0] == "COMMA":
                     self.next()
                     continue
@@ -117,17 +121,7 @@ class Parser:
         args = []
         if self.peek()[0] != "RPAREN":
             while True:
-                tok = self.next()
-                if tok[0] == "NUMBER":
-                    args.append(tok[1])
-                elif tok[0] == "IDENT":
-                    args.append(tok[1])
-                else:
-                    self.error(
-                        "distribution arguments must be numbers or variable "
-                        "names (no arithmetic — reference stan.ex:31-36)",
-                        line=tok[2],
-                    )
+                args.append(self.parse_expr())
                 if self.peek()[0] == "COMMA":
                     self.next()
                     continue
@@ -140,6 +134,74 @@ class Parser:
             "args": args,
             "line": target[2],
         }
+
+    # -- expression grammar (EXTENSION beyond the reference, whose
+    # frontend rejects arithmetic in dist args — stan.ex:31-36) --
+    # expr   := term (('+'|'-') term)*
+    # term   := factor (('*'|'/') factor)*
+    # factor := NUMBER | IDENT | IDENT '(' expr ')' | '(' expr ')'
+    #           | '-' factor
+    # AST: number | str (variable) | ("binop", op, l, r)
+    #      | ("call", fn, arg) | ("neg", x)
+
+    def parse_expr(self):
+        left = self.parse_term()
+        while self.peek()[0] in ("PLUS", "MINUS"):
+            op = self.next()[0]
+            right = self.parse_term()
+            left = ("binop", "add" if op == "PLUS" else "sub", left, right)
+        return self._fold(left)
+
+    def parse_term(self):
+        left = self.parse_factor()
+        while self.peek()[0] in ("STAR", "SLASH"):
+            op = self.next()[0]
+            right = self.parse_factor()
+            left = ("binop", "mul" if op == "STAR" else "div", left, right)
+        return left
+
+    def parse_factor(self):
+        tok = self.next()
+        if tok[0] == "NUMBER":
+            return tok[1]
+        if tok[0] == "MINUS":
+            inner = self.parse_factor()
+            if isinstance(inner, float):
+                return -inner
+            return ("neg", inner)
+        if tok[0] == "IDENT":
+            if self.peek()[0] == "LPAREN":
+                self.next()
+                arg = self.parse_expr()
+                self.expect("RPAREN")
+                return ("call", tok[1], arg)
+            return tok[1]
+        if tok[0] == "LPAREN":
+            inner = self.parse_expr()
+            self.expect("RPAREN")
+            return inner
+        self.error(f"expected an expression, got {tok[1]!r}", line=tok[2])
+
+    @staticmethod
+    def _fold(node):
+        """Constant-fold pure-number subtrees."""
+        if not isinstance(node, tuple):
+            return node
+        if node[0] == "binop":
+            l, r = Parser._fold(node[2]), Parser._fold(node[3])
+            if isinstance(l, float) and isinstance(r, float):
+                import operator
+
+                ops = {"add": operator.add, "sub": operator.sub,
+                       "mul": operator.mul, "div": operator.truediv}
+                return ops[node[1]](l, r)
+            return (node[0], node[1], l, r)
+        if node[0] == "neg":
+            x = Parser._fold(node[1])
+            return -x if isinstance(x, float) else ("neg", x)
+        if node[0] == "call":
+            return (node[0], node[1], Parser._fold(node[2]))
+        return node
 
 
 def parse(code: str):

@@ -116,10 +116,73 @@ def test_syntax_error_has_context():
         stan.compile(code)
 
 
-def test_arithmetic_rejected():
-    code = "parameters { real x; }\nmodel { x ~ normal(0, 1 + 2); }"
-    with pytest.raises(StanSyntaxError):
-        stan.compile(code)
+def test_arithmetic_in_dist_args():
+    """EXTENSION: the reference rejects arithmetic in dist args
+    (stan.ex:31-36); we compile expressions to det nodes."""
+    code = """
+    parameters { real x; real<lower=0> tau; }
+    model {
+      tau ~ half_normal(2);
+      x ~ normal(1 + 2, sqrt(tau) * 2);
+    }
+    """
+    ir = stan.compile(code)
+    m = compile_logp(ir, ncp=False)
+    import math
+    import jax.numpy as jnp
+
+    # constant folding: 1 + 2 -> 3.0 (no det node for it)
+    rw_params = None
+    from exmc_tpu import rewrite
+
+    rw = rewrite.apply(ir, ncp=False)
+    x_params = rw.nodes["x"].op[2]
+    assert x_params["mu"] == 3.0
+    assert isinstance(x_params["sigma"], str)  # det-node ref
+    # numeric check: logp at tau_z, x
+    tau_z, xv = 0.3, 0.5
+    tau = math.log(1 + math.exp(tau_z))  # softplus? no: <lower=0> -> log
+    # <lower=0> gives the log transform: tau = exp(tau_z)
+    tau = math.exp(tau_z)
+    sigma_x = math.sqrt(tau) * 2
+    names = [e.id for e in m.pm.entries]
+    flat = np.zeros(2, np.float32)
+    flat[names.index("x")] = xv
+    flat[names.index("tau")] = tau_z
+    got = float(m.logp(jnp.asarray(flat)))
+    half_normal = (0.5 * math.log(2 / math.pi) - math.log(2.0)
+                   - 0.5 * (tau / 2.0) ** 2)
+    normal = (-0.5 * ((xv - 3.0) / sigma_x) ** 2 - math.log(sigma_x)
+              - 0.5 * math.log(2 * math.pi))
+    expected = half_normal + tau_z + normal  # + log-transform jacobian
+    assert abs(got - expected) < 1e-3
+
+
+def test_negative_bounds_and_unary_minus():
+    code = """
+    parameters { real<lower=-2, upper=3> x; }
+    model { x ~ normal(-1, 2); }
+    """
+    ir = stan.compile(code)
+    from exmc_tpu import rewrite
+
+    rw = rewrite.apply(ir, ncp=False)
+    assert rw.nodes["x"].op[2]["mu"] == -1.0
+
+
+def test_arithmetic_sampling_e2e():
+    code = """
+    data { real y; }
+    parameters { real mu; }
+    model {
+      mu ~ normal(0, 5 * 2);
+      y ~ normal(mu / 2, 1);
+    }
+    """
+    trace, _ = stan.sample(code, {"y": 2.0}, num_warmup=300,
+                           num_samples=300, seed=0)
+    # posterior of mu: likelihood y=2 ~ N(mu/2, 1) -> mu ~ 4 (prior wide)
+    assert abs(float(np.mean(trace["mu"])) - 3.96) < 0.6
 
 
 def test_stan_sample_e2e():
