@@ -59,13 +59,16 @@ class IR:
 
 
 def _param_refs(params) -> tuple:
-    """String values in params are references to other nodes."""
+    """String values in params are references to other nodes. Only the
+    "__obs_data" sentinel is NOT a node ref — generated det nodes (e.g.
+    the Stan frontend's __expr_N) must stay in deps or topological
+    sorts order their consumers first."""
     refs = []
     for v in params.values():
-        if isinstance(v, str) and not v.startswith("__"):
+        if isinstance(v, str) and v != "__obs_data":
             refs.append(v)
         elif isinstance(v, (list, tuple)):
-            refs.extend(x for x in v if isinstance(x, str))
+            refs.extend(x for x in v if isinstance(x, str) and x != "__obs_data")
     return tuple(refs)
 
 

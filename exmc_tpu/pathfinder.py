@@ -53,12 +53,17 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
     (pathfinder.ex:156-171). method="lowrank" uses the paper's
     low-rank-plus-diagonal inverse-Hessian covariance built from the
     L-BFGS curvature pairs (Zhang et al. 2022; see
-    exmc_tpu.pathfinder_lowrank) — exact log-density, exact sampling."""
+    exmc_tpu.pathfinder_lowrank) — exact log-density, exact sampling;
+    its returned "sigma" is the MARGINAL posterior sd vector
+    sqrt(diag(Sigma)) (correlations live in the draws)."""
     if method == "lowrank":
         return _pathfinder_lowrank(
             ir, num_iters=num_iters, num_draws=num_draws,
             num_elbo_draws=num_elbo_draws, seed=seed, data=data, ncp=ncp,
         )
+    if method != "diag":
+        raise ValueError(f"unknown pathfinder method {method!r} "
+                         "(expected 'diag' or 'lowrank')")
     model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
     dtype = default_dtype()
     d = model.size
@@ -234,9 +239,18 @@ def _pathfinder_lowrank(ir, *, num_iters, num_draws, num_elbo_draws, seed,
         return z, trace
 
     z, trace = draw(draw_key)
+
+    # marginal sds: diag(Sigma) = alpha * (1 + rowsum(Q * (Q @ (LL^T - I))))
+    alpha_f = jnp.full((d,), jnp.maximum(gamma, 1e-8), dtype)
+    q_f, lch_f, _ = __import__(
+        "exmc_tpu.pathfinder_lowrank", fromlist=["lowrank_factors"]
+    ).lowrank_factors(alpha_f, s_h, y_h, valid)
+    kdim = lch_f.shape[0]
+    mmat = q_f @ (lch_f @ lch_f.T - jnp.eye(kdim, dtype=dtype))
+    marg_var = alpha_f * (1.0 + jnp.sum(q_f * mmat, axis=1))
     return {
         "mu": np.asarray(mu),
-        "sigma": None,  # covariance is low-rank; see draws
+        "sigma": np.sqrt(np.maximum(np.asarray(marg_var), 1e-12)),
         "elbo_path": np.asarray(elbos),
         "best_iter": int(best),
         "draws": {k: np.asarray(v)[None] for k, v in trace.items()},

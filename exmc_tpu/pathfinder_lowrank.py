@@ -1,7 +1,11 @@
 """Low-rank-plus-diagonal Pathfinder covariance (Zhang, Carpenter,
-Gelman & Vehtari 2022, Algorithm "bfgs-sample") — the paper-faithful
-upgrade over the reference's crude diag fit (pathfinder.ex:156-171,
-sigma = 1/sqrt(|grad|+eps)).
+Gelman & Vehtari 2022, Algorithm "bfgs-sample") — upgrade over the
+reference's crude diag fit (pathfinder.ex:156-171, sigma =
+1/sqrt(|grad|+eps)). One simplification vs the paper: the diagonal
+initial matrix is the scalar gamma = s.y/y.y times I rather than the
+paper's per-coordinate alpha recursion; the 2m-rank correction absorbs
+coordinate scaling (adequate for moderately conditioned posteriors —
+per-coordinate alpha is a TODO).
 
 At an L-BFGS iterate with curvature pairs S = [s_1..s_m], Y = [y_1..y_m]
 (gradients of the NEGATIVE log-density), the inverse-Hessian estimate in

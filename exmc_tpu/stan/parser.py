@@ -192,6 +192,9 @@ class Parser:
             if isinstance(l, float) and isinstance(r, float):
                 import operator
 
+                if node[1] == "div" and r == 0.0:
+                    # don't fold: defer to runtime float semantics (inf)
+                    return (node[0], node[1], l, r)
                 ops = {"add": operator.add, "sub": operator.sub,
                        "mul": operator.mul, "div": operator.truediv}
                 return ops[node[1]](l, r)
