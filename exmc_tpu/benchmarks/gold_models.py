@@ -1,0 +1,642 @@
+"""Expanded gold-standard model zoo (round 2): the zero-egress analogue
+of the reference's 33-model posteriordb battery
+(reference benchmark/posteriordb/README.md:17-23, validation_results.md).
+
+posteriordb's reference draws cannot be fetched here, so every target is
+computed EXACTLY instead, by one of three mechanisms that are all
+stronger than reference MCMC draws:
+
+* conjugate/analytic posteriors (closed-form moments);
+* high-precision 1-d quadrature: for any model with a single scalar
+  free parameter the posterior mean/sd is a 1-d integral, evaluated on
+  a dense float64 grid (trapezoid rule, ~1e-10 accurate) — this covers
+  likelihoods with no conjugate prior (StudentT, Cauchy, Laplace,
+  Weibull, TruncatedNormal, Mixture, Censored, logistic);
+* exact linear-Gaussian inference (Kalman/RTS smoother) for the
+  GaussianRandomWalk state-space model at T=1000.
+
+Together with the round-1 six, the battery exercises every distribution
+in the library, meas_obs (matmul + affine Jacobians), right/interval
+censoring, the dense mass matrix, the stick-breaking simplex transform,
+long-T latent paths, and models built through the Stan frontend.
+"""
+
+import math
+
+import numpy as np
+from scipy.special import log_ndtr, ndtr, gammaln
+
+from exmc_tpu import Builder, dists
+from exmc_tpu.benchmarks.validation import GoldStandard
+
+
+# ---------------------------------------------------------------------------
+# exact-target machinery
+# ---------------------------------------------------------------------------
+
+def quadrature_posterior(log_post_fn, lo, hi, n=100001):
+    """Exact scalar posterior moments by dense-grid trapezoid quadrature.
+
+    ``log_post_fn``: vectorized float64 unnormalized log posterior.
+    Accurate to ~1e-10 for smooth densities — a stronger gold standard
+    than posteriordb's reference MCMC draws."""
+    th = np.linspace(lo, hi, n, dtype=np.float64)
+    lp = np.asarray(log_post_fn(th), dtype=np.float64)
+    lp = lp - lp.max()
+    w = np.exp(lp)
+    z = np.trapezoid(w, th)
+    mean = np.trapezoid(w * th, th) / z
+    var = np.trapezoid(w * (th - mean) ** 2, th) / z
+    return float(mean), float(math.sqrt(var))
+
+
+def kalman_smoother_grw(ys, q, r):
+    """Exact marginal posterior means/sds of the latent path in
+      x_1 ~ N(0, q^2);  x_t ~ N(x_{t-1}, q^2);  y_t ~ N(x_t, r^2)
+    via the RTS smoother (float64). Matches GaussianRandomWalk's logpdf
+    convention (first increment is x[0] itself, timeseries.py)."""
+    T = len(ys)
+    m_f = np.zeros(T)
+    p_f = np.zeros(T)
+    m_pred = np.zeros(T)
+    p_pred = np.zeros(T)
+    m, p = 0.0, 0.0
+    for t in range(T):
+        mp = m
+        pp = p + q * q
+        m_pred[t], p_pred[t] = mp, pp
+        k = pp / (pp + r * r)
+        m = mp + k * (ys[t] - mp)
+        p = (1.0 - k) * pp
+        m_f[t], p_f[t] = m, p
+    m_s = np.zeros(T)
+    p_s = np.zeros(T)
+    m_s[-1], p_s[-1] = m_f[-1], p_f[-1]
+    for t in range(T - 2, -1, -1):
+        c = p_f[t] / p_pred[t + 1]
+        m_s[t] = m_f[t] + c * (m_s[t + 1] - m_pred[t + 1])
+        p_s[t] = p_f[t] + c * c * (p_s[t + 1] - p_pred[t + 1])
+    return m_s, np.sqrt(p_s)
+
+
+def _normal_lp(y, mu, sigma):
+    z = (np.asarray(y)[..., None] - mu) / sigma
+    return -0.5 * z * z - math.log(sigma) - 0.5 * math.log(2 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# conjugate / analytic targets
+# ---------------------------------------------------------------------------
+
+def exponential_gamma(seed=10):
+    """Exponential likelihood + Gamma prior (conjugate)."""
+    rng = np.random.default_rng(seed)
+    n, lam_true, a0, b0 = 60, 2.0, 2.0, 1.0
+    ys = rng.exponential(1.0 / lam_true, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "lam", dists.Gamma, {"alpha": a0, "beta": b0})
+    ir = Builder.rv(ir, "y", dists.Exponential, {"lambda": "lam"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a, b = a0 + n, b0 + ys.sum()
+    return GoldStandard(
+        "exponential_gamma", ir, {"lam": a / b}, {"lam": math.sqrt(a) / b}
+    )
+
+
+def lognormal_conjugate(seed=11):
+    """LogNormal likelihood with known sigma + Normal prior on mu: the
+    log-data reduce it to the Normal-Normal conjugate pair."""
+    rng = np.random.default_rng(seed)
+    n, mu_true, sigma, prior_sd = 40, 0.8, 0.5, 5.0
+    ys = rng.lognormal(mu_true, sigma, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": prior_sd})
+    ir = Builder.rv(ir, "y", dists.LogNormal, {"mu": "mu", "sigma": sigma})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    post_var = 1.0 / (1.0 / prior_sd**2 + n / sigma**2)
+    post_mean = post_var * np.log(ys).sum() / sigma**2
+    return GoldStandard(
+        "lognormal_conjugate", ir, {"mu": post_mean},
+        {"mu": math.sqrt(post_var)},
+    )
+
+
+def uniform01_bernoulli(seed=12):
+    """Uniform(0,1) prior + Bernoulli likelihood = Beta(1+k, 1+n-k)."""
+    rng = np.random.default_rng(seed)
+    n, p_true = 120, 0.65
+    ys = (rng.random(n) < p_true).astype(np.float64)
+    k = ys.sum()
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "p", dists.Uniform01, {})
+    ir = Builder.rv(ir, "y", dists.Bernoulli, {"p": "p"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a, b = 1.0 + k, 1.0 + n - k
+    mean = a / (a + b)
+    sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+    return GoldStandard("uniform01_bernoulli", ir, {"p": mean}, {"p": sd})
+
+
+def custom_gaussian_conjugate(seed=13):
+    """Custom dist with a hand-written Gaussian logpdf; conjugate
+    Normal-Normal target validates the Custom dispatch path."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n, mu_true, sigma, prior_sd = 50, -1.0, 1.0, 8.0
+    ys = rng.normal(mu_true, sigma, size=n)
+    gauss = dists.Custom(
+        logpdf_fn=lambda x, params: -0.5 * ((x - params["loc"]) / sigma) ** 2
+        - jnp.log(sigma) - 0.5 * jnp.log(2 * jnp.pi),
+        support="real",
+    )
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": prior_sd})
+    ir = Builder.rv(ir, "y", gauss, {"loc": "mu"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    post_var = 1.0 / (1.0 / prior_sd**2 + n / sigma**2)
+    post_mean = post_var * ys.sum() / sigma**2
+    return GoldStandard(
+        "custom_gaussian_conjugate", ir, {"mu": post_mean},
+        {"mu": math.sqrt(post_var)},
+    )
+
+
+def dirichlet_prior_moments():
+    """Dirichlet prior with no data: posterior == prior, exact moments.
+    Exercises the K -> K-1 stick-breaking transform end to end."""
+    alpha = np.array([2.0, 3.0, 4.0])
+    a0 = alpha.sum()
+    mean = alpha / a0
+    sd = np.sqrt(alpha * (a0 - alpha) / (a0**2 * (a0 + 1.0)))
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "w", dists.Dirichlet, {"alpha": alpha}, shape=(3,))
+    return GoldStandard("dirichlet_prior", ir, {"w": mean}, {"w": sd})
+
+
+def mvn_dense_mass():
+    """Strongly correlated MvNormal prior target (rho=0.95, d=4) sampled
+    with the DENSE mass matrix; exact moments are the prior's."""
+    d, rho = 4, 0.95
+    cov = rho * np.ones((d, d)) + (1 - rho) * np.eye(d)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.MvNormal, {"mu": np.zeros(d), "cov": cov})
+    return GoldStandard(
+        "mvn_dense_mass", ir, {"x": np.zeros(d)},
+        {"x": np.sqrt(np.diag(cov))}, opts={"dense_mass": True},
+    )
+
+
+def linreg_meas_obs_matmul(seed=14):
+    """meas_obs via a matmul lift: y = A x observed with A square
+    invertible, x_i ~ Normal(mu, 1), mu free. The implied x = A^{-1}y is
+    deterministic, so mu's posterior is the Normal-Normal conjugate
+    (compiler meas_obs Jacobian path, reference
+    lift_measurable_matmul.ex)."""
+    rng = np.random.default_rng(seed)
+    d, prior_sd = 3, 10.0
+    a = np.array([[2.0, 0.3, 0.0], [0.1, 1.5, 0.2], [0.0, 0.4, 1.2]])
+    x_true = rng.normal(0.7, 1.0, size=d)
+    y = a @ x_true
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": prior_sd})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 1.0},
+                    shape=(d,))
+    ir = Builder.det(ir, "yd", "matmul", [a, "x"])
+    ir = Builder.obs(ir, "y_obs", "yd", y)
+    x_implied = np.linalg.solve(a, y)
+    post_var = 1.0 / (1.0 / prior_sd**2 + d)
+    post_mean = post_var * x_implied.sum()
+    return GoldStandard(
+        "linreg_meas_obs_matmul", ir, {"mu": post_mean},
+        {"mu": math.sqrt(post_var)},
+    )
+
+
+def affine_meas_obs(seed=15):
+    """meas_obs via an affine lift: y = a*x + b observed (scalar),
+    x ~ Normal(mu, 1), mu free -> conjugate given x = (y-b)/a."""
+    a_c, b_c, prior_sd = 2.5, -1.0, 10.0
+    y = 4.0
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": prior_sd})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.det(ir, "yd", "affine", [a_c, b_c, "x"])
+    ir = Builder.obs(ir, "y_obs", "yd", y)
+    x_implied = (y - b_c) / a_c
+    post_var = 1.0 / (1.0 / prior_sd**2 + 1.0)
+    post_mean = post_var * x_implied
+    return GoldStandard(
+        "affine_meas_obs", ir, {"mu": post_mean},
+        {"mu": math.sqrt(post_var)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# quadrature-exact targets (non-conjugate scalar-parameter models)
+# ---------------------------------------------------------------------------
+
+def studentt_loc(seed=20):
+    rng = np.random.default_rng(seed)
+    n, df, loc_true = 40, 4.0, 1.2
+    ys = loc_true + rng.standard_t(df, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "y", dists.StudentT, {"df": df, "loc": "mu", "scale": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(mu):
+        z = ys[:, None] - mu[None, :]
+        lik = -(df + 1) / 2 * np.log1p(z * z / df)
+        return lik.sum(0) - 0.5 * (mu / 5.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -3.0, 6.0)
+    return GoldStandard("studentt_loc", ir, {"mu": mean}, {"mu": sd})
+
+
+def cauchy_loc(seed=21):
+    rng = np.random.default_rng(seed)
+    n, loc_true = 30, -0.5
+    ys = loc_true + rng.standard_cauchy(size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "y", dists.Cauchy, {"loc": "mu", "scale": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(mu):
+        z = ys[:, None] - mu[None, :]
+        return -np.log1p(z * z).sum(0) - 0.5 * (mu / 5.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -5.0, 4.0)
+    return GoldStandard("cauchy_loc", ir, {"mu": mean}, {"mu": sd})
+
+
+def laplace_loc(seed=22):
+    rng = np.random.default_rng(seed)
+    n, loc_true = 50, 0.7
+    ys = rng.laplace(loc_true, 1.0, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "y", dists.Laplace, {"mu": "mu", "b": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(mu):
+        z = np.abs(ys[:, None] - mu[None, :])
+        return -z.sum(0) - 0.5 * (mu / 5.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -3.0, 4.0)
+    return GoldStandard("laplace_loc", ir, {"mu": mean}, {"mu": sd})
+
+
+def weibull_rate(seed=23):
+    """Weibull likelihood with known shape k, Gamma prior on lambda."""
+    rng = np.random.default_rng(seed)
+    n, k, lam_true, a0, b0 = 60, 1.5, 2.0, 2.0, 1.0
+    ys = lam_true * rng.weibull(k, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "lam", dists.Gamma, {"alpha": a0, "beta": b0})
+    ir = Builder.rv(ir, "y", dists.Weibull, {"k": k, "lambda": "lam"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(lam):
+        zt = ys[:, None] / lam[None, :]
+        lik = (k - 1) * np.log(zt) - np.log(lam)[None, :] - zt**k
+        return lik.sum(0) + (a0 - 1) * np.log(lam) - b0 * lam
+
+    mean, sd = quadrature_posterior(log_post, 1e-3, 6.0)
+    return GoldStandard("weibull_rate", ir, {"lam": mean}, {"lam": sd})
+
+
+def halfnormal_scale(seed=24):
+    """sigma ~ HalfNormal prior on a Normal scale (quadrature exact)."""
+    rng = np.random.default_rng(seed)
+    n, sigma_true = 50, 1.3
+    ys = rng.normal(0.0, sigma_true, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 3.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": 0.0, "sigma": "sigma"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    ss = float((ys**2).sum())
+
+    def log_post(s):
+        return (-n * np.log(s) - ss / (2 * s * s)) - 0.5 * (s / 3.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, 1e-3, 5.0)
+    return GoldStandard("halfnormal_scale", ir, {"sigma": mean}, {"sigma": sd})
+
+
+def truncnorm_loc(seed=25):
+    rng = np.random.default_rng(seed)
+    n, mu_true, lo, hi = 60, 0.8, -1.0, 3.0
+    raw = rng.normal(mu_true, 1.0, size=4 * n)
+    ys = raw[(raw > lo) & (raw < hi)][:n]
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(
+        ir, "y", dists.TruncatedNormal,
+        {"mu": "mu", "sigma": 1.0, "lower": lo, "upper": hi},
+    )
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(mu):
+        z = ys[:, None] - mu[None, :]
+        log_norm = np.log(ndtr(hi - mu) - ndtr(lo - mu))
+        return (-0.5 * z * z).sum(0) - n * log_norm - 0.5 * (mu / 5.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -2.0, 4.0)
+    return GoldStandard("truncnorm_loc", ir, {"mu": mean}, {"mu": sd})
+
+
+def uniform_interval_normal(seed=26):
+    """theta ~ Uniform(2, 5) prior + Normal likelihood: truncated-normal
+    posterior, quadrature exact. Exercises the IntervalTransform."""
+    rng = np.random.default_rng(seed)
+    n, theta_true = 15, 2.6
+    ys = rng.normal(theta_true, 1.0, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "theta", dists.Uniform, {"lower": 2.0, "upper": 5.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "theta", "sigma": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(th):
+        z = ys[:, None] - th[None, :]
+        return (-0.5 * z * z).sum(0)
+
+    mean, sd = quadrature_posterior(log_post, 2.0 + 1e-9, 5.0 - 1e-9)
+    return GoldStandard("uniform_interval_normal", ir, {"theta": mean},
+                        {"theta": sd})
+
+
+def mixture_loc(seed=27):
+    """Known-weight 2-component Normal mixture, one unknown component
+    mean (quadrature exact over the scalar mu)."""
+    rng = np.random.default_rng(seed)
+    n1, n2 = 50, 50
+    ys = np.concatenate([
+        rng.normal(-2.0, 0.5, n1), rng.normal(3.0, 0.5, n2)
+    ])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "m1", dists.Normal, {"mu": 2.0, "sigma": 5.0})
+    ir = Builder.rv(
+        ir, "y", dists.Mixture,
+        {
+            "components": [dists.Normal, dists.Normal],
+            "params": [{"mu": -2.0, "sigma": 0.5}, {"mu": "m1", "sigma": 0.5}],
+            "weights": np.array([0.5, 0.5]),
+        },
+    )
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(m):
+        lp1 = _normal_lp(ys, -2.0, 0.5) + math.log(0.5)  # (n, grid)
+        lp2 = (
+            -0.5 * ((ys[:, None] - m[None, :]) / 0.5) ** 2
+            - math.log(0.5) - 0.5 * math.log(2 * math.pi) + math.log(0.5)
+        )
+        mx = np.maximum(lp1, lp2)
+        lik = mx + np.log(np.exp(lp1 - mx) + np.exp(lp2 - mx))
+        return lik.sum(0) - 0.5 * ((m - 2.0) / 5.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, 1.0, 5.0)
+    return GoldStandard("mixture_loc", ir, {"m1": mean}, {"m1": sd})
+
+
+def censored_right_normal(seed=28):
+    """Right-censored Normal observations (obs meta censored="right"),
+    quadrature with exact log-SF terms."""
+    rng = np.random.default_rng(seed)
+    n, mu_true, cut = 60, 1.0, 1.5
+    raw = rng.normal(mu_true, 1.0, size=n)
+    observed = raw[raw <= cut]
+    n_cens = int((raw > cut).sum())
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", observed)
+    ir = Builder.rv(ir, "y_c", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(ir, "y_c_obs", "y_c", np.full(n_cens, cut),
+                     censored="right")
+
+    def log_post(mu):
+        z = observed[:, None] - mu[None, :]
+        lik = (-0.5 * z * z).sum(0)
+        lik = lik + n_cens * log_ndtr(-(cut - mu))  # log SF(cut; mu, 1)
+        return lik - 0.5 * (mu / 10.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -1.0, 3.5)
+    return GoldStandard("censored_right_normal", ir, {"mu": mean}, {"mu": sd})
+
+
+def censored_interval_normal(seed=29):
+    """Interval-censored Normal observations ({"lower","upper"} obs
+    values), quadrature with exact CDF differences."""
+    rng = np.random.default_rng(seed)
+    n_exact, n_int, mu_true = 40, 30, 0.5
+    ys = rng.normal(mu_true, 1.0, size=n_exact)
+    lo_i, hi_i = -0.5, 1.5
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    ir = Builder.rv(ir, "y_i", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(
+        ir, "y_i_obs", "y_i",
+        {"lower": np.full(n_int, lo_i), "upper": np.full(n_int, hi_i)},
+        censored="interval",
+    )
+
+    def log_post(mu):
+        z = ys[:, None] - mu[None, :]
+        lik = (-0.5 * z * z).sum(0)
+        lik = lik + n_int * np.log(ndtr(hi_i - mu) - ndtr(lo_i - mu))
+        return lik - 0.5 * (mu / 10.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -1.5, 2.5)
+    return GoldStandard("censored_interval_normal", ir, {"mu": mean},
+                        {"mu": sd})
+
+
+def poisson_log_link(seed=30):
+    """Poisson regression with a log link through a det node: scalar
+    coefficient, quadrature exact."""
+    rng = np.random.default_rng(seed)
+    n, beta_true = 80, 0.6
+    x = rng.normal(0.0, 1.0, size=n)
+    ys = rng.poisson(np.exp(beta_true * x)).astype(np.float64)
+    import jax.numpy as jnp
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "beta", dists.Normal, {"mu": 0.0, "sigma": 2.5})
+    ir = Builder.det(ir, "rate", lambda b: jnp.exp(b * jnp.asarray(x)), ["beta"])
+    ir = Builder.rv(ir, "y", dists.Poisson, {"mu": "rate"}, shape=(n,))
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(beta):
+        eta = x[:, None] * beta[None, :]
+        lik = ys[:, None] * eta - np.exp(eta) - gammaln(ys + 1.0)[:, None]
+        return lik.sum(0) - 0.5 * (beta / 2.5) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -0.5, 1.5)
+    return GoldStandard("poisson_log_link", ir, {"beta": mean}, {"beta": sd})
+
+
+# ---------------------------------------------------------------------------
+# state-space: exact Kalman target at T=1000
+# ---------------------------------------------------------------------------
+
+def grw_kalman_t1000(seed=31):
+    """GaussianRandomWalk latent path, T=1000, Normal observations at
+    every step; exact marginals from the RTS smoother. Validates the
+    long-T latent-sequence path (SURVEY §5.7, reference
+    docs/STATE_SPACE_MODELS.md)."""
+    rng = np.random.default_rng(seed)
+    T, q, r = 1000, 0.1, 0.5
+    x_true = np.cumsum(rng.normal(0.0, q, size=T))
+    ys = x_true + rng.normal(0.0, r, size=T)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.GaussianRandomWalk, {"sigma": q},
+                    shape=(T,))
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "x", "sigma": r},
+                    shape=(T,))
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    m_s, sd_s = kalman_smoother_grw(ys, q, r)
+    return GoldStandard(
+        "grw_kalman_t1000", ir, {"x": m_s}, {"x": sd_s},
+        opts={"num_warmup": 800, "num_samples": 800},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stan-frontend-built models
+# ---------------------------------------------------------------------------
+
+def stan_eight_schools():
+    """Eight schools built THROUGH the Stan frontend (vector params +
+    data); published posterior moments as in the round-1 gold standard."""
+    from exmc_tpu import stan
+
+    code = """
+    data { int J; vector[J] y; vector[J] sigma; }
+    parameters { real mu; real<lower=0> tau; vector[J] theta; }
+    model {
+      mu ~ normal(0, 5);
+      tau ~ half_cauchy(5);
+      theta ~ normal(mu, tau);
+      y ~ normal(theta, sigma);
+    }
+    """
+    data = {
+        "J": 8,
+        "y": np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0]),
+        "sigma": np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0]),
+    }
+    ir = stan.compile(code, data)
+    return GoldStandard(
+        "stan_eight_schools", ir,
+        {"mu": 4.4, "tau": 3.6}, {"mu": 3.3, "tau": 3.2}, ncp=True,
+    )
+
+
+def stan_uniform_normal(seed=32):
+    """Same target as uniform_interval_normal, built via Stan syntax
+    'theta ~ uniform(2, 5)' (ADVICE r1 regression at battery level)."""
+    from exmc_tpu import stan
+
+    rng = np.random.default_rng(seed)
+    n, theta_true = 15, 2.6
+    ys = rng.normal(theta_true, 1.0, size=n)
+    code = """
+    data { vector[15] y; }
+    parameters { real theta; }
+    model {
+      theta ~ uniform(2, 5);
+      y ~ normal(theta, 1);
+    }
+    """
+    ir = stan.compile(code, {"y": ys})
+
+    def log_post(th):
+        z = ys[:, None] - th[None, :]
+        return (-0.5 * z * z).sum(0)
+
+    mean, sd = quadrature_posterior(log_post, 2.0 + 1e-9, 5.0 - 1e-9)
+    return GoldStandard("stan_uniform_normal", ir, {"theta": mean},
+                        {"theta": sd})
+
+
+def stan_logistic_1d(seed=33):
+    """1-coefficient logistic regression via the Stan frontend's
+    expression grammar (sigmoid + arithmetic); quadrature exact."""
+    from exmc_tpu import stan
+
+    rng = np.random.default_rng(seed)
+    n, beta_true = 100, 1.2
+    x = rng.normal(0.0, 1.0, size=n)
+    p = 1.0 / (1.0 + np.exp(-beta_true * x))
+    ys = (rng.random(n) < p).astype(np.float64)
+    code = """
+    data { vector[100] x; vector[100] y; }
+    parameters { real beta; }
+    model {
+      beta ~ normal(0, 2.5);
+      y ~ bernoulli(sigmoid(beta * x));
+    }
+    """
+    ir = stan.compile(code, {"x": x, "y": ys})
+
+    def log_post(beta):
+        eta = x[:, None] * beta[None, :]
+        lik = ys[:, None] * eta - np.log1p(np.exp(eta))
+        return lik.sum(0) - 0.5 * (beta / 2.5) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -1.0, 4.0)
+    return GoldStandard("stan_logistic_1d", ir, {"beta": mean},
+                        {"beta": sd})
+
+
+# ---------------------------------------------------------------------------
+# geometry stress: funnel marginals under auto-NCP
+# ---------------------------------------------------------------------------
+
+def funnel_v_marginal():
+    """Neal's funnel: v ~ N(0, 3), x_i | v ~ N(0, exp(v/2)) (d=9 + v).
+    The exact marginal of v is its prior; validating v's moments checks
+    the auto-NCP rewrite keeps the hierarchy calibrated (x's marginal
+    has astronomical kurtosis, so only v is checked)."""
+    import jax.numpy as jnp
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "v", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+    ir = Builder.det(ir, "scale", lambda v: jnp.exp(v / 2.0), ["v"])
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": 0.0, "sigma": "scale"},
+                    shape=(9,))
+    return GoldStandard("funnel_v_marginal", ir, {"v": 0.0}, {"v": 3.0},
+                        ncp=True)
+
+
+EXTRA_GOLD_STANDARDS = [
+    exponential_gamma,
+    lognormal_conjugate,
+    uniform01_bernoulli,
+    custom_gaussian_conjugate,
+    dirichlet_prior_moments,
+    mvn_dense_mass,
+    linreg_meas_obs_matmul,
+    affine_meas_obs,
+    studentt_loc,
+    cauchy_loc,
+    laplace_loc,
+    weibull_rate,
+    halfnormal_scale,
+    truncnorm_loc,
+    uniform_interval_normal,
+    mixture_loc,
+    censored_right_normal,
+    censored_interval_normal,
+    poisson_log_link,
+    grw_kalman_t1000,
+    stan_eight_schools,
+    stan_uniform_normal,
+    stan_logistic_1d,
+    funnel_v_marginal,
+]

@@ -40,24 +40,41 @@ def _split_chains(x):
     return x[:, : 2 * half].reshape(c * 2, half)
 
 
+def _geyer_tau(pair, n):
+    """Integrated autocorrelation time from Geyer pair sums: initial
+    positive sequence + initial monotone (non-increasing) correction
+    (Geyer 1992; Vehtari et al. 2021)."""
+    keep = jnp.cumprod((pair > 0.0).astype(pair.dtype))
+    # monotone: running min over the retained (positive) prefix
+    mono = jax.lax.cummin(jnp.where(keep > 0, pair, jnp.inf))
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep > 0, mono, 0.0))
+    return jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n))))
+
+
 def ess(x):
-    """Effective sample size, Geyer initial positive sequence
-    (diagnostics.ex:42-52). x: (chains, draws) or (draws,)."""
+    """Effective sample size, Geyer initial positive/monotone sequence.
+
+    Single chain matches the reference estimator (diagnostics.ex:42-52);
+    multi-chain pooling follows Vehtari et al. 2021 (Stan/arviz): the
+    chain-averaged ACF is normalized by ``var_plus = W*(n-1)/n + B/n``
+    (within PLUS between-chain variance), so unmixed chains stuck at
+    different values are correctly penalized rather than looking
+    uncorrelated (ADVICE r1). x: (chains, draws) or (draws,)."""
     x = jnp.atleast_2d(jnp.asarray(x))
     c, n = x.shape
-    acov = autocovariance(x)
-    var_plus = jnp.mean(acov[:, 0])  # pooled variance (within-chain)
+    acov = autocovariance(x)  # (c, n), biased /n divisor
     mean_acov = jnp.mean(acov, axis=0)
-
-    rho = mean_acov / jnp.maximum(var_plus, 1e-30)
+    w_biased = jnp.mean(acov[:, 0])  # = W * (n-1)/n
+    mean_var = w_biased * n / (n - 1.0)  # W with ddof=1
+    var_plus = w_biased
+    if c > 1:
+        var_plus = var_plus + jnp.var(jnp.mean(x, axis=1), ddof=1)  # + B/n
+    rho = 1.0 - (mean_var - mean_acov) / jnp.maximum(var_plus, 1e-30)
+    rho = rho.at[0].set(1.0)
     # Geyer: sum consecutive pairs rho[2t]+rho[2t+1] while positive
     n_pairs = n // 2
     pair = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]
-    positive = pair > 0.0
-    # mask everything after the first non-positive pair
-    keep = jnp.cumprod(positive.astype(rho.dtype))
-    tau = -1.0 + 2.0 * jnp.sum(pair * keep)
-    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n))))
+    tau = _geyer_tau(pair, n)
     return c * n / tau
 
 

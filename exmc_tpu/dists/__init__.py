@@ -1,4 +1,5 @@
-"""The 21-distribution library (parity with reference lib/exmc/dist/)."""
+"""The distribution library (parity with reference lib/exmc/dist/'s 21,
+plus general-bounds Uniform)."""
 
 from exmc_tpu.dists.base import Distribution, get, register, all_dists
 from exmc_tpu.dists.continuous import (
@@ -8,6 +9,7 @@ from exmc_tpu.dists.continuous import (
     GAMMA as Gamma,
     BETA as Beta,
     UNIFORM01 as Uniform01,
+    UNIFORM as Uniform,
     STUDENT_T as StudentT,
     CAUCHY as Cauchy,
     HALF_CAUCHY as HalfCauchy,
@@ -32,6 +34,7 @@ __all__ = [
     "Gamma",
     "Beta",
     "Uniform01",
+    "Uniform",
     "StudentT",
     "Cauchy",
     "HalfCauchy",

@@ -129,6 +129,40 @@ class Uniform01(Distribution):
         return jax.random.uniform(key, shape)
 
 
+class Uniform(Distribution):
+    """Uniform(lower, upper) — general-bounds extension of the
+    reference's Uniform01 (uniform01.ex): constant density
+    ``-log(upper-lower)``; when bounds are compile-time constants the
+    default transform is the bounded IntervalTransform so NUTS explores
+    unconstrained space (ADVICE r1: Stan's ``y ~ uniform(a, b)``)."""
+
+    name = "uniform"
+
+    def logpdf(self, x, params):
+        lower = params.get("lower", 0.0)
+        upper = params.get("upper", 1.0)
+        return -jnp.log(upper - lower) + jnp.zeros_like(x)
+
+    def support(self, params):
+        return "interval"
+
+    def default_transform(self, params):
+        lower = params.get("lower", 0.0)
+        upper = params.get("upper", 1.0)
+        if isinstance(lower, (int, float)) and isinstance(upper, (int, float)):
+            from exmc_tpu.transforms import IntervalTransform
+
+            if (lower, upper) == (0.0, 1.0):
+                return "logit"
+            return IntervalTransform(float(lower), float(upper))
+        return None  # non-constant bounds: caller must constrain explicitly
+
+    def sample(self, key, params, shape=()):
+        lower = params.get("lower", 0.0)
+        upper = params.get("upper", 1.0)
+        return lower + (upper - lower) * jax.random.uniform(key, shape)
+
+
 class StudentT(Distribution):
     """StudentT(df, loc, scale) — reference student_t.ex (lgamma-based)."""
 
@@ -281,6 +315,7 @@ EXPONENTIAL = register(Exponential())
 GAMMA = register(Gamma())
 BETA = register(Beta())
 UNIFORM01 = register(Uniform01())
+UNIFORM = register(Uniform())
 STUDENT_T = register(StudentT())
 CAUCHY = register(Cauchy())
 HALF_CAUCHY = register(HalfCauchy())

@@ -96,15 +96,18 @@ def _psis_smooth(log_w):
     mth = 30 + int(np.sqrt(n))
     jj = np.arange(1, mth + 1)
     thetas = 1.0 / x[-1] + (1.0 - np.sqrt(mth / (jj - 0.5))) / (3.0 * x_star)
-    ks = np.array([-np.mean(np.log1p(-t * x)) for t in thetas])
+    # loo-package convention throughout (Vehtari/Coles shape xi): for each
+    # theta, k = +mean(log1p(-theta*x)) (positive = heavy tail), profile
+    # loglik l = n*(log(-theta/k) - k - 1).
+    ks = np.array([np.mean(np.log1p(-t * x)) for t in thetas])
     with np.errstate(divide="ignore", invalid="ignore"):
-        ls = n * (np.log(thetas / ks) + ks - 1.0)
+        ls = n * (np.log(-thetas / ks) - ks - 1.0)
     ls = np.where(np.isfinite(ls), ls, -np.inf)
     w = np.exp(ls - ls.max())
     w = w / w.sum()
     theta_hat = float(np.sum(thetas * w))
-    k_hat = float(-np.mean(np.log1p(-theta_hat * x)))
-    sigma_hat = k_hat / theta_hat if theta_hat != 0 else 0.0
+    k_hat = float(np.mean(np.log1p(-theta_hat * x)))
+    sigma_hat = -k_hat / theta_hat if theta_hat != 0 else 0.0
     # replace tail by expected GPD order statistics
     if sigma_hat > 0 and np.isfinite(k_hat):
         probs = (np.arange(1, m + 1) - 0.5) / m

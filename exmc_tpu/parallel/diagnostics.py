@@ -46,7 +46,12 @@ def sharded_rhat(draws, mesh, axis="dp"):
 
 def sharded_ess(draws, mesh, axis="dp"):
     """Pooled-chain Geyer ESS over a sharded (chains, n) array; per-chain
-    autocovariance runs locally (FFT on-device), one psum pools."""
+    autocovariance runs locally (FFT on-device), psums pool the moments.
+    Matches exmc_tpu.diagnostics.ess (Vehtari 2021: var_plus includes the
+    between-chain term, ADVICE r1)."""
+    from exmc_tpu.diagnostics import _geyer_tau
+
+    c_total = draws.shape[0]
 
     @partial(
         shard_map, mesh=mesh,
@@ -56,15 +61,22 @@ def sharded_ess(draws, mesh, axis="dp"):
     def compute(local):
         c_local, n = local.shape
         acov = autocovariance(local)
-        cnt = jax.lax.psum(jnp.asarray(c_local, local.dtype), axis)
+        cnt = jnp.asarray(float(c_total), local.dtype)
         mean_acov = jax.lax.psum(jnp.sum(acov, axis=0), axis) / cnt
-        var_plus = mean_acov[0]
-        rho = mean_acov / jnp.maximum(var_plus, 1e-30)
+        w_biased = mean_acov[0]
+        mean_var = w_biased * n / (n - 1.0)
+        chain_means = jnp.mean(local, axis=1)
+        sum_m = jax.lax.psum(jnp.sum(chain_means), axis)
+        sum_m2 = jax.lax.psum(jnp.sum(chain_means**2), axis)
+        var_plus = w_biased
+        if c_total > 1:
+            b_over_n = (sum_m2 / cnt - (sum_m / cnt) ** 2) * cnt / (cnt - 1.0)
+            var_plus = var_plus + b_over_n
+        rho = 1.0 - (mean_var - mean_acov) / jnp.maximum(var_plus, 1e-30)
+        rho = rho.at[0].set(1.0)
         n_pairs = n // 2
         pair = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]
-        keep = jnp.cumprod((pair > 0.0).astype(rho.dtype))
-        tau = -1.0 + 2.0 * jnp.sum(pair * keep)
-        tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n))))
+        tau = _geyer_tau(pair, n)
         return cnt * n / tau
 
     return compute(draws)

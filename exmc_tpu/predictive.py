@@ -95,7 +95,7 @@ def posterior_predictive(ir: IR, trace, seed=0, data=None, ncp=True):
     ``sample`` ((chains, draws, ...) arrays).
 
     Returns {obs_id: (chains, draws, *obs_shape)}."""
-    from exmc_tpu.compiler import compile_logp, _make_resolver
+    from exmc_tpu.compiler import compile_logp, _make_resolver, _resolve_params
 
     model = compile_logp(ir, ncp=ncp)
     rw, pm = model.ir, model.pm
@@ -118,11 +118,11 @@ def posterior_predictive(ir: IR, trace, seed=0, data=None, ncp=True):
         for obs_id, node in obs_nodes:
             target = rw.get_node(node.op[1])
             dist = get_dist(target.op[1])
-            params = {
-                k: (resolve(v) if isinstance(v, str) else jnp.asarray(v))
-                for k, v in target.op[2].items()
-                if not isinstance(v, (list, tuple, dict))
-            }
+            # _resolve_params handles composite param structures
+            # (Mixture's components/params lists) recursively, so mixture
+            # likelihoods sample correctly instead of KeyError-ing
+            # (ADVICE r1)
+            params = _resolve_params(target.op[2], resolve)
             value = node.op[2]
             shape = (
                 tuple(np.asarray(value).shape)

@@ -36,7 +36,10 @@ DIST_MAP = {
     "laplace": (dists.Laplace, ["mu", "b"]),
     "dirichlet": (dists.Dirichlet, ["alpha"]),
     "weibull": (dists.Weibull, ["k", "lambda"]),
-    "uniform": (dists.Uniform01, []),
+    # Stan's uniform takes (lower, upper); constant (0,1) is the
+    # reference's Uniform01, general constant bounds use the interval
+    # transform (ADVICE r1)
+    "uniform": (dists.Uniform, ["lower", "upper"]),
 }
 
 
@@ -144,6 +147,18 @@ def compile(code: str, data=None):
             params[pname] = val
         if dist_name == "dirichlet" and isinstance(params.get("alpha"), (int, float)):
             raise StanSyntaxError("dirichlet needs a vector alpha", line=stmt["line"])
+        if dist_name == "uniform":
+            for k in ("lower", "upper"):
+                v = params.get(k)
+                if isinstance(v, np.ndarray) and v.size == 1:
+                    params[k] = float(v)  # scalar data bound is a constant
+                elif not isinstance(v, (int, float)):
+                    raise StanSyntaxError(
+                        "uniform bounds must be numeric constants "
+                        "(non-constant bounds would need a data-dependent "
+                        "constraint transform)",
+                        line=stmt["line"],
+                    )
 
         if target in param_decls:
             decl = param_decls[target]

@@ -29,6 +29,21 @@ def test_ess_ar1_reduced():
     assert 150 < e < 900
 
 
+def test_ess_penalizes_unmixed_chains():
+    """Regression (ADVICE r1, medium): chains stuck at different values
+    must yield SMALL pooled ESS (between-chain variance term), not look
+    iid-uncorrelated."""
+    rng = np.random.default_rng(3)
+    # 4 chains, each tightly wandering around a very different mean
+    offsets = np.array([0.0, 10.0, 20.0, 30.0])[:, None]
+    x = offsets + rng.normal(scale=0.1, size=(4, 1000))
+    e = float(diag.ess(x))
+    assert e < 50, f"unmixed chains should have tiny ESS, got {e}"
+    # sanity: same draws centered (mixed) give large ESS
+    e_mixed = float(diag.ess(x - offsets))
+    assert e_mixed > 2000
+
+
 def test_ess_bulk_rank_normalized():
     rng = np.random.default_rng(2)
     # heavy-tailed draws: bulk-ESS should still behave (rank normalization)

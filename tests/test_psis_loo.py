@@ -33,3 +33,38 @@ def test_psis_loo_close_to_waic():
     w = model_comparison.waic(ir, trace)
     psis = model_comparison.loo(ir, trace, psis=True)
     assert abs(w["elpd_waic"] - psis["elpd_loo"]) < 2.0
+
+
+def test_gpd_khat_sign_convention():
+    """Regression (ADVICE r1, high): k-hat must use the loo-package /
+    Vehtari convention, POSITIVE for heavy tails, so the k>0.7
+    reliability diagnostic can actually fire."""
+    rng = np.random.default_rng(42)
+    # weights themselves GPD(xi=0.5)-tailed: if U~Uniform,
+    # W = 1 + sigma/xi*((1-U)^{-xi}-1) is shifted-GPD with shape 0.5,
+    # so tail exceedances of W are exactly GPD(0.5)
+    u = rng.uniform(size=4000)
+    xi, sigma = 0.5, 1.0
+    w = 1.0 + sigma / xi * ((1.0 - u) ** (-xi) - 1.0)
+    log_w = np.log(w)
+    log_w = log_w - log_w.max()
+    smoothed, k_hat = model_comparison._psis_smooth(log_w.copy())
+    # heavy tail must be reported as positive k-hat near the true value
+    assert 0.2 < k_hat < 1.0, f"k_hat={k_hat} should be ~+0.5 for xi=0.5 tails"
+    # smoothed tail order statistics must remain heavy (unbounded-style
+    # growth), not compressed to a bounded function: the top smoothed
+    # weight should stay within a few nats of the raw max, far above the
+    # tail cutoff
+    m = max(int(np.ceil(min(0.2 * len(log_w), 3.0 * np.sqrt(len(log_w))))), 5)
+    order = np.argsort(log_w)
+    cutoff = log_w[order[-m - 1]]
+    top_smoothed = smoothed[order[-m:]].max()
+    assert top_smoothed > cutoff + 0.5 * (log_w.max() - cutoff)
+
+
+def test_gpd_khat_light_tail_negative():
+    """Bounded (light-tailed) weights should report k-hat <= ~0."""
+    rng = np.random.default_rng(7)
+    log_w = rng.uniform(-1.0, 0.0, size=2000)  # bounded support
+    _, k_hat = model_comparison._psis_smooth(log_w.copy())
+    assert k_hat < 0.3

@@ -35,3 +35,15 @@ def test_sharded_ess_matches_host():
     with mesh:
         got = float(sharded_ess(x, mesh))
     assert abs(got - float(ess(x))) / float(ess(x)) < 1e-4
+
+
+def test_sharded_ess_penalizes_unmixed_chains():
+    rng = np.random.default_rng(3)
+    x = rng.normal(scale=0.1, size=(16, 512))
+    x += np.arange(16)[:, None] * 5.0
+    x = jnp.asarray(x, jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        got = float(sharded_ess(x, mesh))
+    assert got < 60
+    assert abs(got - float(ess(x))) / max(float(ess(x)), 1.0) < 1e-3

@@ -192,3 +192,39 @@ def test_stan_sample_e2e():
     # posterior of mu with prior N(0,10^2), obs y=5, sigma=1:
     # mean = 5 * 100/101 ~ 4.95
     assert abs(float(np.mean(trace["mu"])) - 4.95) < 0.4
+
+
+def test_uniform_unit_interval():
+    """Regression (ADVICE r1, low): 'y ~ uniform(0, 1);' must compile."""
+    code = """
+    parameters { real p; }
+    model { p ~ uniform(0, 1); }
+    """
+    ir = stan.compile(code)
+    model = compile_logp(ir)
+    # logit transform attached: unconstrained dim 1, logp finite anywhere
+    import jax.numpy as jnp
+    assert np.isfinite(float(model.logp(jnp.zeros(model.pm.size))))
+
+
+def test_uniform_general_bounds_sampling():
+    code = """
+    parameters { real theta; }
+    model { theta ~ uniform(2, 5); }
+    """
+    trace, _ = stan.sample(code, num_warmup=200, num_samples=400, seed=0)
+    th = np.asarray(trace["theta"])
+    assert th.min() > 2.0 and th.max() < 5.0
+    assert abs(th.mean() - 3.5) < 0.4  # uniform mean (2+5)/2
+
+
+def test_uniform_nonconstant_bounds_rejected():
+    code = """
+    parameters { real a; real theta; }
+    model {
+      a ~ normal(0, 1);
+      theta ~ uniform(a, 5);
+    }
+    """
+    with pytest.raises(StanSyntaxError, match="numeric constants"):
+        stan.compile(code)

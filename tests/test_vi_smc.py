@@ -123,3 +123,30 @@ def test_posterior_predictive():
     assert ppc["y_obs"].shape[:2] == (1, 200)
     # posterior predictive mean ~ posterior mean of mu
     assert abs(float(ppc["y_obs"].mean()) - post_mean) < 0.2
+
+
+def test_posterior_predictive_mixture_likelihood():
+    """Regression (ADVICE r1, low): composite (Mixture) likelihoods must
+    posterior-predictive-sample instead of KeyError-ing on dropped
+    components/params keys."""
+    rng = np.random.default_rng(0)
+    ys = np.concatenate([rng.normal(-2, 0.5, 60), rng.normal(3, 0.5, 60)])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "m1", dists.Normal, {"mu": 3.0, "sigma": 2.0})
+    ir = Builder.rv(
+        ir, "y", dists.Mixture,
+        {
+            "components": [dists.Normal, dists.Normal],
+            "params": [{"mu": -2.0, "sigma": 0.5}, {"mu": "m1", "sigma": 0.5}],
+            "weights": np.array([0.5, 0.5]),
+        },
+    )
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    trace, _ = sample(ir, num_warmup=300, num_samples=200, seed=1)
+    ppc = predictive.posterior_predictive(ir, trace, seed=0)
+    assert ppc["y_obs"].shape[:2] == (1, 200)
+    flat = np.asarray(ppc["y_obs"]).reshape(-1)
+    # bimodal predictive: overall mean near 0.5*(-2 + 3) = 0.5
+    assert abs(flat.mean() - 0.5) < 0.5
+    # both modes represented
+    assert (flat < 0).mean() > 0.25 and (flat > 0).mean() > 0.25
