@@ -10,7 +10,7 @@ reference draws where available (exact moments, no MC error in the
 target)."""
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -24,6 +24,7 @@ class GoldStandard:
     ref_means: dict      # param -> exact posterior mean
     ref_sds: dict        # param -> exact posterior sd
     ncp: bool = False
+    opts: dict = field(default_factory=dict)  # extra sample() options
 
 
 def _conjugate_normal(seed=0):
@@ -127,7 +128,7 @@ def _eight_schools():
     )
 
 
-GOLD_STANDARDS = [
+CORE_GOLD_STANDARDS = [
     _conjugate_normal,
     _beta_binomial,
     _gamma_poisson,
@@ -137,20 +138,41 @@ GOLD_STANDARDS = [
 ]
 
 
+def _all_gold_standards():
+    """Round-1 core six + the round-2 expansion (gold_models.py): 30
+    models covering every distribution, meas_obs, censoring modes, the
+    dense metric, the simplex transform, long-T GRW, and Stan-frontend
+    builds — the posteriordb-scale bar
+    (reference benchmark/posteriordb/README.md:17-23)."""
+    from exmc_tpu.benchmarks.gold_models import EXTRA_GOLD_STANDARDS
+
+    return CORE_GOLD_STANDARDS + EXTRA_GOLD_STANDARDS
+
+
+# Backwards-compatible module attribute: resolved lazily in validate()
+GOLD_STANDARDS = CORE_GOLD_STANDARDS
+
+
 def validate(num_warmup=1000, num_samples=1000, num_chains=4, seed=42,
-             verbose=True):
-    """Run every gold standard; pass criteria per the reference harness
-    (posteriordb/README.md:17-23): |mean - ref_mean| < 0.5 * ref_sd and
-    sd/ref_sd in [0.5, 2.0]. Returns (n_pass, results)."""
+             verbose=True, models=None, full=True):
+    """Run the gold-standard battery; pass criteria per the reference
+    harness (posteriordb/README.md:17-23): |mean - ref_mean| < 0.5 *
+    ref_sd and sd/ref_sd in [0.5, 2.0]. Returns (n_pass, results).
+
+    ``models``: optional iterable of model names to run (default all).
+    ``full``: include the round-2 expansion (30 models) vs core six."""
     from exmc_tpu.nuts.sampler import sample
 
+    makers = _all_gold_standards() if full else list(CORE_GOLD_STANDARDS)
     results = []
-    for make in GOLD_STANDARDS:
+    for make in makers:
         gs = make()
-        trace, stats = sample(
-            gs.ir, ncp=gs.ncp, num_warmup=num_warmup,
-            num_samples=num_samples, num_chains=num_chains, seed=seed,
-        )
+        if models is not None and gs.name not in models:
+            continue
+        opts = dict(num_warmup=num_warmup, num_samples=num_samples,
+                    num_chains=num_chains, seed=seed)
+        opts.update(gs.opts)
+        trace, stats = sample(gs.ir, ncp=gs.ncp, **opts)
         ok = True
         detail = {}
         for param, ref_mean in gs.ref_means.items():
@@ -168,14 +190,26 @@ def validate(num_warmup=1000, num_samples=1000, num_chains=4, seed=42,
                 "ref_sd": np.round(ref_sd, 4).tolist(),
                 "pass": bool(mean_ok and sd_ok),
             }
+        from exmc_tpu.diagnostics import rhat as _rhat
+
+        max_rhat = 0.0
+        for param in gs.ref_means:
+            arr = np.asarray(trace[param])
+            flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
+            for i in range(flat.shape[-1]):
+                max_rhat = max(max_rhat, float(_rhat(flat[:, :, i])))
+        n_total = int(np.prod(np.asarray(stats["divergences"]).shape))
         results.append({
             "model": gs.name,
             "pass": ok,
             "divergences": int(stats["divergences"].sum()),
+            "divergence_rate": float(stats["divergences"].sum()) / max(n_total, 1),
+            "max_rhat": round(max_rhat, 4),
             "params": detail,
         })
         if verbose:
             print(f"{gs.name}: {'PASS' if ok else 'FAIL'} "
-                  f"(div={results[-1]['divergences']})")
+                  f"(div={results[-1]['divergences']}, "
+                  f"max_rhat={max_rhat:.3f})")
     n_pass = sum(r["pass"] for r in results)
     return n_pass, results

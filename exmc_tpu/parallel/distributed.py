@@ -43,10 +43,18 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
 
 
 def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
-                          ncp=True, shared_warmup=False, **opts):
+                          ncp=True, shared_warmup=False, retry_failed=True,
+                          **opts):
     """Multi-chip multi-chain NUTS (reference Distributed.sample_chains,
     distributed.ex:56): chains sharded across the mesh's "dp" axis,
     per-chain adaptation on-device, one jitted program per host.
+
+    When the mesh has an "sp" axis > 1, the LIKELIHOOD is additionally
+    data-parallel: observation rows (registered via ``Builder.data``,
+    D69) shard over "sp" and each gradient evaluation psums partial
+    values/grads across the axis — the public product path for models
+    whose data doesn't fit (or saturate) one chip (VERDICT r1 task 3;
+    composes with pooled_adaptation's cross-chain Welford psum).
 
     Works identically on 1 chip (mesh of 1) — the analogue of the
     reference's ``nodes: [node()]`` coordinator-only mode used for
@@ -55,6 +63,7 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
     if mesh is None:
         mesh = make_mesh()
     dp = mesh.shape["dp"]
+    sp = mesh.shape.get("sp", 1)
     if num_chains % dp != 0:
         raise ValueError(f"num_chains={num_chains} not divisible by dp={dp}")
 
@@ -65,15 +74,34 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
     unknown = set(opts) - set(known)
     if unknown:
         raise TypeError(f"unknown sampler options: {sorted(unknown)}")
-    sampler = NUTSSampler(
-        model=model,
-        shared_warmup=shared_warmup,
-        **{k: opts[k] for k in known if k in opts},
-    )
     dtype = default_dtype()
     d = model.size
     if data is None:
         data = model.data
+
+    vag_builder = None
+    if sp > 1:
+        if data is None:
+            raise ValueError(
+                "sp>1 shards the likelihood over observation data rows: "
+                "register data with Builder.data(ir, tensor) (the "
+                "'__obs_data' JIT-argument pattern, D69)"
+            )
+        from exmc_tpu.parallel.sharding import (
+            make_data_parallel_vag,
+            shard_data,
+        )
+
+        dp_vag = make_data_parallel_vag(model, mesh)
+        vag_builder = lambda data_arr: (lambda q: dp_vag(q, data_arr))  # noqa: E731
+        data = shard_data(mesh, data)
+
+    sampler = NUTSSampler(
+        model=model,
+        shared_warmup=shared_warmup,
+        vag_builder=vag_builder,
+        **{k: opts[k] for k in known if k in opts},
+    )
 
     base = jax.random.PRNGKey(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i * CHAIN_SEED_STRIDE))(
@@ -97,15 +125,85 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
             NamedSharding(mesh, P("dp", None, None)),
         )
 
-    with mesh:
-        draws, stats, tuning = sampler._run_jit(
-            data, q_inits, keys, ws_eps, ws_inv,
-            num_chains=num_chains, warm_started=False,
-        )
+    def launch(q_inits, keys, attempt):
+        try:
+            with mesh:
+                return sampler._run_jit(
+                    data, q_inits, keys, ws_eps, ws_inv,
+                    num_chains=num_chains, warm_started=False,
+                )
+        except Exception:
+            # transient host/runtime failure (e.g. a TPU worker restart):
+            # one full relaunch, the coordinator-retry analogue of
+            # reference distributed.ex:172-180
+            if attempt >= 1:
+                raise
+            return launch(q_inits, keys, attempt + 1)
+
+    draws, stats, tuning = launch(q_inits, keys, 0)
 
     stats = {k: np.asarray(v) for k, v in stats.items()}
     stats["step_size"] = np.asarray(tuning["step_size"])
     stats["inv_mass"] = np.asarray(tuning["inv_mass"])
+    stats["recoveries"] = np.asarray(tuning["recoveries"])
     stats["divergences"] = stats["diverging"].sum(axis=-1)
     trace = sampler.constrain_trace(draws, data)
+    return _redispatch_failed_chains(
+        sampler, mesh, trace, stats, np.asarray(draws), data, seed,
+        shared_warmup=shared_warmup,
+        max_retries=1 if retry_failed else 0,
+    )
+
+
+def _chain_health(stats):
+    """Per-chain failure markers: a healthy chain has finite logp at
+    every kept draw (non-finite accepted state = dead; in-warmup deaths
+    were already reset+counted by the kernel's recovery path)."""
+    return np.isfinite(np.asarray(stats["logp"])).all(axis=-1)
+
+
+def _redispatch_failed_chains(sampler, mesh, trace, stats, draws, data,
+                              seed, *, shared_warmup=False, max_retries=1):
+    """Surface per-chain failure markers and re-dispatch dead chains as a
+    fresh (smaller) launch on the surviving mesh instead of aborting the
+    whole run (reference distributed.ex:172-180's chain retry). Healthy
+    retry chains splice into the original trace; chains that remain dead
+    after ``max_retries`` stay marked in ``stats["chain_ok"]``."""
+    ok = _chain_health(stats)
+    stats["chain_ok"] = ok
+    stats["redispatched"] = 0
+    if ok.all() or max_retries < 1:
+        return trace, stats
+
+    dp = mesh.shape["dp"]
+    bad_idx = np.flatnonzero(~ok)
+    # pad to a dp multiple so the retry launch shards evenly
+    n_retry = max(int(np.ceil(len(bad_idx) / dp)) * dp, dp)
+    retry_trace, retry_stats = sample_chains_sharded(
+        sampler.model, n_retry, mesh, seed=seed + 104729, data=data,
+        shared_warmup=shared_warmup, retry_failed=False,
+        num_warmup=sampler.num_warmup, num_samples=sampler.num_samples,
+        max_tree_depth=sampler.max_tree_depth,
+        target_accept=sampler.target_accept,
+        dense_mass=sampler.dense_mass,
+        pooled_adaptation=sampler.pooled_adaptation,
+    )
+    healthy = np.flatnonzero(retry_stats["chain_ok"])[: len(bad_idx)]
+    # np.asarray views of device arrays are read-only: copy before splicing
+    trace = {k: np.array(v) for k, v in trace.items()}
+    stats = {
+        k: (np.array(v) if isinstance(v, np.ndarray) else v)
+        for k, v in stats.items()
+    }
+    ok = np.array(ok)
+    for i, j in zip(bad_idx[: len(healthy)], healthy):
+        for k in trace:
+            trace[k][i] = retry_trace[k][j]
+        for k in ("logp", "diverging", "accept_prob", "depth", "step_size",
+                  "inv_mass", "divergences"):
+            if k in stats and k in retry_stats:
+                stats[k][i] = retry_stats[k][j]
+        ok[i] = True
+    stats["chain_ok"] = ok
+    stats["redispatched"] = len(healthy)
     return trace, stats

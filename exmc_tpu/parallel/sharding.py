@@ -32,27 +32,25 @@ def make_mesh(n_devices=None, dp=None, sp=1, devices=None):
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
-def data_parallel_vag(model, mesh, data):
-    """Build a value_and_grad over ICI-sharded observation data.
+def make_data_parallel_vag(model, mesh):
+    """Build ``vag(q, data) -> (logp, grad)`` over ICI-sharded data.
 
     ``data`` (n, ...) is split over the "sp" axis; each device evaluates
     the model's log-density on its shard (data enters as a JIT argument,
     D69) and partial values/grads are psum'ed. Requires the model's obs
     terms to be additive over data rows (reduce="sum", the default for
-    vector obs — builder.ex:97-102 D34).
+    vector obs — builder.ex:97-102 D34) and data registered via
+    ``Builder.data``.
 
-    Returns (vag_fn(q) -> (logp, grad), sharded_data). Prior terms are
-    counted once: each shard evaluates prior + local likelihood, and the
-    duplicated prior is corrected after the psum.
+    Prior terms are counted once: each shard evaluates prior + local
+    likelihood, and the duplicated prior is corrected after the psum
+    (an empty data shard zeroes every obs term, leaving just the prior).
+
+    Composes under vmap (chain batching) and GSPMD "dp" sharding — this
+    is the product path behind ``sample_chains_sharded(..., sp>1)``
+    (reference distributed.ex:56-209 had no likelihood sharding at all).
     """
     sp = mesh.shape["sp"]
-    n = data.shape[0]
-    assert n % sp == 0, f"data rows {n} not divisible by sp={sp}"
-
-    # prior-only evaluation: an empty data shard zeroes every obs term
-    # (sum over an empty axis), leaving just the prior
-    empty = jnp.zeros((0,) + data.shape[1:], data.dtype)
-    prior_vag = jax.value_and_grad(lambda q: model.logp(q, empty))
 
     def local_vag(q, data_shard):
         # full logp on the shard: prior + shard likelihood
@@ -71,17 +69,33 @@ def data_parallel_vag(model, mesh, data):
         g = jax.lax.psum(g, "sp")
         return v, g
 
-    def vag_fn(q):
+    def vag(q, data):
+        assert data.shape[0] % sp == 0, (
+            f"data rows {data.shape[0]} not divisible by sp={sp}"
+        )
         v, g = vag_sharded(q, data)
         if sp > 1:
             # prior was summed sp times; subtract the extra (sp-1) copies
-            pv, pg = prior_vag(q)
+            empty = jnp.zeros((0,) + data.shape[1:], data.dtype)
+            pv, pg = jax.value_and_grad(lambda qq: model.logp(qq, empty))(q)
             v = v - (sp - 1) * pv
             g = g - (sp - 1) * pg
         return v, g
 
-    sharding = NamedSharding(mesh, P("sp"))
-    return vag_fn, jax.device_put(data, sharding)
+    return vag
+
+
+def shard_data(mesh, data):
+    """Place an (n, ...) data array row-sharded over "sp"."""
+    return jax.device_put(jnp.asarray(data), NamedSharding(mesh, P("sp")))
+
+
+def data_parallel_vag(model, mesh, data):
+    """Closure form of :func:`make_data_parallel_vag` (round-1 API):
+    returns (vag_fn(q) -> (logp, grad), sharded_data)."""
+    vag = make_data_parallel_vag(model, mesh)
+    sharded = shard_data(mesh, data)
+    return (lambda q: vag(q, sharded)), sharded
 
 
 def shard_chains(mesh, *arrays):

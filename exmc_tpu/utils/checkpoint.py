@@ -32,13 +32,14 @@ def save_checkpoint(path, stats, *, seed=None, positions=None, extra=None):
 
 def load_checkpoint(path):
     """Load a checkpoint; the returned dict plugs straight into
-    ``sample(..., warm_start=ckpt)`` (chain 0's tuning is used when the
-    arrays are per-chain)."""
+    ``sample(..., warm_start=ckpt)``. Per-chain tuning arrays are kept
+    per-chain (round 2: no more collapsing to chain 0) — ``sample``
+    broadcasts them when the chain counts match, and raises when they
+    don't (resume with the same num_chains, or index chain 0 yourself)."""
     with np.load(path) as z:
         out = {k: z[k] for k in z.files}
-    ws = {
-        "step_size": out["step_size"][0] if out["step_size"].ndim else out["step_size"],
-        "inv_mass": out["inv_mass"][0] if out["inv_mass"].ndim > 1 else out["inv_mass"],
+    out["warm_start"] = {
+        "step_size": out["step_size"],
+        "inv_mass": out["inv_mass"],
     }
-    out["warm_start"] = ws
     return out

@@ -43,8 +43,9 @@ def test_checkpoint_roundtrip(tmp_path):
     path = tmp_path / "ckpt.npz"
     save_checkpoint(path, stats, seed=1)
     ckpt = load_checkpoint(path)
+    # round 2: per-chain tuning is preserved (no chain-0 collapse)
     np.testing.assert_allclose(ckpt["warm_start"]["step_size"],
-                               stats["step_size"][0])
+                               stats["step_size"])
     # resume with the checkpoint: only the 50-iter fine-tune runs
     trace2, stats2 = sample(ir, num_samples=100, seed=2,
                             warm_start=ckpt["warm_start"])
