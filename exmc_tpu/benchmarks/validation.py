@@ -139,10 +139,11 @@ CORE_GOLD_STANDARDS = [
 
 
 def _all_gold_standards():
-    """Round-1 core six + the round-2 expansion (gold_models.py): 30
+    """Round-1 core six + the round-2 expansion (gold_models.py): 32
     models covering every distribution, meas_obs, censoring modes, the
     dense metric, the simplex transform, long-T GRW, and Stan-frontend
-    builds — the posteriordb-scale bar
+    builds (incl. real-Stan-syntax eight-schools NCP and the d=21
+    logistic) — the posteriordb-scale bar
     (reference benchmark/posteriordb/README.md:17-23)."""
     from exmc_tpu.benchmarks.gold_models import EXTRA_GOLD_STANDARDS
 

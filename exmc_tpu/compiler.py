@@ -59,6 +59,13 @@ DET_OPS = {
     "softplus": lambda x: jnp.logaddexp(x, 0.0),
     "matmul": lambda a, x: jnp.matmul(a, x),
     "dot": lambda a, x: jnp.dot(a, x),
+    "identity": lambda x: x,
+    "getitem": lambda v, i: v[jnp.asarray(i, jnp.int32)],
+    # Stan's '*': matmul when the left operand is a matrix, else
+    # elementwise (shapes are static under jit, so the dispatch is free)
+    "smul": lambda a, b: (
+        jnp.matmul(a, b) if getattr(a, "ndim", 0) == 2 else a * b
+    ),
     "affine": lambda a, b, x: a * x + b,
     "cumsum": lambda x: jnp.cumsum(x, axis=-1),
     "stack": lambda *xs: jnp.stack(xs),

@@ -22,16 +22,19 @@ TOKEN_SPEC = [
     ("RANGLE", r">"),
     ("COMMA", r","),
     ("SEMI", r";"),
+    ("PLUSEQ", r"\+="),
     ("EQUALS", r"="),
     ("PLUS", r"\+"),
     ("MINUS", r"-"),
     ("STAR", r"\*"),
     ("SLASH", r"/"),
+    ("PIPE", r"\|"),
+    ("COLON", r":"),
 ]
 
 KEYWORDS = {
     "data", "parameters", "model", "real", "int", "vector", "simplex",
-    "lower", "upper",
+    "lower", "upper", "transformed", "for", "in", "target", "matrix",
 }
 
 _MASTER = re.compile("|".join(f"(?P<{k}>{v})" for k, v in TOKEN_SPEC))

@@ -1,11 +1,23 @@
 """Recursive-descent parser for the Stan subset
-(reference src/exmc_stan_parser.yrl grammar).
+(reference src/exmc_stan_parser.yrl grammar; round 2 EXCEEDS the
+reference's stated limits, stan.ex:31-36 — ``target +=``, for loops,
+transformed data/parameters, matrix type, indexing, _lpdf calls).
 
 AST shape (reference stan/ast.ex):
-    {"data": [decl...], "parameters": [decl...], "model": [stmt...]}
-decl  = {"name", "type" ("real"|"int"|"vector"|"simplex"),
-         "size" (int|str|None), "lower", "upper"}
-stmt  = {"target": str, "dist": str, "args": [number|str...], "line": int}
+    {"data": [decl...], "parameters": [decl...],
+     "transformed_data": [assign...], "transformed_parameters": [assign...],
+     "model": [stmt...]}
+decl   = {"name", "type" ("real"|"int"|"vector"|"simplex"|"matrix"),
+          "size" (int|str|None), "size2", "lower", "upper"}
+assign = decl + {"expr": expr}
+stmt   = sampling: {"kind": "sampling", "target": str|("index",name,expr),
+                    "dist": str, "args": [expr...], "line"}
+         target:   {"kind": "target", "expr": expr, "line"}
+         for:      {"kind": "for", "var", "lo", "hi", "body": [stmt...],
+                    "line"}
+expr   = number | str | ("binop", op, l, r) | ("neg", x)
+         | ("call", fn, arg) | ("index", name, expr)
+         | ("lpdf", dist, value_expr, [arg_expr...])
 """
 
 from exmc_tpu.stan.lexer import StanSyntaxError, tokenize
@@ -42,7 +54,8 @@ class Parser:
         return tok
 
     def parse_program(self):
-        ast = {"data": [], "parameters": [], "model": []}
+        ast = {"data": [], "parameters": [], "model": [],
+               "transformed_data": [], "transformed_parameters": []}
         while self.peek()[0] != "EOF":
             kind, _, line = self.peek()
             if kind == "DATA":
@@ -51,12 +64,32 @@ class Parser:
             elif kind == "PARAMETERS":
                 self.next()
                 ast["parameters"] = self.parse_decl_block()
+            elif kind == "TRANSFORMED":
+                self.next()
+                sub = self.next()
+                if sub[0] == "DATA":
+                    ast["transformed_data"] = self.parse_assign_block()
+                elif sub[0] == "PARAMETERS":
+                    ast["transformed_parameters"] = self.parse_assign_block()
+                else:
+                    self.error("expected 'data' or 'parameters' after "
+                               "'transformed'", line=sub[2])
             elif kind == "MODEL":
                 self.next()
                 ast["model"] = self.parse_model_block()
             else:
                 self.error(f"expected a block keyword, got {self.peek()[1]!r}")
         return ast
+
+    def parse_assign_block(self):
+        """transformed data/parameters: 'type[size] name = expr;' rows."""
+        self.expect("LBRACE")
+        rows = []
+        while self.peek()[0] != "RBRACE":
+            decl = self.parse_decl(assign=True)
+            rows.append(decl)
+        self.expect("RBRACE")
+        return rows
 
     def parse_decl_block(self):
         self.expect("LBRACE")
@@ -66,21 +99,29 @@ class Parser:
         self.expect("RBRACE")
         return decls
 
-    def parse_decl(self):
+    def _parse_size(self):
+        tok = self.next()
+        if tok[0] == "NUMBER":
+            return int(tok[1])
+        if tok[0] == "IDENT":
+            return tok[1]
+        self.error("expected a size", line=tok[2])
+
+    def parse_decl(self, assign=False):
         kind, text, line = self.next()
-        if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX"):
+        if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX"):
             self.error(f"expected a type, got {text!r}", line=line)
-        decl = {"type": text, "size": None, "lower": None, "upper": None,
-                "line": line}
+        decl = {"type": text, "size": None, "size2": None, "lower": None,
+                "upper": None, "line": line}
         if kind in ("VECTOR", "SIMPLEX"):
             self.expect("LBRACKET")
-            tok = self.next()
-            if tok[0] == "NUMBER":
-                decl["size"] = int(tok[1])
-            elif tok[0] == "IDENT":
-                decl["size"] = tok[1]
-            else:
-                self.error("expected a size", line=tok[2])
+            decl["size"] = self._parse_size()
+            self.expect("RBRACKET")
+        elif kind == "MATRIX":
+            self.expect("LBRACKET")
+            decl["size"] = self._parse_size()
+            self.expect("COMMA")
+            decl["size2"] = self._parse_size()
             self.expect("RBRACKET")
         if self.peek()[0] == "LANGLE":
             self.next()
@@ -102,6 +143,9 @@ class Parser:
             self.expect("RANGLE")
         name = self.expect("IDENT")
         decl["name"] = name[1]
+        if assign:
+            self.expect("EQUALS")
+            decl["expr"] = self.parse_expr()
         self.expect("SEMI")
         return decl
 
@@ -109,12 +153,50 @@ class Parser:
         self.expect("LBRACE")
         stmts = []
         while self.peek()[0] != "RBRACE":
-            stmts.append(self.parse_sampling_stmt())
+            stmts.append(self.parse_statement())
         self.expect("RBRACE")
         return stmts
 
+    def parse_statement(self):
+        kind, _, line = self.peek()
+        if kind == "TARGET":
+            self.next()
+            self.expect("PLUSEQ")
+            expr = self.parse_expr()
+            self.expect("SEMI")
+            return {"kind": "target", "expr": expr, "line": line}
+        if kind == "FOR":
+            return self.parse_for()
+        return self.parse_sampling_stmt()
+
+    def parse_for(self):
+        _, _, line = self.expect("FOR")
+        self.expect("LPAREN")
+        var = self.expect("IDENT")[1]
+        self.expect("IN")
+        lo = self.parse_expr()
+        self.expect("COLON")
+        hi = self.parse_expr()
+        self.expect("RPAREN")
+        body = []
+        if self.peek()[0] == "LBRACE":
+            self.next()
+            while self.peek()[0] != "RBRACE":
+                body.append(self.parse_statement())
+            self.expect("RBRACE")
+        else:
+            body.append(self.parse_statement())
+        return {"kind": "for", "var": var, "lo": lo, "hi": hi, "body": body,
+                "line": line}
+
     def parse_sampling_stmt(self):
-        target = self.expect("IDENT")
+        target_tok = self.expect("IDENT")
+        target = target_tok[1]
+        if self.peek()[0] == "LBRACKET":
+            self.next()
+            idx = self.parse_expr()
+            self.expect("RBRACKET")
+            target = ("index", target, idx)
         self.expect("TILDE")
         dist = self.expect("IDENT")
         self.expect("LPAREN")
@@ -129,10 +211,11 @@ class Parser:
         self.expect("RPAREN")
         self.expect("SEMI")
         return {
-            "target": target[1],
+            "kind": "sampling",
+            "target": target,
             "dist": dist[1],
             "args": args,
-            "line": target[2],
+            "line": target_tok[2],
         }
 
     # -- expression grammar (EXTENSION beyond the reference, whose
@@ -173,8 +256,32 @@ class Parser:
             if self.peek()[0] == "LPAREN":
                 self.next()
                 arg = self.parse_expr()
+                if self.peek()[0] == "PIPE":
+                    # <dist>_lpdf(value | args) density-increment call
+                    self.next()
+                    args = [self.parse_expr()]
+                    while self.peek()[0] == "COMMA":
+                        self.next()
+                        args.append(self.parse_expr())
+                    self.expect("RPAREN")
+                    name = tok[1]
+                    for suffix in ("_lpdf", "_lpmf"):
+                        if name.endswith(suffix):
+                            name = name[: -len(suffix)]
+                            break
+                    else:
+                        self.error(
+                            f"'|' is only valid inside _lpdf/_lpmf calls, "
+                            f"got {tok[1]!r}", line=tok[2],
+                        )
+                    return ("lpdf", name, arg, args)
                 self.expect("RPAREN")
                 return ("call", tok[1], arg)
+            if self.peek()[0] == "LBRACKET":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("RBRACKET")
+                return ("index", tok[1], idx)
             return tok[1]
         if tok[0] == "LPAREN":
             inner = self.parse_expr()
@@ -204,6 +311,11 @@ class Parser:
             return -x if isinstance(x, float) else ("neg", x)
         if node[0] == "call":
             return (node[0], node[1], Parser._fold(node[2]))
+        if node[0] == "index":
+            return (node[0], node[1], Parser._fold(node[2]))
+        if node[0] == "lpdf":
+            return (node[0], node[1], Parser._fold(node[2]),
+                    [Parser._fold(a) for a in node[3]])
         return node
 
 

@@ -47,7 +47,7 @@ lines = [
     "(benchmark/posteriordb/README.md:17-23): every parameter mean within",
     "0.5 reference SD and SD ratio within [0.5, 2.0].",
     "",
-    "Round-2 battery: 30 models — 6 round-1 cores + 24 new",
+    f"Round-2 battery: {len(results)} models — 6 round-1 cores + the round-2",
     "(exmc_tpu/benchmarks/gold_models.py). Targets are EXACT:",
     "conjugate/analytic moments, 1e-10 quadrature for scalar-parameter",
     "models, and Kalman/RTS smoothing for the T=1000 GaussianRandomWalk —",

@@ -39,7 +39,8 @@ def test_parser_ast():
     assert ast["parameters"][0]["name"] == "mu"
     assert len(ast["model"]) == 2
     assert ast["model"][0] == {
-        "target": "mu", "dist": "normal", "args": [0.0, 10.0], "line": 5,
+        "kind": "sampling", "target": "mu", "dist": "normal",
+        "args": [0.0, 10.0], "line": 5,
     }
 
 

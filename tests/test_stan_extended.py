@@ -1,0 +1,211 @@
+"""Round-2 Stan frontend extensions (VERDICT r1 task 5, exceeding the
+reference's stated limits, stan.ex:31-36): target +=, for loops,
+transformed data/parameters, matrix data, indexing, _lpdf calls."""
+
+import numpy as np
+import pytest
+
+from exmc_tpu import compile_logp, stan
+from exmc_tpu.stan.lexer import StanSyntaxError
+from exmc_tpu.stan.parser import parse
+
+
+def _lp(ir, q):
+    import jax.numpy as jnp
+
+    m = compile_logp(ir, ncp=False)
+    return float(m.logp(jnp.asarray(q, jnp.float32))), m
+
+
+# ---- parsing ----
+
+def test_parse_target_and_for_and_transformed():
+    ast = parse("""
+    data { int N; vector[N] y; }
+    transformed data { real ybar = mean(y); }
+    parameters { real mu; }
+    transformed parameters { real shifted = mu + 1; }
+    model {
+      mu ~ normal(0, 1);
+      target += normal_lpdf(y | mu, 1);
+      for (i in 1:N) y[i] ~ normal(mu, 2);
+    }
+    """)
+    assert ast["transformed_data"][0]["name"] == "ybar"
+    assert ast["transformed_parameters"][0]["name"] == "shifted"
+    kinds = [s["kind"] for s in ast["model"]]
+    assert kinds == ["sampling", "target", "for"]
+    tgt = ast["model"][1]["expr"]
+    assert tgt[0] == "lpdf" and tgt[1] == "normal"
+
+
+# ---- target += ----
+
+def test_target_increment_matches_tilde():
+    """'target += normal_lpdf(y | mu, s)' must produce the same logp as
+    'y ~ normal(mu, s)' up to Jacobian-free constant terms."""
+    ys = np.array([1.0, 2.0, 3.0], np.float32)
+    code_tilde = """
+    data { vector[3] y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 10); y ~ normal(mu, 1); }
+    """
+    code_target = """
+    data { vector[3] y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 10); target += normal_lpdf(y | mu, 1); }
+    """
+    lp1, _ = _lp(stan.compile(code_tilde, {"y": ys}), [0.7])
+    lp2, _ = _lp(stan.compile(code_target, {"y": ys}), [0.7])
+    assert abs(lp1 - lp2) < 1e-4
+
+
+def test_target_arbitrary_expression():
+    """target += with plain arithmetic: logp shifts by exactly expr."""
+    code = """
+    parameters { real mu; }
+    model { mu ~ normal(0, 1); target += 2 * mu; }
+    """
+    code_plain = """
+    parameters { real mu; }
+    model { mu ~ normal(0, 1); }
+    """
+    lp, _ = _lp(stan.compile(code), [0.3])
+    lp0, _ = _lp(stan.compile(code_plain), [0.3])
+    assert abs((lp - lp0) - 2 * 0.3) < 1e-5
+
+
+# ---- transformed parameters: eight-schools NCP in real Stan ----
+
+EIGHT_SCHOOLS_NCP = """
+data { int J; vector[J] y; vector[J] sigma; }
+parameters { real mu; real<lower=0> tau; vector[J] theta_raw; }
+transformed parameters { vector[J] theta = mu + tau * theta_raw; }
+model {
+  mu ~ normal(0, 5);
+  tau ~ half_cauchy(5);
+  theta_raw ~ normal(0, 1);
+  y ~ normal(theta, sigma);
+}
+"""
+
+ES_DATA = {
+    "J": 8,
+    "y": np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0]),
+    "sigma": np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0]),
+}
+
+
+def test_eight_schools_ncp_real_stan_syntax():
+    trace, stats = stan.sample(
+        EIGHT_SCHOOLS_NCP, ES_DATA, ncp=False,
+        num_warmup=800, num_samples=800, num_chains=4, seed=0,
+    )
+    mu = float(np.mean(trace["mu"]))
+    tau = float(np.mean(trace["tau"]))
+    # published posterior moments (as in the gold-standard battery)
+    assert abs(mu - 4.4) < 0.5 * 3.3
+    assert abs(tau - 3.6) < 0.5 * 3.2
+
+
+# ---- for loops (vectorized lowering) ----
+
+def test_for_loop_equals_vector_statement():
+    ys = np.array([0.5, 1.5, 2.5, 3.5], np.float32)
+    code_loop = """
+    data { int N; vector[N] y; }
+    parameters { real mu; }
+    model {
+      mu ~ normal(0, 5);
+      for (i in 1:N) y[i] ~ normal(mu, 1);
+    }
+    """
+    code_vec = """
+    data { int N; vector[N] y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 5); y ~ normal(mu, 1); }
+    """
+    d = {"N": 4, "y": ys}
+    lp1, _ = _lp(stan.compile(code_loop, d), [1.1])
+    lp2, _ = _lp(stan.compile(code_vec, d), [1.1])
+    assert abs(lp1 - lp2) < 1e-5
+
+
+def test_for_loop_indexed_args():
+    """Indexing both target and args by the loop var vectorizes."""
+    ys = np.array([1.0, 2.0], np.float32)
+    sig = np.array([0.5, 2.0], np.float32)
+    code = """
+    data { vector[2] y; vector[2] s; }
+    parameters { real mu; }
+    model {
+      mu ~ normal(0, 10);
+      for (j in 1:2) y[j] ~ normal(mu, s[j]);
+    }
+    """
+    lp, _ = _lp(stan.compile(code, {"y": ys, "s": sig}), [0.4])
+    import math
+
+    def nlp(y, m, s):
+        return -0.5 * ((y - m) / s) ** 2 - math.log(s) - 0.5 * math.log(2 * math.pi)
+
+    want = nlp(0.4, 0, 10) + nlp(1.0, 0.4, 0.5) + nlp(2.0, 0.4, 2.0)
+    assert abs(lp - want) < 1e-4
+
+
+def test_for_loop_partial_range_rejected():
+    code = """
+    data { vector[4] y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 1); for (i in 1:3) y[i] ~ normal(mu, 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="does not cover"):
+        stan.compile(code, {"y": np.zeros(4)})
+
+
+# ---- matrix data + logistic regression (the d=21-style model) ----
+
+def test_matrix_logistic_regression_samples():
+    rng = np.random.default_rng(0)
+    n, k = 80, 4
+    x = rng.normal(size=(n, k)).astype(np.float32)
+    beta_true = np.array([1.0, -0.5, 0.25, 0.0], np.float32)
+    p = 1.0 / (1.0 + np.exp(-(x @ beta_true)))
+    y = (rng.random(n) < p).astype(np.float32)
+    code = """
+    data { int N; int K; matrix[N, K] X; vector[N] y; }
+    parameters { vector[K] beta; }
+    model {
+      beta ~ normal(0, 2.5);
+      y ~ bernoulli(sigmoid(X * beta));
+    }
+    """
+    trace, stats = stan.sample(
+        code, {"N": n, "K": k, "X": x, "y": y},
+        num_warmup=500, num_samples=500, num_chains=2, seed=0,
+    )
+    b = trace["beta"].reshape(-1, k).mean(axis=0)
+    assert b[0] > 0.4 and b[1] < -0.1
+    assert stats["divergences"].sum() == 0
+
+
+def test_transformed_data_eager():
+    code = """
+    data { vector[3] y; }
+    transformed data { real ybar = mean(y); real c = 2 * ybar; }
+    parameters { real mu; }
+    model { mu ~ normal(c, 1); y ~ normal(mu, 1); }
+    """
+    ir = stan.compile(code, {"y": np.array([1.0, 2.0, 3.0])})
+    # prior mean folded to 2*mean(y) = 4
+    assert float(ir.nodes["mu"].op[2]["mu"]) == 4.0
+
+
+def test_loop_var_bare_use_rejected():
+    code = """
+    data { vector[2] y; }
+    parameters { real mu; }
+    model { mu ~ normal(0,1); for (i in 1:2) y[i] ~ normal(mu, i); }
+    """
+    with pytest.raises(StanSyntaxError, match="loop variable"):
+        stan.compile(code, {"y": np.zeros(2)})

@@ -102,5 +102,5 @@ def test_battery_fast_subset():
 def test_battery_full():
     n_pass, results = validation.validate(verbose=False)
     failed = [r["model"] for r in results if not r["pass"]]
-    assert len(results) == 30
+    assert len(results) == 32
     assert n_pass == len(results), f"failed: {failed}"
