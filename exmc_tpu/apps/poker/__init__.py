@@ -13,7 +13,8 @@ fused kernel.
 from exmc_tpu.apps.poker.api import simulate, profile, decide, compare
 from exmc_tpu.apps.poker import cards
 from exmc_tpu.apps.poker.simulator import archetypes
-from exmc_tpu.apps.poker.table import Table
+from exmc_tpu.apps.poker.api import profile_tables
+from exmc_tpu.apps.poker.table import Table, MultiTable
 
 __all__ = ["simulate", "profile", "decide", "compare", "cards", "archetypes",
-           "Table"]
+           "Table", "MultiTable", "profile_tables"]

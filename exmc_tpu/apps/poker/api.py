@@ -23,6 +23,22 @@ def profile(observations, num_samples=300, num_warmup=300, seed=42, **opts):
     return profiles, stats
 
 
+def profile_tables(tables, num_samples=300, num_warmup=300, seed=42, **opts):
+    """Profile MANY tables concurrently in one batched NUTS program
+    (the TPU answer to the reference's OTP concurrent-table mode,
+    poker.ex:24-29). ``tables``: list of per-table observation lists.
+    Returns (profiles per table per player, stats)."""
+    from exmc_tpu.nuts.sampler import sample
+
+    ir = opponent_model.build_batched(tables)
+    trace, stats = sample(ir, num_warmup=num_warmup, num_samples=num_samples,
+                          seed=seed, ncp=False, **opts)
+    profiles = opponent_model.extract_profiles_batched(
+        trace, [len(obs) for obs in tables]
+    )
+    return profiles, stats
+
+
 def decide(my_hole, board, opponent, pot, to_call, **opts):
     """EV-based decision (poker.ex:91)."""
     hole = [cards.parse(c) for c in my_hole]

@@ -76,6 +76,115 @@ def build(observations):
     return ir
 
 
+def _pack(observations):
+    num_players = len(observations)
+    h = max(len(o["hand_strengths"]) for o in observations)
+    hs = np.zeros((num_players, h), np.float32)
+    acts = np.zeros((num_players, h), np.float32)
+    mask = np.zeros((num_players, h), np.float32)
+    for i, o in enumerate(observations):
+        n = len(o["hand_strengths"])
+        hs[i, :n] = o["hand_strengths"]
+        acts[i, :n] = o["actions"]
+        mask[i, :n] = 1.0
+    return hs, acts, mask
+
+
+def build_batched(tables):
+    """Batched model over T tables at once (VERDICT r1 task 10; the
+    TPU-native answer to the reference's OTP player-per-process mode,
+    poker.ex:24-29): per-table hyperparams are (T,) vectors, per-player
+    raws (T, P), and the likelihood is ONE (T, P, H) log-softmax — all
+    tables profile concurrently inside a single NUTS program instead of
+    one BEAM process per player.
+
+    ``tables``: list of per-table observation lists. Tables may have
+    different player counts / hand counts (mask-padded)."""
+    t = len(tables)
+    p = max(len(obs) for obs in tables)
+    h = max(
+        max(len(o["hand_strengths"]) for o in obs) for obs in tables
+    )
+    hs = np.zeros((t, p, h), np.float32)
+    acts = np.zeros((t, p, h), np.float32)
+    mask = np.zeros((t, p, h), np.float32)
+    for ti, obs in enumerate(tables):
+        for i, o in enumerate(obs):
+            n = len(o["hand_strengths"])
+            hs[ti, i, :n] = o["hand_strengths"]
+            acts[ti, i, :n] = o["actions"]
+            mask[ti, i, :n] = 1.0
+
+    ir = Builder.new_ir()
+    for prm in PARAMS:
+        m0, s0 = HYPER_PRIORS[prm]
+        ir = Builder.rv(ir, f"mu_{prm}", dists.Normal,
+                        {"mu": m0, "sigma": s0}, shape=(t,))
+        ir = Builder.rv(ir, f"sigma_{prm}", dists.HalfCauchy,
+                        {"scale": 0.5}, transform="log", shape=(t,))
+        ir = Builder.rv(ir, f"{prm}_raw", dists.Normal,
+                        {"mu": 0.0, "sigma": 1.0}, shape=(t, p))
+
+    def likelihood(_x, params, data=None):
+        def recon(prm):
+            return (
+                params[f"mu_{prm}"][:, None]
+                + params[f"sigma_{prm}"][:, None] * params[f"{prm}_raw"]
+            )  # (T, P)
+
+        vpip = jnp.clip(recon("vpip"), -10.0, 10.0)
+        pfr = jnp.clip(recon("pfr"), -10.0, 10.0)
+        agg = jnp.exp(jnp.clip(recon("agg"), -3.0, 3.0))
+        bluff = jnp.clip(recon("bluff"), -10.0, 10.0)
+        lp = log_action_probs(
+            jnp.reciprocal(1.0 + jnp.exp(-vpip))[:, :, None],
+            jnp.reciprocal(1.0 + jnp.exp(-pfr))[:, :, None],
+            agg[:, :, None],
+            jnp.reciprocal(1.0 + jnp.exp(-bluff))[:, :, None],
+            jnp.asarray(hs),
+        )
+        sel = gather_log_probs(lp, jnp.asarray(acts))
+        return jnp.sum(sel * jnp.asarray(mask))
+
+    lik = dists.Custom(logpdf_fn=likelihood, support="real")
+    refs = {}
+    for prm in PARAMS:
+        refs[f"mu_{prm}"] = f"mu_{prm}"
+        refs[f"sigma_{prm}"] = f"sigma_{prm}"
+        refs[f"{prm}_raw"] = f"{prm}_raw"
+    ir = Builder.rv(ir, "likelihood", lik, refs)
+    ir = Builder.obs(ir, "likelihood_obs", "likelihood", 0.0)
+    return ir
+
+
+def extract_profiles_batched(trace, table_sizes):
+    """Per-table, per-player posterior params from a batched-model trace.
+    Returns list (per table) of lists (per player) of param dicts."""
+    def recon(prm):
+        mu = trace[f"mu_{prm}"]            # (chains, draws, T)
+        sigma = trace[f"sigma_{prm}"]
+        raw = trace[f"{prm}_raw"]          # (chains, draws, T, P)
+        return mu[..., None] + sigma[..., None] * raw
+
+    sigmoid = lambda x: 1.0 / (1.0 + np.exp(-np.clip(x, -10, 10)))
+    vpip = sigmoid(recon("vpip"))
+    pfr = sigmoid(recon("pfr"))
+    agg = np.exp(np.clip(recon("agg"), -3, 3))
+    bluff = sigmoid(recon("bluff"))
+    out = []
+    for ti, np_players in enumerate(table_sizes):
+        out.append([
+            {
+                "vpip": vpip[..., ti, i].reshape(-1),
+                "pfr": pfr[..., ti, i].reshape(-1),
+                "agg": agg[..., ti, i].reshape(-1),
+                "bluff": bluff[..., ti, i].reshape(-1),
+            }
+            for i in range(np_players)
+        ])
+    return out
+
+
 def extract_profiles(trace, num_players):
     """Posterior per-player constrained params
     (opponent_model.ex extract_profiles). Returns a list of dicts of

@@ -41,3 +41,38 @@ class Table:
 
     def hand_counts(self):
         return [len(o["actions"]) for o in self.observations]
+
+
+class MultiTable:
+    """Concurrent multi-table session (reference poker.ex:24-29 OTP mode,
+    one GenServer per player). TPU-native concurrency: all tables'
+    players profile in ONE batched NUTS program — per-table hyperparams
+    are (T,) vectors and the likelihood is a single (T, P, H)
+    log-softmax (opponent_model.build_batched) — instead of process-
+    per-player message passing."""
+
+    def __init__(self, table_params=None, num_tables=4, seed=0):
+        from exmc_tpu.apps.poker import simulator
+
+        if table_params is None:
+            table_params = [
+                simulator.archetypes()[:3] for _ in range(num_tables)
+            ]
+        self.tables = [
+            Table(params, seed=seed + 31 * i)
+            for i, params in enumerate(table_params)
+        ]
+
+    def play(self, hands=50):
+        for t in self.tables:
+            t.play(hands)
+        return self
+
+    def profile_all(self, **opts):
+        """One vmapped NUTS run profiling every player at every table.
+        Returns (list-per-table of list-per-player profiles, stats)."""
+        from exmc_tpu.apps.poker import api
+
+        return api.profile_tables(
+            [t.observations for t in self.tables], **opts
+        )

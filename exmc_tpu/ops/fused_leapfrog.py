@@ -9,11 +9,20 @@ batched over chains.
 
 K steps stay entirely in VMEM: one (TILE_C, d) block of positions and
 momenta per grid step, the VPU doing 2 FMA sweeps per leapfrog step,
-zero HBM traffic between steps. For general log-densities the XLA
-while_loop kernel (exmc_tpu/nuts/tree.py) is the hot path — XLA already
-keeps the loop state on-chip; this op exists for the model class where
-the reference shipped a hand-written shader, and as the template for
-future specialized chains.
+zero HBM traffic between steps.
+
+RETIRED AS A DISPATCH TARGET (round 2, measured on a real v5e chip —
+the MLX-honesty precedent, reference DECISIONS D58): across dispatch-
+bound shapes (C=1024, d=8..256, K=32: 0.83-1.12x) and compute-bound
+shapes (C=4096-8192, d=64-256, K=2048-4096: 0.61-0.77x), the
+hand-written kernel is at best parity with and usually SLOWER than the
+plain ``lax.scan`` formulation below — XLA already keeps the carry
+on-chip and fuses the elementwise chain optimally, and the Pallas
+VMEM-blocking adds overhead without saving any HBM traffic. The sampler
+therefore has NO dispatch path to this op; it stays as a tested
+template for future kernels whose access patterns XLA cannot fuse
+(e.g. the binary-counter checkpoint stacks in tree.py, where manual
+VMEM residency could matter).
 
 Returns the final (q, p) after K steps plus the final logp per chain.
 """

@@ -1,0 +1,113 @@
+"""Long-T state-space scaling benchmark (VERDICT r1 task 7; reference
+docs/STATE_SPACE_MODELS.md:20-31 documents the recipe but benchmarks
+only T=100).
+
+Runs the stochastic-volatility model at T in {100, 1000, 5000} and the
+GRW+Normal Kalman-validated model at T in {1000, 5000} on the current
+backend (real TPU by default), recording wall, min-ESS/s and capacity.
+Writes LONGT.json.
+
+Usage: python scripts/longt_bench.py [--chains 8] [--seeds 1]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chains", type=int, default=8)
+    parser.add_argument("--warmup", type=int, default=500)
+    parser.add_argument("--samples", type=int, default=500)
+    parser.add_argument("--chunk", type=int, default=250)
+    parser.add_argument("--out", default="LONGT.json")
+    args = parser.parse_args()
+
+    import jax
+
+    from exmc_tpu import Builder, dists
+    from exmc_tpu.benchmarks.suite import sv_model
+    from exmc_tpu.diagnostics import ess, rhat
+    from exmc_tpu.nuts.sampler import _make_sampler
+
+    def grw_model(t, seed=31):
+        rng = np.random.default_rng(seed)
+        q, r = 0.1, 0.5
+        x_true = np.cumsum(rng.normal(0.0, q, size=t))
+        ys = (x_true + rng.normal(0.0, r, size=t)).astype(np.float32)
+        ir = Builder.new_ir()
+        ir = Builder.rv(ir, "x", dists.GaussianRandomWalk, {"sigma": q},
+                        shape=(t,))
+        ir = Builder.rv(ir, "y", dists.Normal, {"mu": "x", "sigma": r},
+                        shape=(t,))
+        ir = Builder.obs(ir, "y_obs", "y", ys)
+        return ir
+
+    rows = []
+    cases = [
+        ("sv", 100), ("sv", 1000), ("sv", 5000),
+        ("grw", 1000), ("grw", 5000),
+    ]
+    for kind, t in cases:
+        ir = sv_model(t=t) if kind == "sv" else grw_model(t)
+        ncp = kind == "sv"
+        sampler = _make_sampler(ir, ncp=ncp, num_warmup=args.warmup,
+                                num_samples=args.samples)
+
+        def go(seed):
+            return sampler.run_chunked(num_chains=args.chains, seed=seed,
+                                       chunk_iters=args.chunk)
+
+        t0 = time.time()
+        go(0)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        trace, stats = go(1)
+        wall = time.time() - t0
+
+        # min/median ESS over a representative subset of latent coords
+        # (all coords at T=5000 would dominate the wall with FFTs)
+        key = "s" if kind == "sv" else "x"
+        idx = np.unique(np.linspace(0, t - 1, 25).astype(int))
+        ess_vals, rhat_vals = [], []
+        for i in idx:
+            x = trace[key][:, :, i]
+            ess_vals.append(float(ess(x)))
+            rhat_vals.append(float(rhat(x)))
+        for extra in ("sigma", "nu"):
+            if extra in trace:
+                ess_vals.append(float(ess(trace[extra][:, :, 0]
+                                          if trace[extra].ndim == 3
+                                          else trace[extra])))
+        row = {
+            "model": kind, "T": t, "d": t + (2 if kind == "sv" else 0),
+            "chains": args.chains, "wall_s": round(wall, 2),
+            "compile_s": round(compile_s, 2),
+            "min_ess": round(min(ess_vals), 1),
+            "min_ess_per_s": round(min(ess_vals) / wall, 2),
+            "max_rhat": round(max(rhat_vals), 4),
+            "divergence_rate": float(stats["divergences"].sum())
+            / (args.chains * args.samples),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = {"platform": jax.devices()[0].platform,
+           "device": str(jax.devices()[0]),
+           "protocol": f"{args.warmup}+{args.samples}, {args.chains} chains,"
+                       f" chunked {args.chunk}",
+           "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,3 +107,22 @@ def test_poker_decide():
                      to_call=30)
     assert d["recommended"] in ("fold", "call", "raise")
     assert 0.0 <= d["equity"] <= 1.0
+
+
+def test_poker_multitable_concurrent_profiling():
+    """VERDICT r1 task 10: many tables profile in ONE batched NUTS
+    program (the OTP concurrent-table parity, poker.ex:24-29)."""
+    from exmc_tpu.apps.poker import MultiTable
+
+    mt = MultiTable(num_tables=3, seed=0).play(hands=60)
+    profiles, stats = mt.profile_all(num_warmup=300, num_samples=200, seed=1)
+    assert len(profiles) == 3
+    assert all(len(p) == 3 for p in profiles)
+    import numpy as np
+
+    # tight player (nit, index 2) should profile looser-than-nit vpip
+    # for the lag (index 1) at every table
+    for table_profiles in profiles:
+        lag_vpip = float(np.mean(table_profiles[1]["vpip"]))
+        nit_vpip = float(np.mean(table_profiles[2]["vpip"]))
+        assert lag_vpip > nit_vpip
