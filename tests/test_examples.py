@@ -14,6 +14,9 @@ EXAMPLES = [
     "04_reliability_vi.py",
     "05_physics_inversion.py",
     "06_poker.py",
+    "07_radon_bhm.py",
+    "08_insurance_claims.py",
+    "09_state_space.py",
 ]
 
 
