@@ -122,12 +122,20 @@ def logistic_model(n=500, p=20, seed=11):
 
 
 def sv_model(t=100, seed=13):
-    """Stochastic volatility (d=102): sigma ~ Exp(50); nu ~ Exp(0.1);
-    s ~ GaussianRandomWalk(sigma) over T=100; r_i ~ StudentT(nu, 0,
+    """Stochastic volatility (d=t+2): sigma ~ Exp(50); nu ~ Exp(0.1);
+    s ~ GaussianRandomWalk(sigma) over T; r_i ~ StudentT(nu, 0,
     exp(s_i)) observed. Uses the VECTORIZED GaussianRandomWalk dist —
-    one fused logpdf for the whole path."""
+    one fused logpdf for the whole path.
+
+    The per-step innovation scales as sqrt(100/t) so the TOTAL path
+    variance matches the reference's T=100 setting at every T: a pure
+    random walk at sigma=0.15 reaches exp(+-17) volatility by T=5000,
+    which creates a degenerate "all observations are StudentT outliers"
+    local mode (sigma->0, nu->0.1) that traps badly-initialized chains —
+    an artifact of the synthetic generator, not a property of real
+    log-volatility paths (which mean-revert)."""
     rng = np.random.default_rng(seed)
-    true_sigma = 0.15
+    true_sigma = 0.15 * float(np.sqrt(100.0 / t))
     s_true = np.cumsum(rng.normal(0, true_sigma, size=t))
     r = (rng.standard_t(10, size=t) * np.exp(s_true)).astype(np.float32)
 
@@ -170,10 +178,15 @@ def build_model(name):
 
 
 def run_model(name, num_chains=64, num_warmup=1000, num_samples=1000,
-              seed=0, ncp=False, chunked=None, **opts):
+              seed=0, ncp=False, chunked=None, seeds=1, **opts):
     """Run one suite model; returns a result dict with min/median ESS/s
     across parameters (protocol: STANDARD_BENCHMARKS.md:105, adapted to
     vmapped chains — wall excludes compile, reported separately).
+
+    ``seeds``: number of independent timed runs; reported metrics are
+    per-seed MEDIANS, matching the reference's 5-seed race protocol
+    (STANDARD_BENCHMARKS.md:105; VERDICT r1 weak-item 4 — round 1
+    reported single-seed rows).
 
     ``chunked``: run in bounded device calls of this many iterations —
     needed for pathological models (funnel) where vmap-lockstep trees at
@@ -194,33 +207,42 @@ def run_model(name, num_chains=64, num_warmup=1000, num_samples=1000,
     t0 = time.time()
     go(seed)
     compile_s = time.time() - t0
-    t0 = time.time()
-    trace, stats = go(seed + 1)
-    wall = time.time() - t0
 
-    ess_vals, rhat_vals = {}, {}
-    for k, arr in trace.items():
-        flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
-        for i in range(flat.shape[-1]):
-            key = k if flat.shape[-1] == 1 else f"{k}[{i}]"
-            ess_vals[key] = float(ess(flat[:, :, i]))
-            rhat_vals[key] = float(rhat(flat[:, :, i]))
+    per_seed = []
+    for k in range(seeds):
+        t0 = time.time()
+        trace, stats = go(seed + 1 + k)
+        wall = time.time() - t0
 
-    min_ess = min(ess_vals.values())
+        ess_vals, rhat_vals = {}, {}
+        for key0, arr in trace.items():
+            flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
+            for i in range(flat.shape[-1]):
+                key = key0 if flat.shape[-1] == 1 else f"{key0}[{i}]"
+                ess_vals[key] = float(ess(flat[:, :, i]))
+                rhat_vals[key] = float(rhat(flat[:, :, i]))
+        min_ess = min(ess_vals.values())
+        per_seed.append({
+            "wall_s": wall,
+            "min_ess": min_ess,
+            "min_ess_per_s": min_ess / wall,
+            "median_ess": float(np.median(list(ess_vals.values()))),
+            "max_rhat": max(rhat_vals.values()),
+            "divergence_rate": float(stats["divergences"].sum())
+            / (num_chains * num_samples),
+        })
+
+    med = {k: float(np.median([r[k] for r in per_seed])) for k in per_seed[0]}
     ref_exmc, ref_pymc = REFERENCE_ESS_PER_S[name]
     return {
         "model": name,
         "num_chains": num_chains,
-        "wall_s": wall,
+        "n_seeds": seeds,
         "compile_s": compile_s,
-        "min_ess": min_ess,
-        "min_ess_per_s": min_ess / wall,
-        "median_ess": float(np.median(list(ess_vals.values()))),
-        "max_rhat": max(rhat_vals.values()),
-        "divergence_rate": float(stats["divergences"].sum())
-        / (num_chains * num_samples),
-        "vs_exmc": min_ess / wall / ref_exmc,
-        "vs_pymc": min_ess / wall / ref_pymc,
+        **med,
+        "vs_exmc": med["min_ess_per_s"] / ref_exmc,
+        "vs_pymc": med["min_ess_per_s"] / ref_pymc,
+        "per_seed": per_seed,
     }
 
 

@@ -122,7 +122,8 @@ class CompiledModel:
                         else jnp.asarray(mu_ref)
                     )
                     sigma = jnp.asarray(resolved[sigma_ref])
-                    zmap[nid] = (jnp.asarray(xmap[nid]) - mu) / sigma
+                    zmap[nid] = _ncp_invert(info, jnp.asarray(xmap[nid]),
+                                            mu, sigma)
                     del pending[nid]
                     progressed = True
             if not progressed:
@@ -141,10 +142,21 @@ class CompiledModel:
                         else jnp.asarray(mu_ref)
                     )
                     sigma = resolver(sigma_ref)
-                    zmap[nid] = (jnp.asarray(xmap[nid]) - mu) / sigma
+                    zmap[nid] = _ncp_invert(info, jnp.asarray(xmap[nid]),
+                                            mu, sigma)
                     del pending[nid]
                 break
         return self.pm.to_unconstrained(zmap)
+
+
+def _ncp_invert(info, x, mu, sigma):
+    """Inverse NCP reconstruction for user inits (D36): standard
+    z = (x - mu)/sigma; GRW kind inverts s = sigma*cumsum(z) via the
+    first-difference operator."""
+    if info.get("kind") == "grw":
+        inc = jnp.concatenate([x[..., :1], jnp.diff(x, axis=-1)], axis=-1)
+        return inc / sigma
+    return (x - mu) / sigma
 
 
 def _apply_obs_meta(lp, meta):
@@ -200,12 +212,16 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
             x = tf.get(transform).forward(z)
             if ref in ir.ncp_info:
                 info = ir.ncp_info[ref]
-                mu_v = (
-                    resolve(info["mu"])
-                    if isinstance(info["mu"], str)
-                    else jnp.asarray(info["mu"])
-                )
-                x = mu_v + resolve(info["sigma"]) * x
+                if info.get("kind") == "grw":
+                    # s = sigma * cumsum(z): GRW non-centered form
+                    x = resolve(info["sigma"]) * jnp.cumsum(x, axis=-1)
+                else:
+                    mu_v = (
+                        resolve(info["mu"])
+                        if isinstance(info["mu"], str)
+                        else jnp.asarray(info["mu"])
+                    )
+                    x = mu_v + resolve(info["sigma"]) * x
             val = x
         else:
             raise ValueError(f"cannot resolve node {ref!r} of kind {tag!r}")

@@ -32,7 +32,25 @@ def non_centered_parameterization(ir: IR) -> IR:
         _, dist, params = node.op
         from exmc_tpu.dists.base import get as get_dist
 
-        if get_dist(dist).name != "normal":
+        dist_name = get_dist(dist).name
+        if dist_name == "gaussian_random_walk":
+            # round 2: GRW NCP — s ~ GRW(sigma_ref) becomes
+            # z ~ N(0,1)^T with s reconstructed as sigma * cumsum(z).
+            # Exactly the state-space funnel-killer: the centered form
+            # couples every latent step to the innovation scale (R-hat
+            # 55 on the T=5000 SV model before this rewrite).
+            sigma = params.get("sigma")
+            if isinstance(sigma, str):
+                nodes[nid] = Node(
+                    id=nid,
+                    op=("rv", NORMAL, {"mu": 0.0, "sigma": 1.0}),
+                    deps=(),
+                    shape=node.shape,
+                    dtype=node.dtype,
+                )
+                ncp_info[nid] = {"mu": 0.0, "sigma": sigma, "kind": "grw"}
+            continue
+        if dist_name != "normal":
             continue
         mu, sigma = params.get("mu"), params.get("sigma")
         # WIDENED vs the reference (which requires BOTH params to be RV

@@ -29,6 +29,10 @@ CHUNKED = {}
 # version is the harder test" (STANDARD_BENCHMARKS.md §II)
 NCP = {name: name != "eight_schools" for name in MODELS}
 
+# per-model sampler overrides; filled by the round-2 adaptation-quality
+# study (VERDICT r1 task 6) — see BENCHMARKS.md
+EXTRA_OPTS = {}
+
 
 def main():
     models = sys.argv[1:] or list(MODELS)
@@ -42,7 +46,8 @@ def main():
         try:
             r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
                           num_samples=1000, seed=0, ncp=NCP[name],
-                          chunked=CHUNKED.get(name))
+                          chunked=CHUNKED.get(name), seeds=5,
+                          **EXTRA_OPTS.get(name, {}))
         except Exception as e:  # noqa
             r = {"model": name, "error": str(e)}
         results[name] = r
@@ -55,7 +60,8 @@ def main():
         "# BENCHMARKS — seven-model suite on one TPU v5e chip",
         "",
         "Protocol: 1000 warmup + 1000 draws per chain, vmapped chains per",
-        "the table, per-chain adaptation, target_accept 0.8, max_depth 10.",
+        "the table, per-chain adaptation, max_depth 10, 5-seed MEDIANS",
+        "(the reference race protocol, STANDARD_BENCHMARKS.md:105).",
         "Wall time excludes compile (reported separately); min-ESS/s is the",
         "worst parameter, matching the reference's metric",
         "(STANDARD_BENCHMARKS.md:105).",
