@@ -58,13 +58,20 @@ CHAIN_SEED_STRIDE = 7919
 FINE_TUNE_ITERS = 50  # warm-start fine-tune window (D71)
 
 
-def _init_position(key, d, dtype):
-    """Stan-style random init: z ~ Uniform(-2, 2)^d in unconstrained space."""
-    return jax.random.uniform(key, (d,), dtype, minval=-2.0, maxval=2.0)
+def _init_position(key, d, dtype, radius=2.0):
+    """Stan-style random init: z ~ Uniform(-r, r)^d in unconstrained space."""
+    return jax.random.uniform(key, (d,), dtype, minval=-radius, maxval=radius)
 
 
 def _find_valid_init(vag_fn, key, d, dtype, init_flat=None, max_tries=100):
-    """Redraw the init point until logp is finite (bounded while_loop)."""
+    """Redraw the init point until logp is finite (bounded while_loop).
+
+    The redraw radius SHRINKS geometrically (2.0 * 0.8^i, floored at
+    1e-3): for long-T latent models the full Uniform(-2,2)^d box can be
+    entirely non-finite in f32 (e.g. an NCP'd GRW path cumsums 5000
+    uniform draws to |s| ~ 200, so exp(s) overflows for EVERY draw at
+    the Stan radius), while small-radius points near the origin are
+    always finite. Stan retries at a fixed radius and would spin here."""
     if init_flat is not None:
         q0 = jnp.asarray(init_flat, dtype)
     else:
@@ -80,7 +87,8 @@ def _find_valid_init(vag_fn, key, d, dtype, init_flat=None, max_tries=100):
     def body(carry):
         q, logp, grad, key, i = carry
         key, sub = jax.random.split(key)
-        q = _init_position(sub, d, dtype)
+        radius = jnp.maximum(2.0 * 0.8 ** i.astype(dtype), 1e-3)
+        q = _init_position(sub, d, dtype, radius)
         logp, grad = vag_fn(q)
         return q, logp, grad, key, i + 1
 
@@ -202,7 +210,9 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
         # Cost: one extra vag eval per iteration, ~2^-depth of the
         # transition's work.
         dead = ~(jnp.isfinite(logp) & jnp.all(jnp.isfinite(q)))
-        q_fresh = _init_position(rkey, q.shape[0], q.dtype)
+        # reset near the origin: the unconstrained origin-neighbourhood
+        # is finite for every model whose init search succeeded
+        q_fresh = _init_position(rkey, q.shape[0], q.dtype, radius=0.1)
         logp_f, grad_f = vag_fn(q_fresh)
         do_reset = dead & in_warmup
         q = jnp.where(do_reset, q_fresh, q)

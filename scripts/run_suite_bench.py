@@ -29,9 +29,18 @@ CHUNKED = {}
 # version is the harder test" (STANDARD_BENCHMARKS.md §II)
 NCP = {name: name != "eight_schools" for name in MODELS}
 
-# per-model sampler overrides; filled by the round-2 adaptation-quality
-# study (VERDICT r1 task 6) — see BENCHMARKS.md
-EXTRA_OPTS = {}
+# per-model sampler overrides from the round-2 adaptation-quality study
+# (VERDICT r1 task 6, measured on-chip at 256 chains, 1000+1000):
+# hierarchical models at target_accept 0.95 cut divergences 10-30x AND
+# raise min-ESS/s (medium: 46 -> 1008; worst param is the hierarchical
+# scale, which needs small steps): eight_schools centered
+# ta=0.8 div 2.9% rhat 1.035 -> ta=0.95 div 1.1% rhat 1.025 at equal
+# ESS/s. See BENCHMARKS.md adaptation-study table.
+EXTRA_OPTS = {
+    "medium": {"target_accept": 0.95},
+    "stress": {"target_accept": 0.95},
+    "eight_schools": {"target_accept": 0.95},
+}
 
 
 def main():
@@ -49,7 +58,15 @@ def main():
                           chunked=CHUNKED.get(name), seeds=5,
                           **EXTRA_OPTS.get(name, {}))
         except Exception as e:  # noqa
-            r = {"model": name, "error": str(e)}
+            # tunnel instability / watchdog: retry once in bounded calls
+            print(f"  retrying {name} chunked after: {e}", flush=True)
+            try:
+                r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
+                              num_samples=1000, seed=0, ncp=NCP[name],
+                              chunked=500, seeds=5,
+                              **EXTRA_OPTS.get(name, {}))
+            except Exception as e2:  # noqa
+                r = {"model": name, "error": str(e2)}
         results[name] = r
         print(json.dumps(r, default=float), flush=True)
 
