@@ -27,3 +27,37 @@ def test_sample_stream_chunks_and_totals():
     assert trace["mu"].shape == (2, 120)
     assert abs(float(trace["mu"].mean()) - 2.1) < 0.3
     assert stats["depth"].shape == (2, 120)
+
+
+def test_trace_store_streaming(tmp_path):
+    """Disk-backed streaming store: chunks land on disk as they arrive,
+    reading is chunk-lazy, concatenation matches the in-memory trace
+    (SURVEY 5.5 / round-1 TODO #9)."""
+    from exmc_tpu.utils import TraceStore
+
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+
+    store = TraceStore(tmp_path / "run1")
+    trace, stats = sample_stream(
+        ir, store.as_callback(), num_samples=120, chunk_size=50,
+        num_warmup=150, seed=0, num_chains=2,
+    )
+    reopened = TraceStore.open(tmp_path / "run1")
+    assert reopened.num_samples == 120
+    assert "mu" in reopened.variables()
+    np.testing.assert_allclose(reopened.load("mu"), trace["mu"])
+    np.testing.assert_allclose(
+        reopened.load("diverging", kind="stat").shape, stats["diverging"].shape
+    )
+    # streaming mean without materializing
+    assert abs(reopened.running_mean("mu") - trace["mu"].mean()) < 1e-6
+    # chunk-lazy iteration covers all draws in order
+    seen = 0
+    for start, tr, st in reopened.iter_chunks():
+        assert start == seen
+        seen += tr["mu"].shape[1]
+    assert seen == 120
