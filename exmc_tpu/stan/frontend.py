@@ -25,7 +25,11 @@ stan.ex:31-36 "no target +=, no loops, no transformed blocks"):
   the loop variable over the full range is exactly a whole-vector
   statement; no per-element graph nodes, no trace growth);
 * ``matrix[N, K]`` data + Stan's ``*`` as matmul when the left operand
-  is a matrix (det op "smul").
+  is a matrix (det op "smul");
+* ``matrix[N, K]`` parameters (elementwise priors over the flattened
+  block, round-3);
+* constraint bounds referencing scalar data, e.g.
+  ``real<lower=min_y> y0;`` (round-3).
 """
 
 import numpy as np
@@ -34,7 +38,11 @@ from exmc_tpu import dists
 from exmc_tpu.ir import Builder
 from exmc_tpu.stan.lexer import StanSyntaxError
 from exmc_tpu.stan.parser import parse
-from exmc_tpu.transforms import IntervalTransform
+from exmc_tpu.transforms import (
+    IntervalTransform,
+    LowerBoundTransform,
+    UpperBoundTransform,
+)
 
 # Stan-name -> (dist, ordered param names) (reference stan/dist_map.ex:25-42)
 DIST_MAP = {
@@ -72,10 +80,9 @@ def _constraint_transform(decl):
         return "logit"
     if lower is not None and upper is not None:
         return IntervalTransform(lower, upper)
-    raise StanSyntaxError(
-        f"unsupported constraint <lower={lower}, upper={upper}> on "
-        f"{decl['name']!r}", line=decl.get("line"),
-    )
+    if lower is not None:
+        return LowerBoundTransform(lower)  # x = lower + exp(z)
+    return UpperBoundTransform(upper)      # x = upper - exp(z)
 
 
 def _lookup_dist(name, line):
@@ -154,6 +161,27 @@ def compile(code: str, data=None):
 
     param_decls = {d["name"]: d for d in ast["parameters"]}
     tparam_names = set()
+
+    def _resolve_bound(v, name, line):
+        """Bounds may be literals or references to scalar data
+        (``real<lower=min_y> y0;``); resolve the latter eagerly."""
+        if v is None or isinstance(v, float):
+            return v
+        if v in data:
+            arr = np.asarray(data[v])
+            if arr.size != 1:
+                raise StanSyntaxError(
+                    f"bound {v!r} on {name!r} must be scalar data "
+                    f"(got shape {arr.shape})", line=line,
+                )
+            return float(arr.reshape(()))
+        raise StanSyntaxError(
+            f"bound {v!r} on {name!r} is not in the data", line=line,
+        )
+
+    for d in param_decls.values():
+        d["lower"] = _resolve_bound(d.get("lower"), d["name"], d.get("line"))
+        d["upper"] = _resolve_bound(d.get("upper"), d["name"], d.get("line"))
 
     ir = Builder.new_ir()
     declared_rvs = set()
@@ -278,7 +306,10 @@ def compile(code: str, data=None):
             transform = _constraint_transform(decl)
             shape = None
             size = resolve_size(decl.get("size"), line)
-            if size is not None:
+            if decl["type"] == "matrix":
+                size2 = resolve_size(decl.get("size2"), line)
+                shape = (size, size2)  # elementwise prior over the block
+            elif size is not None:
                 shape = (size,)
             if decl["type"] == "simplex":
                 shape = (size,)

@@ -134,8 +134,17 @@ class Parser:
                 if self.peek()[0] == "MINUS":
                     self.next()
                     neg = True
-                num = self.expect("NUMBER")
-                decl[bound_tok[1]] = -float(num[1]) if neg else float(num[1])
+                val_tok = self.next()
+                if val_tok[0] == "NUMBER":
+                    val = -float(val_tok[1]) if neg else float(val_tok[1])
+                elif val_tok[0] == "IDENT" and not neg:
+                    # data-referencing bound, e.g. <lower=min_y> — resolved
+                    # against the data environment by the frontend
+                    val = val_tok[1]
+                else:
+                    self.error("expected a number or data name as bound",
+                               line=val_tok[2])
+                decl[bound_tok[1]] = val
                 if self.peek()[0] == "COMMA":
                     self.next()
                     continue

@@ -160,6 +160,48 @@ class IntervalTransform(Transform):
         return jnp.sum(jnp.log(width) - xm.softplus(z) - xm.softplus(-z))
 
 
+class LowerBoundTransform(Transform):
+    """x = lower + exp(z) — shifted-log transform for general one-sided
+    ``<lower=c>`` constraints (Stan's convention; extension beyond the
+    reference, which only supports lower=0)."""
+
+    name = "lower_bound"
+
+    def __init__(self, lower):
+        self.lower = lower
+
+    def forward(self, z):
+        lim = log_transform_clamp()
+        return self.lower + jnp.exp(jnp.clip(z, -lim, lim))
+
+    def inverse(self, x):
+        return jnp.log(x - self.lower)
+
+    def log_abs_det_jacobian(self, z):
+        lim = log_transform_clamp()
+        return jnp.sum(jnp.clip(z, -lim, lim))
+
+
+class UpperBoundTransform(Transform):
+    """x = upper - exp(z) — for one-sided ``<upper=c>`` constraints."""
+
+    name = "upper_bound"
+
+    def __init__(self, upper):
+        self.upper = upper
+
+    def forward(self, z):
+        lim = log_transform_clamp()
+        return self.upper - jnp.exp(jnp.clip(z, -lim, lim))
+
+    def inverse(self, x):
+        return jnp.log(self.upper - x)
+
+    def log_abs_det_jacobian(self, z):
+        lim = log_transform_clamp()
+        return jnp.sum(jnp.clip(z, -lim, lim))
+
+
 IDENTITY = Transform()
 LOG = LogTransform()
 SOFTPLUS = SoftplusTransform()

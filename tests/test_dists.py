@@ -301,3 +301,19 @@ def test_log_transform_clamped():
     t = tf.get("log")
     big = jnp.asarray(1e6, jnp.float32)
     assert np.isfinite(float(t.forward(big)))
+
+@pytest.mark.parametrize("t", [tf.LowerBoundTransform(2.5),
+                               tf.UpperBoundTransform(-1.0),
+                               tf.IntervalTransform(-2.0, 3.0)])
+def test_bound_transforms_roundtrip_and_ladj(t):
+    z = jnp.asarray([-1.3, 0.4, 2.1], jnp.float32)
+    x = t.forward(z)
+    if isinstance(t, tf.LowerBoundTransform):
+        assert bool(jnp.all(x > t.lower))
+    elif isinstance(t, tf.UpperBoundTransform):
+        assert bool(jnp.all(x < t.upper))
+    np.testing.assert_allclose(np.asarray(t.inverse(x)), np.asarray(z),
+                               atol=5e-4)
+    jac = jax.jacfwd(t.forward)(z)
+    expected = float(jnp.sum(jnp.log(jnp.abs(jnp.diagonal(jac)))))
+    assert abs(float(t.log_abs_det_jacobian(z)) - expected) < 1e-4

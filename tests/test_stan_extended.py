@@ -209,3 +209,79 @@ def test_loop_var_bare_use_rejected():
     """
     with pytest.raises(StanSyntaxError, match="loop variable"):
         stan.compile(code, {"y": np.zeros(2)})
+
+
+# ---- round-3: matrix parameters + data-referencing bounds ----
+
+def test_matrix_parameter_elementwise_prior():
+    code = """
+    data { int N; int K; }
+    parameters { matrix[N, K] B; }
+    model { B ~ normal(0, 1); }
+    """
+    ir = stan.compile(code, {"N": 3, "K": 2})
+    assert ir.nodes["B"].shape == (3, 2)
+    # 6 unconstrained dims; logp at zeros = 6 * logpdf_N(0|0,1)
+    lp, m = _lp(ir, np.zeros(6))
+    assert m.pm.size == 6
+    expected = 6 * (-0.5 * np.log(2 * np.pi))
+    assert abs(lp - expected) < 1e-4
+
+
+def test_matrix_parameter_sampling_end_to_end():
+    code = """
+    data { int N; int K; }
+    parameters { matrix[N, K] B; }
+    model { B ~ normal(3, 0.5); }
+    """
+    trace, stats = stan.sample(
+        code, {"N": 2, "K": 2},
+        num_warmup=300, num_samples=300, num_chains=2, seed=0,
+    )
+    assert trace["B"].shape[-2:] == (2, 2)
+    assert abs(float(np.mean(trace["B"])) - 3.0) < 0.2
+
+
+def test_data_referencing_lower_bound():
+    code = """
+    data { real y0; vector[4] y; }
+    parameters { real<lower=y0> mu; }
+    model { mu ~ normal(0, 10); y ~ normal(mu, 1); }
+    """
+    data = {"y0": 5.0, "y": np.array([6.0, 7.0, 6.5, 7.5])}
+    trace, _ = stan.sample(code, data, num_warmup=300, num_samples=300,
+                           num_chains=2, seed=1)
+    mu = np.asarray(trace["mu"])
+    assert float(mu.min()) > 5.0           # constraint respected
+    assert abs(float(mu.mean()) - 6.75) < 0.5
+
+
+def test_upper_bound_transform():
+    code = """
+    data { vector[4] y; }
+    parameters { real<upper=2> mu; }
+    model { mu ~ normal(0, 10); y ~ normal(mu, 1); }
+    """
+    trace, _ = stan.sample(code, {"y": np.zeros(4)}, num_warmup=300,
+                           num_samples=300, num_chains=2, seed=2)
+    assert float(np.asarray(trace["mu"]).max()) < 2.0
+
+
+def test_nonscalar_bound_rejected():
+    code = """
+    data { vector[4] y; }
+    parameters { real<lower=y> mu; }
+    model { mu ~ normal(0, 10); y ~ normal(mu, 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="scalar data"):
+        stan.compile(code, {"y": np.zeros(4)})
+
+
+def test_unknown_bound_name_rejected():
+    code = """
+    data { real y; }
+    parameters { real<lower=zmin> mu; }
+    model { mu ~ normal(0, 1); y ~ normal(mu, 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="not in the data"):
+        stan.compile(code, {"y": 0.0})
