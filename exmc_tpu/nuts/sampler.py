@@ -108,23 +108,34 @@ def _run_warmup(vag_fn, schedule, q0, logp0, grad0, key, metric0, target_accept,
     dense = metric0.inv.ndim == 2
 
     key, eps_key = jax.random.split(key)
-    if eps0 is None:
+    if eps0 is None and schedule.num_warmup == 0:
+        # degenerate: no warmup iterations to host the in-scan search
         eps0 = find_reasonable_epsilon(vag_fn, q0, logp0, grad0, eps_key, metric0)
-    else:
-        eps0 = jnp.asarray(eps0, dtype)
-    da0 = da_init(eps0)
+    da0 = da_init(jnp.asarray(1.0 if eps0 is None else eps0, dtype))
     wf0 = welford_init(d, dense=dense, dtype=dtype)
 
     xs = (
         jnp.asarray(schedule.update_mass),
         jnp.asarray(schedule.window_end),
         jnp.asarray(schedule.depth_cap),
+        jnp.asarray(_search_flags(schedule, eps0 is None)),
     )
 
     def step(carry, x):
         q, logp, grad, key, da, wf, metric = carry
-        upd_mass, win_end, cap = x
+        upd_mass, win_end, cap, search = x
         key, tkey, ekey = jax.random.split(key, 3)
+        # epsilon (re-)search fires at iteration 0 and the iteration
+        # after each mass window; ONE traced instance for the whole
+        # pipeline (TODO r2: the init-time and window-end copies used to
+        # trace find_reasonable_epsilon twice)
+        da = jax.lax.cond(
+            search,
+            lambda _: da_init(find_reasonable_epsilon(
+                vag_fn, q, logp, grad, ekey, metric)),
+            lambda d_: d_,
+            da,
+        )
         eps = jnp.exp(da.log_eps)
         q, logp, grad, stats = nuts_transition(
             vag_fn, metric, eps, q, logp, grad, tkey, max_depth, cap
@@ -138,11 +149,9 @@ def _run_warmup(vag_fn, schedule, q0, logp0, grad0, key, metric0, target_accept,
                 da, wf, metric = args
                 inv = welford_finalize(wf, metric.inv)
                 new_metric = make_metric(inv)
-                # re-search epsilon after each window (sampler.ex:668-762)
-                eps_new = find_reasonable_epsilon(
-                    vag_fn, q, logp, grad, ekey, new_metric
-                )
-                return da_init(eps_new), welford_init(d, dense=dense, dtype=dtype), new_metric
+                # epsilon re-search happens at the START of the next
+                # iteration (search flag), under this new metric
+                return da, welford_init(d, dense=dense, dtype=dtype), new_metric
 
             da, wf, metric = jax.lax.cond(
                 win_end, on_window_end, lambda a: a, (da, wf, metric)
@@ -156,7 +165,22 @@ def _run_warmup(vag_fn, schedule, q0, logp0, grad0, key, metric0, target_accept,
     return q, logp, grad, key, eps_final, metric
 
 
-def _pipeline_xs(schedule, num_samples, max_depth):
+def _search_flags(schedule, initial_search):
+    """bool[num_warmup]: fire find_reasonable_epsilon at the START of an
+    iteration — iteration 0 (unless warm-started) and the iteration
+    after each mass-window end (the new metric is in place by then).
+    Searching at next-iteration-start instead of window-end keeps ONE
+    traced instance of the search loop in the whole pipeline."""
+    n = schedule.num_warmup
+    search = np.zeros(n, dtype=bool)
+    if n == 0:
+        return search
+    search[1:] = schedule.window_end[:-1]
+    search[0] = bool(initial_search)
+    return search
+
+
+def _pipeline_xs(schedule, num_samples, max_depth, initial_search=True):
     """Per-iteration control arrays for the unified warmup+sampling scan
     (host numpy; sliced into segments for chunked execution)."""
     num_warmup = schedule.num_warmup
@@ -168,17 +192,18 @@ def _pipeline_xs(schedule, num_samples, max_depth):
             [schedule.depth_cap, np.full(num_samples, max_depth, np.int32)]
         ),
         np.concatenate([np.ones(num_warmup, bool), pad]),
+        np.concatenate([_search_flags(schedule, initial_search), pad]),
     )
 
 
 def _pipeline_init(vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype,
-                   dense):
+                   dense, init_search=False):
     key, eps_key = jax.random.split(key)
-    if eps0 is None:
+    if eps0 is None and init_search:
+        # only for schedules with no warmup iterations to host the
+        # in-scan search (see _search_flags)
         eps0 = find_reasonable_epsilon(vag_fn, q0, logp0, grad0, eps_key, metric0)
-    else:
-        eps0 = jnp.asarray(eps0, dtype)
-    da0 = da_init(eps0)
+    da0 = da_init(jnp.asarray(1.0 if eps0 is None else eps0, dtype))
     wf0 = welford_init(d, dense=dense, dtype=dtype)
     recoveries0 = jnp.zeros((), jnp.int32)
     return (q0, logp0, grad0, key, da0, wf0, metric0, recoveries0)
@@ -197,8 +222,18 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
 
     def step(carry, x):
         q, logp, grad, key, da, wf, metric, recoveries = carry
-        upd_mass, win_end, cap, in_warmup = x
+        upd_mass, win_end, cap, in_warmup, search = x
         key, tkey, ekey, rkey = jax.random.split(key, 4)
+        # epsilon (re-)search at iteration starts flagged by the
+        # schedule (iteration 0 + post-window); one traced instance of
+        # find_reasonable_epsilon per pipeline (TODO r2 compile latency)
+        da = jax.lax.cond(
+            search,
+            lambda _: da_init(find_reasonable_epsilon(
+                vag_fn, q, logp, grad, ekey, metric)),
+            lambda d_: d_,
+            da,
+        )
         eps = jnp.where(in_warmup, jnp.exp(da.log_eps), da_finalize(da))
         q, logp, grad, stats = nuts_transition(
             vag_fn, metric, eps, q, logp, grad, tkey, max_depth, cap
@@ -239,12 +274,11 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
                 )
                 inv = welford_finalize(wf_eff, metric.inv)
                 new_metric = make_metric(inv)
-                # re-search epsilon after each window (sampler.ex:668-762)
-                eps_new = find_reasonable_epsilon(
-                    vag_fn, q, logp, grad, ekey, new_metric
-                )
+                # epsilon re-search fires at the START of the next
+                # iteration (search flag) under this new metric
+                # (sampler.ex:668-762 semantics, one traced search)
                 return (
-                    da_init(eps_new),
+                    da,
                     welford_init(d, dense=dense, dtype=dtype),
                     new_metric,
                 )
@@ -277,9 +311,12 @@ def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
     num_warmup = schedule.num_warmup
 
     carry = _pipeline_init(
-        vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype, dense
+        vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype, dense,
+        init_search=(num_warmup == 0),
     )
-    xs = jax.tree.map(jnp.asarray, _pipeline_xs(schedule, num_samples, max_depth))
+    xs = jax.tree.map(jnp.asarray, _pipeline_xs(
+        schedule, num_samples, max_depth, initial_search=(eps0 is None)
+    ))
     carry, (draws, stats) = _pipeline_segment(
         vag_fn, carry, xs, target_accept, max_depth, adapt_mass, d, dtype,
         dense, pool_axis=pool_axis,
@@ -536,7 +573,7 @@ class NUTSSampler:
                 q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, qi)
                 return _pipeline_init(
                     vag_fn, q0, logp0, grad0, key, metric0, None, d, dtype,
-                    dense,
+                    dense, init_search=(self._schedule.num_warmup == 0),
                 )
             return jax.vmap(one)(q_inits, keys)
 

@@ -67,6 +67,11 @@ def main():
                               **EXTRA_OPTS.get(name, {}))
             except Exception as e2:  # noqa
                 r = {"model": name, "error": str(e2)}
+        if "error" in r and "error" not in results.get(name, {"error": 1}):
+            # never clobber a good prior row with a tunnel failure
+            print(f"  keeping prior row for {name} after: {r['error'][:80]}",
+                  flush=True)
+            continue
         results[name] = r
         print(json.dumps(r, default=float), flush=True)
 
