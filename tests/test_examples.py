@@ -17,6 +17,8 @@ EXAMPLES = [
     "07_radon_bhm.py",
     "08_insurance_claims.py",
     "09_state_space.py",
+    "10_bayesian_spc.py",
+    "11_bearing_rul.py",
 ]
 
 

@@ -209,3 +209,23 @@ def test_nuts_divergence_detection():
         bad_vag, metric, 5.0, q, logp, grad, jax.random.PRNGKey(3), 10
     )
     assert bool(stats["diverging"])
+
+
+def test_search_flags_follow_windows():
+    from exmc_tpu.nuts.sampler import _search_flags
+
+    s = build_schedule(1000)
+    flags = _search_flags(s, initial_search=True)
+    assert flags[0]
+    # a search fires exactly one iteration after each window end
+    idx = np.where(s.window_end)[0]
+    assert all(flags[i + 1] for i in idx if i + 1 < 1000)
+    # and nowhere else (besides iteration 0)
+    expected = 1 + sum(1 for i in idx if i + 1 < 1000)
+    assert int(flags.sum()) == expected
+    # warm-started pipelines search only after windows
+    flags_ws = _search_flags(s, initial_search=False)
+    assert not flags_ws[0]
+    assert int(flags_ws.sum()) == expected - 1
+    # degenerate schedules host no search
+    assert _search_flags(build_schedule(0), True).shape == (0,)
