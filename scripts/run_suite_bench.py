@@ -6,6 +6,7 @@ overwrites it."""
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -19,10 +20,12 @@ CHAINS = {
     "funnel": 128, "logistic": 128, "sv": 64,
 }
 # After the vectorized U-turn checks all seven models complete 2000
-# iterations in one device call within watchdog limits; run_chunked
-# remains available for longer runs (its per-call dispatch overhead on
-# this tunnel is large — DESIGN D-T15).
-CHUNKED = {}
+# iterations in one device call within watchdog limits at ta=0.8;
+# at target_accept 0.95 the centered eight_schools call runs deep
+# trees for minutes and has crashed the tunnel's TPU worker twice —
+# bound it from the start (per-call dispatch overhead is the price,
+# DESIGN D-T15).
+CHUNKED = {"eight_schools": 500}
 
 # the reference pipeline applies automatic NCP by default; only
 # eight_schools runs centered "deliberately, because the centered
@@ -43,8 +46,36 @@ EXTRA_OPTS = {
 }
 
 
+def run_one(name, chunked=None):
+    try:
+        return run_model(name, num_chains=CHAINS[name], num_warmup=1000,
+                         num_samples=1000, seed=0, ncp=NCP[name],
+                         chunked=chunked, seeds=5,
+                         **EXTRA_OPTS.get(name, {}))
+    except Exception as e:  # noqa
+        # tunnel instability / watchdog: retry once in bounded calls.
+        # NOTE: if the TPU worker itself crashed, this retry ALSO fails —
+        # the backend is dead for the rest of the process; the parent's
+        # per-model subprocess isolation is what actually recovers.
+        print(f"  retrying {name} chunked after: {e}", flush=True)
+        try:
+            return run_model(name, num_chains=CHAINS[name], num_warmup=1000,
+                             num_samples=1000, seed=0, ncp=NCP[name],
+                             chunked=chunked or 500, seeds=5,
+                             **EXTRA_OPTS.get(name, {}))
+        except Exception as e2:  # noqa
+            return {"model": name, "error": str(e2)}
+
+
 def main():
-    models = sys.argv[1:] or list(MODELS)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--child" in sys.argv:
+        # single-model worker: last stdout line is the result JSON
+        r = run_one(argv[0], chunked=CHUNKED.get(argv[0]))
+        print("RESULT " + json.dumps(r, default=float), flush=True)
+        return
+
+    models = argv or list(MODELS)
     # merge with prior results so partial re-runs don't clobber the table
     results = {}
     if os.path.exists("BENCH_SUITE.json"):
@@ -52,21 +83,21 @@ def main():
             results = json.load(f)
     for name in models:
         print(f"=== {name} ===", flush=True)
-        try:
-            r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
-                          num_samples=1000, seed=0, ncp=NCP[name],
-                          chunked=CHUNKED.get(name), seeds=5,
-                          **EXTRA_OPTS.get(name, {}))
-        except Exception as e:  # noqa
-            # tunnel instability / watchdog: retry once in bounded calls
-            print(f"  retrying {name} chunked after: {e}", flush=True)
-            try:
-                r = run_model(name, num_chains=CHAINS[name], num_warmup=1000,
-                              num_samples=1000, seed=0, ncp=NCP[name],
-                              chunked=500, seeds=5,
-                              **EXTRA_OPTS.get(name, {}))
-            except Exception as e2:  # noqa
-                r = {"model": name, "error": str(e2)}
+        # each model runs in its own subprocess: a TPU worker crash
+        # (UNAVAILABLE) kills the backend for the whole client process,
+        # so without isolation one crash poisons every later model
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name, "--child"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        r = {"model": name, "error": f"child died rc={proc.returncode}: "
+             f"{proc.stderr[-300:]}"}
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+            else:
+                print(line, flush=True)
         if "error" in r and "error" not in results.get(name, {"error": 1}):
             # never clobber a good prior row with a tunnel failure
             print(f"  keeping prior row for {name} after: {r['error'][:80]}",
@@ -97,7 +128,8 @@ def main():
             continue
         lines.append(
             f"| {name} | {r['num_chains']} | {r['wall_s']:.1f} | "
-            f"{r['compile_s']:.0f} | {r['min_ess_per_s']:.1f} | "
+            f"{r.get('compile_s', float('nan')):.0f} | "
+            f"{r['min_ess_per_s']:.1f} | "
             f"{r['vs_exmc']:.0f}x | {r['vs_pymc']:.0f}x | "
             f"{r['max_rhat']:.3f} | {r['divergence_rate']:.4f} |"
         )
