@@ -1,0 +1,179 @@
+"""ASIS / interweaving Gibbs step for NCP'd scale parameters.
+
+Yu & Meng 2011 ("to center or not to center"): the non-centered
+(ancillary) parameterization the rewrite pipeline applies removes the
+funnel, but at weak per-observation identification it couples the scale
+sigma to EVERY z coordinate — the posterior over (sigma, z) develops a
+ridge NUTS crawls along (the T=5000 stochastic-volatility mixing
+failure, TODO r2 #2). Interweaving alternates the two
+parameterizations: after each NUTS transition in NCP coordinates, one
+Gibbs-style update of sigma in the CENTERED (sufficient)
+parameterization, where sigma's conditional given the reconstructed
+path s (held fixed) does not involve y at all:
+
+    p(sigma | s) ∝ sigma^{-n} exp(-SSE_s / (2 sigma^2)) p(sigma),
+    SSE_s = sum(increments^2) = sigma^2 |z|^2  (invariant on the fiber)
+
+The move proposes v' = sigma'^2 from the scaled-inv-chi^2 dominant
+factor (an independence proposal: v' = SSE_s / chi2_n), rescales the
+ancillary coordinates deterministically z' = z * sigma/sigma', and
+MH-corrects for the prior. Full acceptance ratio in (z, v) coordinates
+(N(z) ratio x proposal ratio x fiber-map Jacobian (sigma/sigma')^n all
+collapse):
+
+    log alpha = [log p_v(v') - log p_v(v)] + [log v' - log v],
+    p_v(v) = p_sigma(sqrt(v)) / (2 sqrt(v))
+
+One accepted draw jumps sigma ACROSS the ridge instead of crawling —
+this is what breaks the low-sigma trap mode seen on 2/5 SV seeds.
+
+Applies to any scale that (a) is a scalar free RV with constant prior
+params, and (b) is referenced ONLY as the NCP sigma of Normal/GRW
+latents (both give s - mu = sigma * z, so SSE_s = sigma^2 |z|^2 in all
+cases; a Normal-NCP mu may be a ref — it is held fixed by the move).
+Beyond the reference repo (its ASIS entry is an open candidate,
+TODO r2 #2); enabled via ``sample(..., interweave=True)``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exmc_tpu.dists.base import get as get_dist
+from exmc_tpu.transforms import get as get_transform
+
+
+def _references(ir, target):
+    """Yield (node_id, role) for every reference to ``target`` in the
+    rewritten IR: rv/det param refs and det args (ncp_info refs are
+    accounted separately by the caller)."""
+    for nid, node in ir.nodes.items():
+        if nid == target:
+            continue
+        op = node.op
+        if op[0] == "rv":
+            for v in op[2].values():
+                if isinstance(v, str) and v == target:
+                    yield nid, "rv_param"
+                if isinstance(v, (list, tuple)):
+                    for e in v:
+                        if isinstance(e, str) and e == target:
+                            yield nid, "rv_param"
+        elif op[0] == "det":
+            for a in op[2]:
+                if isinstance(a, str) and a == target:
+                    yield nid, "det_arg"
+        elif op[0] in ("obs", "meas_obs"):
+            if target in node.deps:
+                yield nid, "obs"
+
+
+def eligible_groups(model):
+    """Find interweavable scales: {sigma_id: [(z_offset, z_len), ...]}.
+
+    Eligibility: sigma is a scalar free RV with constant prior params,
+    and every reference to it (outside its own node) is as the NCP
+    "sigma" of a Normal/GRW latent whose point-map entry exists.
+    """
+    ir, pm, ncp = model.ir, model.pm, model.ncp_info
+    entries = {e.id: e for e in pm.entries}
+
+    by_sigma = {}
+    for nid, info in ncp.items():
+        sig = info.get("sigma")
+        if isinstance(sig, str):
+            by_sigma.setdefault(sig, []).append(nid)
+
+    groups = []
+    for sig, latents in by_sigma.items():
+        e_sig = entries.get(sig)
+        if e_sig is None or e_sig.length != 1:
+            continue
+        node = ir.nodes.get(sig)
+        if node is None or node.op[0] != "rv":
+            continue
+        prior_params = node.op[2]
+        if any(isinstance(v, str) for v in prior_params.values()):
+            continue  # prior depends on other coordinates
+        # mu of an NCP entry referencing sigma would break the fiber map
+        if any(ncp[nid].get("mu") == sig for nid in latents):
+            continue
+        # all OTHER references must be exactly the NCP latents' z nodes
+        # (whose rewritten rv op is N(0,1) and no longer references sig)
+        refs = list(_references(ir, sig))
+        if refs:
+            continue
+        zs = []
+        ok = True
+        for nid in latents:
+            e = entries.get(nid)
+            if e is None:
+                ok = False
+                break
+            zs.append((e.offset, e.length))
+        if not ok or not zs:
+            continue
+        groups.append({
+            "sigma_id": sig,
+            "offset": e_sig.offset,
+            "transform": get_transform(e_sig.transform),
+            "dist": get_dist(node.op[1]),
+            "params": {k: np.asarray(v, np.float64).astype(np.float32)
+                       if not np.isscalar(v) else v
+                       for k, v in prior_params.items()},
+            "zs": tuple(zs),
+            "n": int(sum(ln for _, ln in zs)),
+        })
+    return groups
+
+
+def build_interweave(model):
+    """Return ``fn(q, key) -> (q', accept_frac)`` applying one ASIS scale
+    update per eligible group, or None when nothing is eligible."""
+    groups = eligible_groups(model)
+    if not groups:
+        return None
+
+    def step(q, key):
+        accepts = []
+        for g in groups:
+            key, kchi, kacc = jax.random.split(key, 3)
+            off, tf, n = g["offset"], g["transform"], g["n"]
+            u = q[off]
+            sigma = tf.forward(u)
+            zz = jnp.zeros((), q.dtype)
+            for zoff, zlen in g["zs"]:
+                zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
+                zz = zz + jnp.sum(zseg * zseg)
+            zz = jnp.maximum(zz, 1e-20)  # all-zero z: degenerate fiber
+            v = sigma * sigma
+            sse = v * zz
+            # scaled-inv-chi^2 independence proposal from the dominant
+            # likelihood factor: v' = SSE / chi2_n
+            chi2 = 2.0 * jax.random.gamma(kchi, 0.5 * n, dtype=q.dtype)
+            v_new = sse / jnp.maximum(chi2, 1e-20)
+            sigma_new = jnp.sqrt(v_new)
+
+            def lpv(s_val, v_val):
+                # prior density wrt v = sigma^2: p(sqrt v) / (2 sqrt v)
+                lp = g["dist"].logpdf(s_val, g["params"])
+                return jnp.sum(lp) - jnp.log(2.0 * s_val)
+
+            log_alpha = (lpv(sigma_new, v_new) - lpv(sigma, v)
+                         + jnp.log(v_new) - jnp.log(v))
+            accept = (jnp.log(jax.random.uniform(kacc, dtype=q.dtype))
+                      < log_alpha)
+            # guard: the proposal can overflow to inf/0 in f32 at
+            # pathological SSE — reject those outright
+            accept = accept & jnp.isfinite(sigma_new) & (sigma_new > 0)
+
+            scale = jnp.where(accept, sigma / sigma_new, 1.0)
+            u_new = jnp.where(accept, tf.inverse(sigma_new), u)
+            for zoff, zlen in g["zs"]:
+                zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
+                q = jax.lax.dynamic_update_slice(q, zseg * scale, (zoff,))
+            q = q.at[off].set(u_new)
+            accepts.append(accept.astype(q.dtype))
+        return q, jnp.mean(jnp.stack(accepts))
+
+    return step

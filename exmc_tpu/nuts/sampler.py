@@ -210,7 +210,8 @@ def _pipeline_init(vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype,
 
 
 def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
-                      adapt_mass, d, dtype, dense, pool_axis=None):
+                      adapt_mass, d, dtype, dense, pool_axis=None,
+                      interweave_fn=None):
     """Scan a segment of the unified pipeline; carry threads across
     segments so execution can be chunked into bounded device calls.
 
@@ -254,6 +255,16 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
         logp = jnp.where(do_reset, logp_f, logp)
         grad = jnp.where(do_reset, grad_f, grad)
         recoveries = recoveries + do_reset.astype(jnp.int32)
+        # ASIS interweaving (nuts/interweave.py): one centered-
+        # parameterization Gibbs update of each eligible NCP scale after
+        # every transition; the fiber move keeps the reconstructed
+        # latents fixed, so only (z, sigma) coordinates change and one
+        # vag re-evaluation refreshes the carry
+        iw_acc = None
+        if interweave_fn is not None:
+            key, iwkey = jax.random.split(key)
+            q, iw_acc = interweave_fn(q, iwkey)
+            logp, grad = vag_fn(q)
         # NOTE: the dual-averaging signal stays PER-CHAIN even under
         # pooled mass adaptation — pooling it (pmean of accept_prob) was
         # measured to raise the divergence rate ~27x on eight_schools
@@ -287,6 +298,8 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
                 win_end, on_window_end, lambda a: a, (da, wf, metric)
             )
         out_stats = dict(stats, logp=logp, step_size=eps)
+        if iw_acc is not None:
+            out_stats["iw_accept"] = iw_acc
         return (q, logp, grad, key, da, wf, metric, recoveries), (q, out_stats)
 
     return jax.lax.scan(step, carry, xs)
@@ -294,7 +307,7 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
 
 def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
                  target_accept, max_depth, eps0=None, adapt_mass=True,
-                 pool_axis=None):
+                 pool_axis=None, interweave_fn=None):
     """Warmup + sampling as ONE scan (one chain; vmapped by the caller).
 
     The tree kernel is the largest traced subprogram; tracing it once
@@ -319,7 +332,7 @@ def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
     ))
     carry, (draws, stats) = _pipeline_segment(
         vag_fn, carry, xs, target_accept, max_depth, adapt_mass, d, dtype,
-        dense, pool_axis=pool_axis,
+        dense, pool_axis=pool_axis, interweave_fn=interweave_fn,
     )
     da, metric, recoveries = carry[4], carry[6], carry[7]
     draws = draws[num_warmup:]
@@ -363,6 +376,9 @@ class NUTSSampler:
     vag_builder: object = None  # optional data -> vag_fn override; the
     #                             sp-sharded-likelihood hook
     #                             (parallel/sharding.make_data_parallel_vag)
+    interweave: bool = False  # ASIS scale updates after each transition
+    #                           (nuts/interweave.py; weak-identification
+    #                           state-space models)
 
     def __post_init__(self):
         if self.shared_warmup and self.pooled_adaptation:
@@ -371,6 +387,23 @@ class NUTSSampler:
                 "shared warmup adapts on chain 0 only, pooling needs all "
                 "chains' warmup to run"
             )
+        self._iw_fn = None
+        if self.interweave:
+            if self.shared_warmup:
+                raise ValueError(
+                    "interweave requires the per-chain pipeline "
+                    "(shared_warmup=False)"
+                )
+            from exmc_tpu.nuts.interweave import build_interweave
+
+            self._iw_fn = build_interweave(self.model)
+            if self._iw_fn is None:
+                raise ValueError(
+                    "interweave=True but no eligible NCP scale parameters "
+                    "were found (need a scalar free-RV scale referenced "
+                    "only as the NCP sigma of Normal/GRW latents; did you "
+                    "compile with ncp=False?)"
+                )
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
         self._ft_schedule = build_schedule(
             FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,
@@ -410,14 +443,14 @@ class NUTSSampler:
             draws, stats, eps, metric, recov = _run_unified(
                 vag_fn, self._ft_schedule, self.num_samples, q0, logp0,
                 grad0, key, metric, self.target_accept, self.max_tree_depth,
-                eps0=ws_eps, adapt_mass=False,
+                eps0=ws_eps, adapt_mass=False, interweave_fn=self._iw_fn,
             )
         else:
             metric = self._init_metric(dtype)
             draws, stats, eps, metric, recov = _run_unified(
                 vag_fn, self._schedule, self.num_samples, q0, logp0, grad0,
                 key, metric, self.target_accept, self.max_tree_depth,
-                pool_axis=pool_axis,
+                pool_axis=pool_axis, interweave_fn=self._iw_fn,
             )
 
         tuning = {"step_size": eps, "inv_mass": metric.inv,
@@ -583,6 +616,7 @@ class NUTSSampler:
             return _pipeline_segment(
                 vag_fn, carry, xs, self.target_accept, self.max_tree_depth,
                 True, d, dtype, dense, pool_axis=pool_axis,
+                interweave_fn=self._iw_fn,
             )
 
         seg_fn = jax.jit(jax.vmap(seg, in_axes=(0, None), axis_name="chains"))
@@ -808,6 +842,7 @@ def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
         "dense_mass",
         "shared_warmup",
         "pooled_adaptation",
+        "interweave",
     )
     unknown = set(opts) - set(known_keys)
     if unknown:

@@ -1,0 +1,97 @@
+"""ASIS interweaving (nuts/interweave.py): eligibility detection,
+posterior invariance, and exactness on a prior-only target."""
+
+import numpy as np
+import pytest
+
+from exmc_tpu import Builder, compile_logp, dists, sample
+from exmc_tpu.benchmarks.suite import sv_model
+from exmc_tpu.diagnostics import rhat
+from exmc_tpu.nuts.interweave import build_interweave, eligible_groups
+
+
+def grw_obs_model(t=40, seed=3):
+    rng = np.random.default_rng(seed)
+    true_sigma = 0.3
+    x = np.cumsum(rng.normal(0, true_sigma, t))
+    y = (x + rng.normal(0, 0.5, t)).astype(np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "x", dists.GaussianRandomWalk, {"sigma": "sigma"},
+                    shape=(t,))
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "x", "sigma": 0.5},
+                    shape=(t,))
+    ir = Builder.obs(ir, "y_obs", "y", y)
+    return ir
+
+
+def test_eligibility_sv_and_eight_schools():
+    m = compile_logp(sv_model(t=20), ncp=True)
+    gs = eligible_groups(m)
+    assert len(gs) == 1 and gs[0]["sigma_id"] == "sigma"
+    assert gs[0]["n"] == 20
+
+    # centered compile: no NCP info, nothing to interweave
+    m_c = compile_logp(sv_model(t=20), ncp=False)
+    assert build_interweave(m_c) is None
+
+    # eight-schools NCP: tau pooled over the 8 per-school z's
+    from exmc_tpu.benchmarks.suite import eight_schools_model
+
+    m8 = compile_logp(eight_schools_model(), ncp=True)
+    gs8 = eligible_groups(m8)
+    assert len(gs8) == 1 and gs8[0]["sigma_id"] == "tau"
+    assert gs8[0]["n"] == 8 and len(gs8[0]["zs"]) == 8
+
+
+def test_interweave_requires_eligible_scale():
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+    with pytest.raises(ValueError, match="no eligible"):
+        sample(ir, num_warmup=10, num_samples=10, interweave=True)
+
+
+def test_prior_exactness_with_interweave():
+    """Sampling the PRIOR s ~ GRW(sigma), sigma ~ HalfNormal(0.8): any
+    error in the fiber-move acceptance would bias sigma's marginal,
+    which here is known exactly (E sigma = 0.8 sqrt(2/pi))."""
+    t = 30
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 0.8})
+    ir = Builder.rv(ir, "s", dists.GaussianRandomWalk, {"sigma": "sigma"},
+                    shape=(t,))
+    trace, stats = sample(ir, num_chains=8, num_warmup=500, num_samples=800,
+                          seed=0, interweave=True)
+    assert float(np.mean(stats["iw_accept"])) > 0.5
+    expected = 0.8 * np.sqrt(2.0 / np.pi)
+    got = float(trace["sigma"].mean())
+    assert abs(got - expected) < 0.03, (got, expected)
+    sd_expected = 0.8 * np.sqrt(1.0 - 2.0 / np.pi)
+    assert abs(float(trace["sigma"].std()) - sd_expected) < 0.03
+
+
+def test_posterior_invariance_grw():
+    """With/without interweave must agree on the GRW+Normal posterior."""
+    ir = grw_obs_model()
+    kw = dict(num_chains=8, num_warmup=500, num_samples=800, seed=1)
+    t_plain, _ = sample(ir, **kw)
+    t_iw, s_iw = sample(ir, interweave=True, **kw)
+    assert float(np.mean(s_iw["iw_accept"])) > 0.5
+    for k in ("sigma",):
+        a, b = t_plain[k], t_iw[k]
+        assert float(rhat(b)) < 1.02
+        # means agree within joint MC error
+        assert abs(a.mean() - b.mean()) < 4 * (a.std() + b.std()) / np.sqrt(
+            min(a.size, b.size) / 10
+        )
+    # latent path means agree pointwise
+    pa = t_plain["x"].reshape(-1, 40).mean(axis=0)
+    pb = t_iw["x"].reshape(-1, 40).mean(axis=0)
+    assert float(np.max(np.abs(pa - pb))) < 0.25
+
+
+def test_interweave_smoke_sv():
+    trace, stats = sample(sv_model(t=30), num_chains=4, num_warmup=300,
+                          num_samples=300, seed=0, interweave=True)
+    assert "iw_accept" in stats
+    assert np.isfinite(trace["sigma"]).all()
