@@ -431,6 +431,30 @@ class NUTSSampler:
             return make_metric(jnp.eye(d, dtype=dtype))
         return make_metric(jnp.ones((d,), dtype=dtype))
 
+    def _resolve_inits(self, init, num_chains, base, d, dtype, data):
+        """Per-chain unconstrained init positions: a named dict (all
+        chains start there), ``"pathfinder"`` (multi-path ELBO-raced
+        mode-finding draws — the defence against spurious posterior
+        modes), or None (Stan-style random box, drawn per chain)."""
+        if isinstance(init, str):
+            if init != "pathfinder":
+                raise ValueError(f"unknown init mode {init!r} "
+                                 "(expected 'pathfinder' or a named dict)")
+            from exmc_tpu.pathfinder import pathfinder_init
+
+            q = pathfinder_init(self.model, num_chains,
+                                seed=int(jax.random.randint(
+                                    base, (), 0, 2**31 - 1)),
+                                data=data)
+            return jnp.asarray(q, dtype)
+        if init is not None:
+            flat0 = self.model.unconstrain(init).astype(dtype)
+            return jnp.broadcast_to(flat0, (num_chains, d))
+        init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
+        )
+        return jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
+
     def _one_chain(self, data, q_init, key, warm_started, ws_eps, ws_inv):
         dtype = default_dtype()
         vag_fn = self._vag(data)
@@ -511,14 +535,7 @@ class NUTSSampler:
             jnp.arange(num_chains)
         )
 
-        if init is not None:
-            flat0 = self.model.unconstrain(init).astype(dtype)
-            q_inits = jnp.broadcast_to(flat0, (num_chains, d))
-        else:
-            init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
-            )
-            q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
+        q_inits = self._resolve_inits(init, num_chains, base, d, dtype, data)
 
         warm_started = warm_start is not None
         if warm_started:
@@ -589,14 +606,7 @@ class NUTSSampler:
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i * CHAIN_SEED_STRIDE))(
             jnp.arange(num_chains)
         )
-        if init is not None:
-            flat0 = self.model.unconstrain(init).astype(dtype)
-            q_inits = jnp.broadcast_to(flat0, (num_chains, d))
-        else:
-            init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
-            )
-            q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
+        q_inits = self._resolve_inits(init, num_chains, base, d, dtype, data)
 
         metric0 = self._init_metric(dtype)
 

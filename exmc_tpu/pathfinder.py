@@ -147,6 +147,33 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
     }
 
 
+def pathfinder_init(ir, num_chains, *, seed=0, data=None, ncp=True,
+                    num_paths=8, num_iters=150):
+    """Multi-path Pathfinder MCMC initialization (the paper's stated
+    purpose, Zhang et al. 2022 §1): run ``num_paths`` independent
+    L-BFGS paths from random starts, keep the path with the best
+    MC-ELBO, and return ``(num_chains, d)`` unconstrained draws from its
+    fit as per-chain NUTS inits.
+
+    This is the mode-finding defence against multimodal posteriors at
+    weak identification (the long-T SV "all-observations-are-outliers"
+    trap mode, TODO r2 #2): a random init can land in a spurious basin
+    NUTS never leaves, but the ELBO race across paths reliably selects
+    the dominant mode. Exposed as ``sample(..., init="pathfinder")``.
+    """
+    model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
+    best = None
+    for p in range(num_paths):
+        r = pathfinder_fit(
+            model, num_iters=num_iters, num_draws=num_chains,
+            num_elbo_draws=20, seed=seed + 1_000_003 * p, data=data,
+        )
+        e = float(np.max(r["elbo_path"]))
+        if best is None or e > best[0]:
+            best = (e, r)
+    return best[1]["draws_unconstrained"][0][:num_chains]
+
+
 def _pathfinder_lowrank(ir, *, num_iters, num_draws, num_elbo_draws, seed,
                         data, ncp):
     from exmc_tpu.pathfinder_lowrank import lowrank_factors, sample_and_logq

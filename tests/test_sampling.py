@@ -149,3 +149,28 @@ def test_vector_rv_with_explicit_shape():
     ir = Builder.obs(ir, "y_obs", "y", ys)
     trace, _ = sample(ir, num_warmup=300, num_samples=300, seed=9)
     assert trace["mu"].shape == (1, 300, 3)
+
+
+def test_pathfinder_init_mode():
+    """init='pathfinder' (multi-path ELBO-raced inits) samples the same
+    posterior as random inits."""
+    import numpy as np
+
+    from exmc_tpu import Builder, dists, sample
+
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3, 2.2, 1.7, 2.4, 2.6],
+                  dtype=np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 2.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+    trace, stats = sample(ir, num_chains=4, num_warmup=400, num_samples=400,
+                          seed=0, init="pathfinder")
+    assert abs(float(trace["mu"].mean()) - 2.1) < 0.3
+    assert int(stats["divergences"].sum()) == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown init mode"):
+        sample(ir, num_warmup=10, num_samples=10, init="magic")
