@@ -193,6 +193,10 @@ def _pipeline_xs(schedule, num_samples, max_depth, initial_search=True):
         ),
         np.concatenate([np.ones(num_warmup, bool), pad]),
         np.concatenate([_search_flags(schedule, initial_search), pad]),
+        # ensemble-rescue checkpoints: post-window iterations only (the
+        # same shifted-window flags as the eps search, minus iteration 0
+        # where cross-chain logp spread is natural init diversity)
+        np.concatenate([_search_flags(schedule, False), pad]),
     )
 
 
@@ -206,12 +210,13 @@ def _pipeline_init(vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype,
     da0 = da_init(jnp.asarray(1.0 if eps0 is None else eps0, dtype))
     wf0 = welford_init(d, dense=dense, dtype=dtype)
     recoveries0 = jnp.zeros((), jnp.int32)
-    return (q0, logp0, grad0, key, da0, wf0, metric0, recoveries0)
+    rescues0 = jnp.zeros((), jnp.int32)
+    return (q0, logp0, grad0, key, da0, wf0, metric0, recoveries0, rescues0)
 
 
 def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
                       adapt_mass, d, dtype, dense, pool_axis=None,
-                      interweave_fn=None):
+                      interweave_fn=None, rescue_axis=None):
     """Scan a segment of the unified pipeline; carry threads across
     segments so execution can be chunked into bounded device calls.
 
@@ -219,12 +224,70 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
     merged across ALL chains at each window end before finalizing
     (pooled adaptation; see welford_merge_across). The window-end
     predicate comes from the shared (unbatched) schedule, so the cond
-    fires uniformly across the batch and the collective is safe."""
+    fires uniformly across the batch and the collective is safe.
+
+    ``rescue_axis``: a vmap axis name — when set, warmup ENSEMBLE
+    RESCUE runs at each post-window checkpoint: chains whose logp sits
+    far below the cross-chain median (a robust MAD threshold; modes
+    within ~50 nats are left alone) adopt the best chain's position
+    (jittered) and its metric, then re-search eps from there. During
+    warmup anything goes; this turns the vmap ensemble into a safety
+    net against per-chain adaptation traps (e.g. the long-T SV frozen
+    low-sigma basin) that no amount of per-chain tuning escapes —
+    the TPU-native analogue of the reference's retry-failed-chains
+    (distributed.ex:172-180), but for SOFT failures."""
 
     def step(carry, x):
-        q, logp, grad, key, da, wf, metric, recoveries = carry
-        upd_mass, win_end, cap, in_warmup, search = x
-        key, tkey, ekey, rkey = jax.random.split(key, 4)
+        q, logp, grad, key, da, wf, metric, recoveries, rescues = carry
+        upd_mass, win_end, cap, in_warmup, search, resc = x
+        key, tkey, ekey, rkey, rskey = jax.random.split(key, 5)
+        if rescue_axis is not None:
+
+            def do_rescue(args):
+                q, logp, grad, metric, rescues = args
+                logps = jax.lax.all_gather(logp, rescue_axis)
+                n_chains = logps.shape[0]
+                # Detector notes (calibrated on the T=5000 SV trap):
+                # * reference = 75th-percentile chain, NOT the median —
+                #   with half the ensemble trapped, median/MAD sit in
+                #   the gap and never flag anything; NOT the max — a
+                #   frozen-at-the-mode chain sits ~d/2 nats ABOVE the
+                #   typical set and would flag every healthy chain.
+                # * threshold scales with sqrt(d): per-draw logp
+                #   fluctuates with sd ~sqrt(d/2) in the typical set
+                #   (measured 50 nats at d=5002, exactly sqrt(d/2)), so
+                #   a fixed 50-nat gap misfires in high dimension; the
+                #   T=5000 trap basins sit 140-290 nats below the
+                #   healthy cluster, so 1.5*sqrt(d) (~106) separates
+                #   them while a false positive merely teleports a
+                #   healthy chain onto another healthy chain mid-warmup
+                #   (harmless).
+                # * never rescue a majority: if more than half the
+                #   ensemble sits below the threshold there is no
+                #   evidence WHICH cluster is right.
+                order = jnp.argsort(logps)
+                ref_idx = order[int(np.ceil(0.75 * (n_chains - 1)))]
+                ref = logps[ref_idx]
+                thresh = ref - jnp.maximum(50.0, 1.5 * np.sqrt(d))
+                bad_all = logps < thresh
+                frac = jnp.mean(bad_all.astype(q.dtype))
+                bad = (logp < thresh) & (frac <= 0.5)
+                donor = ref_idx  # a typical healthy chain, not the max
+                donor_q = jax.lax.all_gather(q, rescue_axis)[donor]
+                q_new = jnp.where(
+                    bad,
+                    donor_q + 0.01 * jax.random.normal(rskey, q.shape, q.dtype),
+                    q,
+                )
+                logp_new, grad_new = vag_fn(q_new)
+                donor_inv = jax.lax.all_gather(metric.inv, rescue_axis)[donor]
+                inv_new = jnp.where(bad, donor_inv, metric.inv)
+                return (q_new, logp_new, grad_new, make_metric(inv_new),
+                        rescues + bad.astype(jnp.int32))
+
+            q, logp, grad, metric, rescues = jax.lax.cond(
+                resc, do_rescue, lambda a: a, (q, logp, grad, metric, rescues)
+            )
         # epsilon (re-)search at iteration starts flagged by the
         # schedule (iteration 0 + post-window); one traced instance of
         # find_reasonable_epsilon per pipeline (TODO r2 compile latency)
@@ -300,14 +363,15 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
         out_stats = dict(stats, logp=logp, step_size=eps)
         if iw_acc is not None:
             out_stats["iw_accept"] = iw_acc
-        return (q, logp, grad, key, da, wf, metric, recoveries), (q, out_stats)
+        return (q, logp, grad, key, da, wf, metric, recoveries,
+                rescues), (q, out_stats)
 
     return jax.lax.scan(step, carry, xs)
 
 
 def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
                  target_accept, max_depth, eps0=None, adapt_mass=True,
-                 pool_axis=None, interweave_fn=None):
+                 pool_axis=None, interweave_fn=None, rescue_axis=None):
     """Warmup + sampling as ONE scan (one chain; vmapped by the caller).
 
     The tree kernel is the largest traced subprogram; tracing it once
@@ -333,11 +397,14 @@ def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
     carry, (draws, stats) = _pipeline_segment(
         vag_fn, carry, xs, target_accept, max_depth, adapt_mass, d, dtype,
         dense, pool_axis=pool_axis, interweave_fn=interweave_fn,
+        rescue_axis=rescue_axis,
     )
-    da, metric, recoveries = carry[4], carry[6], carry[7]
+    da, metric, recoveries, rescues = (
+        carry[4], carry[6], carry[7], carry[8]
+    )
     draws = draws[num_warmup:]
     stats = jax.tree.map(lambda a: a[num_warmup:], stats)
-    return draws, stats, da_finalize(da), metric, recoveries
+    return draws, stats, da_finalize(da), metric, recoveries, rescues
 
 
 def _run_sampling(vag_fn, num_samples, q, logp, grad, key, eps, metric, max_depth):
@@ -379,6 +446,9 @@ class NUTSSampler:
     interweave: bool = False  # ASIS scale updates after each transition
     #                           (nuts/interweave.py; weak-identification
     #                           state-space models)
+    ensemble_rescue: bool = True  # warmup-only cross-chain rescue of
+    #                               adaptation-trapped chains (see
+    #                               _pipeline_segment)
 
     def __post_init__(self):
         if self.shared_warmup and self.pooled_adaptation:
@@ -462,23 +532,25 @@ class NUTSSampler:
         q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, q_init)
 
         pool_axis = "chains" if self.pooled_adaptation else None
+        rescue_axis = "chains" if self.ensemble_rescue else None
         if warm_started:
             metric = make_metric(ws_inv)
-            draws, stats, eps, metric, recov = _run_unified(
+            draws, stats, eps, metric, recov, resc = _run_unified(
                 vag_fn, self._ft_schedule, self.num_samples, q0, logp0,
                 grad0, key, metric, self.target_accept, self.max_tree_depth,
                 eps0=ws_eps, adapt_mass=False, interweave_fn=self._iw_fn,
             )
         else:
             metric = self._init_metric(dtype)
-            draws, stats, eps, metric, recov = _run_unified(
+            draws, stats, eps, metric, recov, resc = _run_unified(
                 vag_fn, self._schedule, self.num_samples, q0, logp0, grad0,
                 key, metric, self.target_accept, self.max_tree_depth,
                 pool_axis=pool_axis, interweave_fn=self._iw_fn,
+                rescue_axis=rescue_axis,
             )
 
         tuning = {"step_size": eps, "inv_mass": metric.inv,
-                  "recoveries": recov}
+                  "recoveries": recov, "rescues": resc}
         return draws, stats, tuning
 
     def _run(self, data, q_inits, keys, ws_eps, ws_inv, *, num_chains, warm_started):
@@ -509,7 +581,8 @@ class NUTSSampler:
                     self.max_tree_depth,
                 )
                 tuning = {"step_size": eps, "inv_mass": metric.inv,
-                          "recoveries": jnp.zeros((), jnp.int32)}
+                          "recoveries": jnp.zeros((), jnp.int32),
+                          "rescues": jnp.zeros((), jnp.int32)}
                 return draws, stats, tuning
 
             return jax.vmap(sample_only)(q_inits, keys)
@@ -561,6 +634,7 @@ class NUTSSampler:
         stats["step_size"] = np.asarray(tuning["step_size"])
         stats["inv_mass"] = np.asarray(tuning["inv_mass"])
         stats["recoveries"] = np.asarray(tuning["recoveries"])
+        stats["rescues"] = np.asarray(tuning["rescues"])
         stats["divergences"] = stats["diverging"].sum(axis=-1)
 
         if return_unconstrained:
@@ -627,6 +701,7 @@ class NUTSSampler:
                 vag_fn, carry, xs, self.target_accept, self.max_tree_depth,
                 True, d, dtype, dense, pool_axis=pool_axis,
                 interweave_fn=self._iw_fn,
+                rescue_axis="chains" if self.ensemble_rescue else None,
             )
 
         seg_fn = jax.jit(jax.vmap(seg, in_axes=(0, None), axis_name="chains"))
@@ -705,6 +780,7 @@ class NUTSSampler:
         stats["step_size"] = np.asarray(jax.vmap(da_finalize)(da))
         stats["inv_mass"] = np.asarray(metric.inv)
         stats["recoveries"] = np.asarray(final_carry[7])
+        stats["rescues"] = np.asarray(final_carry[8])
         stats["divergences"] = stats["diverging"].sum(axis=-1)
         if return_unconstrained:
             return draws, stats
@@ -853,6 +929,7 @@ def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
         "shared_warmup",
         "pooled_adaptation",
         "interweave",
+        "ensemble_rescue",
     )
     unknown = set(opts) - set(known_keys)
     if unknown:

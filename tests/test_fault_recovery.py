@@ -159,3 +159,60 @@ def test_fault_injector_sharded_run_survives():
     assert stats["chain_ok"].all()
     assert np.isfinite(trace["mu"]).all()
     assert abs(float(trace["mu"].mean()) - 2.1) < 0.4
+
+
+def test_ensemble_rescue_teleports_outlier_chain():
+    """Mechanism test: at a rescue checkpoint, a chain whose logp is
+    hundreds of nats below the ensemble median adopts the donor state
+    (jittered) and its metric; healthy chains are untouched."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from exmc_tpu import Builder, dists
+    from exmc_tpu.compiler import compile_logp
+    from exmc_tpu.nuts.leapfrog import make_metric
+    from exmc_tpu.nuts.sampler import _pipeline_init, _pipeline_segment
+
+    ys = np.array([1.0, 1.4, 0.6, 1.1, 0.9, 1.2, 0.8, 1.3], np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.3},
+                    shape=(8,))
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+    model = compile_logp(ir, ncp=False)
+    d = model.size
+    vag_fn = lambda q: model.value_and_grad(q, None)
+
+    q0 = jnp.zeros((4, d), jnp.float32).at[2, 0].set(150.0)
+
+    def init_one(qi, key):
+        logp, grad = vag_fn(qi)
+        return _pipeline_init(vag_fn, qi, logp, grad, key, 
+                              make_metric(jnp.ones((d,), jnp.float32)),
+                              0.05, d, jnp.float32, False)
+
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(0), jnp.arange(4))
+    carry = jax.vmap(init_one)(q0, keys)
+
+    # 2 iterations; rescue fires at iteration 1
+    xs = (
+        jnp.zeros((2,), bool),            # update_mass
+        jnp.zeros((2,), bool),            # window_end
+        jnp.full((2,), 4, jnp.int32),     # depth cap
+        jnp.ones((2,), bool),             # in_warmup
+        jnp.zeros((2,), bool),            # eps search
+        jnp.asarray([False, True]),       # rescue checkpoint
+    )
+
+    def seg(c, x):
+        return _pipeline_segment(vag_fn, c, x, 0.8, 4, True, d,
+                                 jnp.float32, False, rescue_axis="chains")
+
+    out_carry, _ = jax.jit(jax.vmap(seg, in_axes=(0, None),
+                                    axis_name="chains"))(carry, xs)
+    rescues = np.asarray(out_carry[8])
+    assert rescues.tolist() == [0, 0, 1, 0], rescues
+    # the rescued chain is now in the typical set, not at mu = 150
+    assert abs(float(out_carry[0][2, 0])) < 10.0
