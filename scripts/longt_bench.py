@@ -58,8 +58,13 @@ def main():
     for kind, t in cases:
         ir = sv_model(t=t) if kind == "sv" else grw_model(t)
         ncp = kind == "sv"
+        # SV rows run with ASIS interweaving (nuts/interweave.py): the
+        # innovation scale is eligible, and at long T the (z, sigma)
+        # ridge makes it load-bearing (with ensemble rescue it takes
+        # T=5000 from 4/8 frozen chains to all-healthy)
         sampler = _make_sampler(ir, ncp=ncp, num_warmup=args.warmup,
-                                num_samples=args.samples)
+                                num_samples=args.samples,
+                                interweave=(kind == "sv"))
 
         def go(seed):
             return sampler.run_chunked(num_chains=args.chains, seed=seed,

@@ -43,6 +43,9 @@ EXTRA_OPTS = {
     "medium": {"target_accept": 0.95},
     "stress": {"target_accept": 0.95},
     "eight_schools": {"target_accept": 0.95},
+    # ASIS interweaving: the innovation scale is eligible and the
+    # T=100 low-sigma trap mode (2/5 seeds pre-rescue) dissolves
+    "sv": {"interweave": True},
 }
 
 
