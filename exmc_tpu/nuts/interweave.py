@@ -33,6 +33,15 @@ latents (both give s - mu = sigma * z, so SSE_s = sigma^2 |z|^2 in all
 cases; a Normal-NCP mu may be a ref — it is held fixed by the move).
 Beyond the reference repo (its ASIS entry is an open candidate,
 TODO r2 #2); enabled via ``sample(..., interweave=True)``.
+
+CENTERED GRW latents are also supported (``ncp=False``): there the
+path IS the sampler's coordinate, so the sigma update is a plain Gibbs
+move — same conditional, same proposal, same acceptance, but no
+ancillary rescale (SSE from the path's first differences). This is the
+long-T recipe: the centered path is far better conditioned than the
+increments (see compiler._grw_spectral_basis notes), and the sigma-
+amplitude funnel that motivated auto-NCP is exactly what this Gibbs
+move removes.
 """
 
 import jax
@@ -82,7 +91,17 @@ def eligible_groups(model):
     for nid, info in ncp.items():
         sig = info.get("sigma")
         if isinstance(sig, str):
-            by_sigma.setdefault(sig, []).append(nid)
+            by_sigma.setdefault(sig, []).append((nid, "ncp"))
+    # centered GRW latents: the path itself is a free RV whose op still
+    # references sigma; the sigma update becomes a plain Gibbs move
+    for nid, node in ir.nodes.items():
+        if node.op[0] != "rv" or nid not in entries or nid in ncp:
+            continue
+        if get_dist(node.op[1]).name != "gaussian_random_walk":
+            continue
+        sig = node.op[2].get("sigma")
+        if isinstance(sig, str):
+            by_sigma.setdefault(sig, []).append((nid, "centered"))
 
     groups = []
     for sig, latents in by_sigma.items():
@@ -96,21 +115,24 @@ def eligible_groups(model):
         if any(isinstance(v, str) for v in prior_params.values()):
             continue  # prior depends on other coordinates
         # mu of an NCP entry referencing sigma would break the fiber map
-        if any(ncp[nid].get("mu") == sig for nid in latents):
+        if any(kind == "ncp" and ncp[nid].get("mu") == sig
+               for nid, kind in latents):
             continue
-        # all OTHER references must be exactly the NCP latents' z nodes
-        # (whose rewritten rv op is N(0,1) and no longer references sig)
-        refs = list(_references(ir, sig))
+        # all OTHER references must come from the grouped latents
+        # themselves (centered GRW ops reference sigma directly; NCP'd
+        # z nodes no longer do)
+        grouped = {nid for nid, _ in latents}
+        refs = [r for r, _ in _references(ir, sig) if r not in grouped]
         if refs:
             continue
         zs = []
         ok = True
-        for nid in latents:
+        for nid, kind in latents:
             e = entries.get(nid)
             if e is None:
                 ok = False
                 break
-            zs.append((e.offset, e.length))
+            zs.append((e.offset, e.length, kind))
         if not ok or not zs:
             continue
         groups.append({
@@ -122,7 +144,7 @@ def eligible_groups(model):
                        if not np.isscalar(v) else v
                        for k, v in prior_params.items()},
             "zs": tuple(zs),
-            "n": int(sum(ln for _, ln in zs)),
+            "n": int(sum(ln for _, ln, _ in zs)),
         })
     return groups
 
@@ -141,13 +163,19 @@ def build_interweave(model):
             off, tf, n = g["offset"], g["transform"], g["n"]
             u = q[off]
             sigma = tf.forward(u)
-            zz = jnp.zeros((), q.dtype)
-            for zoff, zlen in g["zs"]:
-                zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
-                zz = zz + jnp.sum(zseg * zseg)
-            zz = jnp.maximum(zz, 1e-20)  # all-zero z: degenerate fiber
             v = sigma * sigma
-            sse = v * zz
+            sse = jnp.zeros((), q.dtype)
+            for zoff, zlen, kind in g["zs"]:
+                zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
+                if kind == "ncp":
+                    # SSE contribution sigma^2 |z|^2 (|w| = |z| under
+                    # the spectral rotation, so this stays exact)
+                    sse = sse + v * jnp.sum(zseg * zseg)
+                else:
+                    # centered path: SSE from first differences
+                    inc = jnp.concatenate([zseg[:1], jnp.diff(zseg)])
+                    sse = sse + jnp.sum(inc * inc)
+            sse = jnp.maximum(sse, 1e-20)  # degenerate all-zero fiber
             # scaled-inv-chi^2 independence proposal from the dominant
             # likelihood factor: v' = SSE / chi2_n
             chi2 = 2.0 * jax.random.gamma(kchi, 0.5 * n, dtype=q.dtype)
@@ -169,7 +197,9 @@ def build_interweave(model):
 
             scale = jnp.where(accept, sigma / sigma_new, 1.0)
             u_new = jnp.where(accept, tf.inverse(sigma_new), u)
-            for zoff, zlen in g["zs"]:
+            for zoff, zlen, kind in g["zs"]:
+                if kind != "ncp":
+                    continue  # centered paths are held fixed (pure Gibbs)
                 zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
                 q = jax.lax.dynamic_update_slice(q, zseg * scale, (zoff,))
             q = q.at[off].set(u_new)

@@ -31,9 +31,16 @@ def test_eligibility_sv_and_eight_schools():
     assert len(gs) == 1 and gs[0]["sigma_id"] == "sigma"
     assert gs[0]["n"] == 20
 
-    # centered compile: no NCP info, nothing to interweave
+    # centered compile: the GRW path itself qualifies (pure Gibbs form)
     m_c = compile_logp(sv_model(t=20), ncp=False)
-    assert build_interweave(m_c) is None
+    gs_c = eligible_groups(m_c)
+    assert len(gs_c) == 1 and gs_c[0]["zs"][0][2] == "centered"
+
+    # a model with no GRW/NCP structure has nothing to interweave
+    ir_plain = Builder.new_ir()
+    ir_plain = Builder.rv(ir_plain, "mu", dists.Normal,
+                          {"mu": 0.0, "sigma": 1.0})
+    assert build_interweave(compile_logp(ir_plain, ncp=False)) is None
 
     # eight-schools NCP: tau pooled over the 8 per-school z's
     from exmc_tpu.benchmarks.suite import eight_schools_model
@@ -95,3 +102,49 @@ def test_interweave_smoke_sv():
                           num_samples=300, seed=0, interweave=True)
     assert "iw_accept" in stats
     assert np.isfinite(trace["sigma"]).all()
+
+
+def test_centered_gibbs_conditional_exactness():
+    """The centered sigma update is a Gibbs/MH draw from p(sigma | s).
+    Pin the path by an essentially-exact observation and compare
+    sigma's posterior against numerical quadrature of
+    p(sigma | s) ∝ sigma^{-T} exp(-SSE/(2 sigma^2)) HalfNormal(sigma).
+
+    (A prior-ONLY centered GRW is an unanchored funnel no fixed-metric
+    sampler handles — that is exactly why auto-NCP exists; the centered
+    +Gibbs recipe is for likelihood-anchored long-T paths.)"""
+    t = 30
+    rng = np.random.default_rng(5)
+    path = np.cumsum(rng.normal(0, 0.4, t)).astype(np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 0.8})
+    ir = Builder.rv(ir, "s", dists.GaussianRandomWalk, {"sigma": "sigma"},
+                    shape=(t,))
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "s", "sigma": 0.01},
+                    shape=(t,))
+    ir = Builder.obs(ir, "y_obs", "y", path)
+    trace, stats = sample(ir, num_chains=8, num_warmup=500, num_samples=800,
+                          seed=3, ncp=False, interweave=True)
+    assert float(np.mean(stats["iw_accept"])) > 0.5
+
+    inc = np.concatenate([path[:1], np.diff(path)])
+    sse = float(np.sum(inc ** 2))
+    grid = np.linspace(1e-3, 3.0, 4000)
+    log_post = (-t * np.log(grid) - sse / (2 * grid ** 2)
+                - grid ** 2 / (2 * 0.8 ** 2))
+    w = np.exp(log_post - log_post.max())
+    mean_exact = float(np.sum(grid * w) / np.sum(w))
+    got = float(trace["sigma"].mean())
+    assert abs(got - mean_exact) < 0.02, (got, mean_exact)
+
+
+def test_centered_posterior_matches_ncp():
+    ir = grw_obs_model()
+    kw = dict(num_chains=8, num_warmup=500, num_samples=800, seed=2)
+    t_ncp, _ = sample(ir, ncp=True, interweave=True, **kw)
+    t_cen, s_cen = sample(ir, ncp=False, interweave=True, **kw)
+    assert float(np.mean(s_cen["iw_accept"])) > 0.5
+    assert abs(t_ncp["sigma"].mean() - t_cen["sigma"].mean()) < 0.06
+    pa = t_ncp["x"].reshape(-1, 40).mean(axis=0)
+    pb = t_cen["x"].reshape(-1, 40).mean(axis=0)
+    assert float(np.max(np.abs(pa - pb))) < 0.25
