@@ -478,9 +478,6 @@ class NUTSSampler:
                     "only as the NCP sigma of Normal/GRW latents; did you "
                     "compile with ncp=False?)"
                 )
-        # host-side, once: dist.sample below must run eagerly, and
-        # _init_metric is called inside the traced pipeline
-        self._spectral_init = self._spectral_metric_init()
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
         self._ft_schedule = build_schedule(
             FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,
@@ -502,60 +499,22 @@ class NUTSSampler:
 
         return fn
 
-    def _spectral_metric_init(self):
-        """Analytic initial inverse-mass entries for spectral GRW blocks
-        (compiler._grw_spectral_basis): var(w_k) ~ 1/(1 + sigma^2
-        lambda_k) with lambda_k the closed-form cumsum-gram eigenvalues
-        and sigma^2 the prior MEDIAN squared of the innovation scale
-        (median: robust to heavy-tailed scale priors).
-
-        Without this, warmup at long T is a chicken-and-egg: the
-        identity metric forces eps ~ 1/sqrt(lambda_max) ~ 1/T, the
-        chain freezes, and Welford never sees the 1e-6..1 spread of
-        per-mode scales it would need to fix the metric (measured: the
-        rotation alone left SV T=5000 at R-hat ~1.9). A guess within an
-        order of magnitude breaks the cycle; Welford refines from
-        there. Returns [(offset, inv_entries)] host-side."""
-        out = []
-        for nid, info in self.model.ncp_info.items():
-            if not info.get("spectral"):
-                continue
-            sig_ref = info.get("sigma")
-            node = self.model.ir.nodes.get(sig_ref)
-            if node is None or node.op[0] != "rv":
-                continue
-            params = node.op[2]
-            if any(isinstance(v, str) for v in params.values()):
-                continue
-            entry = next(
-                (e for e in self.model.pm.entries if e.id == nid), None
-            )
-            if entry is None:
-                continue
-            dist = get_dist(node.op[1])
-            try:
-                draws = dist.sample(
-                    jax.random.PRNGKey(0),
-                    {k: jnp.asarray(v) for k, v in params.items()}, (1024,)
-                )
-            except (NotImplementedError, TypeError):
-                continue
-            s2 = float(jnp.median(jnp.asarray(draws))) ** 2
-            t_len = entry.length
-            k = np.arange(t_len)
-            lam = 1.0 / (4.0 * np.sin(
-                (2 * k + 1) * np.pi / (2.0 * (2 * t_len + 1))) ** 2)
-            out.append((entry.offset, 1.0 / (1.0 + s2 * lam)))
-        return out
-
     def _init_metric(self, dtype):
+        # NOTE (measured negative result, SV T=5000): an ANALYTIC
+        # initial inverse-mass for spectral GRW blocks — var(w_k) ~
+        # 1/(1 + sigma_hat^2 lambda_k) from the closed-form cumsum-gram
+        # eigenvalues and the scale's prior median — was tried and
+        # REVERTED. Its constant-curvature premise fails exactly where
+        # it matters: an exp(s) volatility link makes the likelihood
+        # curvature position-dependent over ~e^6, no constant metric
+        # captures it, and the run regressed (nu R-hat 1.7 -> 31).
+        # Welford from the identity init, plus interweave + ensemble
+        # rescue, is the honest recipe; slow per-draw mixing at d~5000
+        # weak identification is paid in draws, not hidden.
         d = self.model.size
         if self.dense_mass:
             return make_metric(jnp.eye(d, dtype=dtype))
-        inv = np.ones((d,), np.float32)
-        for off, entries in self._spectral_init:
-            inv[off:off + len(entries)] = entries
-        return make_metric(jnp.asarray(inv, dtype))
+        return make_metric(jnp.ones((d,), dtype=dtype))
 
     def _resolve_inits(self, init, num_chains, base, d, dtype, data):
         """Per-chain unconstrained init positions: a named dict (all
