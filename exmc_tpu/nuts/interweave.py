@@ -91,17 +91,39 @@ def eligible_groups(model):
     for nid, info in ncp.items():
         sig = info.get("sigma")
         if isinstance(sig, str):
-            by_sigma.setdefault(sig, []).append((nid, "ncp"))
-    # centered GRW latents: the path itself is a free RV whose op still
-    # references sigma; the sigma update becomes a plain Gibbs move
+            by_sigma.setdefault(sig, []).append((nid, "ncp", None))
+    # centered GRW/Normal latents: the latent itself is a free RV whose
+    # op still references sigma; the sigma update becomes a plain Gibbs
+    # move (no ancillary rescale). For centered Normals the mean may be
+    # a constant or another free RV with identity transform (read
+    # straight from the flat vector; it is held fixed by the move).
     for nid, node in ir.nodes.items():
         if node.op[0] != "rv" or nid not in entries or nid in ncp:
             continue
-        if get_dist(node.op[1]).name != "gaussian_random_walk":
-            continue
-        sig = node.op[2].get("sigma")
-        if isinstance(sig, str):
-            by_sigma.setdefault(sig, []).append((nid, "centered"))
+        name = get_dist(node.op[1]).name
+        if name == "gaussian_random_walk":
+            sig = node.op[2].get("sigma")
+            if isinstance(sig, str):
+                by_sigma.setdefault(sig, []).append((nid, "centered", None))
+        elif name == "normal" and len(node.op) == 3:
+            sig = node.op[2].get("sigma")
+            mu = node.op[2].get("mu")
+            if not isinstance(sig, str):
+                continue
+            if isinstance(mu, str):
+                e_mu = entries.get(mu)
+                mu_node = ir.nodes.get(mu)
+                if (e_mu is None or e_mu.transform not in (None, "identity")
+                        or mu in ncp or mu_node is None
+                        or mu_node.op[0] != "rv"):
+                    continue
+                mu_spec = ("coord", e_mu.offset, e_mu.length)
+            elif np.isscalar(mu) or np.asarray(mu).ndim == 0:
+                mu_spec = ("const", float(mu))
+            else:
+                continue
+            by_sigma.setdefault(sig, []).append(
+                (nid, "centered_normal", mu_spec))
 
     groups = []
     for sig, latents in by_sigma.items():
@@ -114,25 +136,33 @@ def eligible_groups(model):
         prior_params = node.op[2]
         if any(isinstance(v, str) for v in prior_params.values()):
             continue  # prior depends on other coordinates
-        # mu of an NCP entry referencing sigma would break the fiber map
+        # a mean that is (or resolves through) sigma breaks the move
         if any(kind == "ncp" and ncp[nid].get("mu") == sig
-               for nid, kind in latents):
+               for nid, kind, _ in latents):
+            continue
+        if any(kind == "centered_normal"
+               and ir.nodes[nid].op[2].get("mu") == sig
+               for nid, kind, _ in latents):
             continue
         # all OTHER references must come from the grouped latents
-        # themselves (centered GRW ops reference sigma directly; NCP'd
+        # themselves (centered ops reference sigma directly; NCP'd
         # z nodes no longer do)
-        grouped = {nid for nid, _ in latents}
+        grouped = {nid for nid, _, _ in latents}
         refs = [r for r, _ in _references(ir, sig) if r not in grouped]
         if refs:
             continue
         zs = []
         ok = True
-        for nid, kind in latents:
+        for nid, kind, mu_spec in latents:
             e = entries.get(nid)
             if e is None:
                 ok = False
                 break
-            zs.append((e.offset, e.length, kind))
+            if (mu_spec is not None and mu_spec[0] == "coord"
+                    and mu_spec[2] not in (1, e.length)):
+                ok = False  # mean must broadcast against the latent
+                break
+            zs.append((e.offset, e.length, kind, mu_spec))
         if not ok or not zs:
             continue
         groups.append({
@@ -144,7 +174,7 @@ def eligible_groups(model):
                        if not np.isscalar(v) else v
                        for k, v in prior_params.items()},
             "zs": tuple(zs),
-            "n": int(sum(ln for _, ln, _ in zs)),
+            "n": int(sum(ln for _, ln, _, _ in zs)),
         })
     return groups
 
@@ -165,16 +195,26 @@ def build_interweave(model):
             sigma = tf.forward(u)
             v = sigma * sigma
             sse = jnp.zeros((), q.dtype)
-            for zoff, zlen, kind in g["zs"]:
+            for zoff, zlen, kind, mu_spec in g["zs"]:
                 zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
                 if kind == "ncp":
                     # SSE contribution sigma^2 |z|^2 (|w| = |z| under
                     # the spectral rotation, so this stays exact)
                     sse = sse + v * jnp.sum(zseg * zseg)
-                else:
-                    # centered path: SSE from first differences
+                elif kind == "centered":
+                    # centered GRW path: SSE from first differences
                     inc = jnp.concatenate([zseg[:1], jnp.diff(zseg)])
                     sse = sse + jnp.sum(inc * inc)
+                else:
+                    # centered Normal: SSE = |x - mu|^2, mu held fixed
+                    if mu_spec[0] == "const":
+                        mu_v = mu_spec[1]
+                    else:
+                        mu_v = jax.lax.dynamic_slice(
+                            q, (mu_spec[1],), (mu_spec[2],)
+                        )
+                    resid = zseg - mu_v
+                    sse = sse + jnp.sum(resid * resid)
             sse = jnp.maximum(sse, 1e-20)  # degenerate all-zero fiber
             # scaled-inv-chi^2 independence proposal from the dominant
             # likelihood factor: v' = SSE / chi2_n
@@ -197,9 +237,9 @@ def build_interweave(model):
 
             scale = jnp.where(accept, sigma / sigma_new, 1.0)
             u_new = jnp.where(accept, tf.inverse(sigma_new), u)
-            for zoff, zlen, kind in g["zs"]:
+            for zoff, zlen, kind, _ in g["zs"]:
                 if kind != "ncp":
-                    continue  # centered paths are held fixed (pure Gibbs)
+                    continue  # centered latents are held fixed (pure Gibbs)
                 zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
                 q = jax.lax.dynamic_update_slice(q, zseg * scale, (zoff,))
             q = q.at[off].set(u_new)

@@ -148,3 +148,24 @@ def test_centered_posterior_matches_ncp():
     pa = t_ncp["x"].reshape(-1, 40).mean(axis=0)
     pb = t_cen["x"].reshape(-1, 40).mean(axis=0)
     assert float(np.max(np.abs(pa - pb))) < 0.25
+
+
+def test_centered_eight_schools_gibbs_tau():
+    """Centered hierarchical Normal: tau | theta, mu is a Gibbs draw —
+    the funnel-neck escape the centered parameterization lacks. The
+    posterior must match the published eight-schools moments."""
+    from exmc_tpu.benchmarks.suite import eight_schools_model
+
+    ir = eight_schools_model()
+    m = compile_logp(ir, ncp=False)
+    gs = eligible_groups(m)
+    assert len(gs) == 1 and gs[0]["sigma_id"] == "tau"
+    kinds = {z[2] for z in gs[0]["zs"]}
+    assert kinds == {"centered_normal"}
+
+    trace, stats = sample(ir, num_chains=16, num_warmup=500, num_samples=500,
+                          seed=0, ncp=False, interweave=True,
+                          target_accept=0.9)
+    assert float(np.mean(stats["iw_accept"])) > 0.3
+    assert abs(float(trace["mu"].mean()) - 4.4) < 0.8
+    assert abs(float(trace["tau"].mean()) - 3.6) < 0.9
