@@ -176,7 +176,7 @@ def _grw_spectral_basis(t):
     v = 2.0 / np.sqrt(2 * t + 1) * np.sin(
         (2 * k + 1) * np.pi * (t - i) / (2 * t + 1)
     )
-    return v.astype(np.float32)
+    return v  # f64; cast at use site so EXMC_TPU_X64 keeps full precision
 
 
 def _ncp_invert(info, x, mu, sigma):
@@ -187,7 +187,7 @@ def _ncp_invert(info, x, mu, sigma):
         inc = jnp.concatenate([x[..., :1], jnp.diff(x, axis=-1)], axis=-1)
         z = inc / sigma
         if info.get("spectral"):
-            v = jnp.asarray(_grw_spectral_basis(z.shape[-1]))
+            v = jnp.asarray(_grw_spectral_basis(z.shape[-1]), z.dtype)
             z = jnp.einsum("ij,...i->...j", v, z)
         return z
     return (x - mu) / sigma
@@ -251,7 +251,8 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
                     # spectral entries sample w with z = V w (see
                     # _grw_spectral_basis)
                     if info.get("spectral"):
-                        v = jnp.asarray(_grw_spectral_basis(x.shape[-1]))
+                        v = jnp.asarray(_grw_spectral_basis(x.shape[-1]),
+                                        x.dtype)
                         x = jnp.einsum("ij,...j->...i", v, x)
                     x = resolve(info["sigma"]) * jnp.cumsum(x, axis=-1)
                 else:

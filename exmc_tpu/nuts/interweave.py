@@ -52,29 +52,17 @@ from exmc_tpu.dists.base import get as get_dist
 from exmc_tpu.transforms import get as get_transform
 
 
-def _references(ir, target):
-    """Yield (node_id, role) for every reference to ``target`` in the
-    rewritten IR: rv/det param refs and det args (ncp_info refs are
-    accounted separately by the caller)."""
-    for nid, node in ir.nodes.items():
-        if nid == target:
-            continue
-        op = node.op
-        if op[0] == "rv":
-            for v in op[2].values():
-                if isinstance(v, str) and v == target:
-                    yield nid, "rv_param"
-                if isinstance(v, (list, tuple)):
-                    for e in v:
-                        if isinstance(e, str) and e == target:
-                            yield nid, "rv_param"
-        elif op[0] == "det":
-            for a in op[2]:
-                if isinstance(a, str) and a == target:
-                    yield nid, "det_arg"
-        elif op[0] in ("obs", "meas_obs"):
-            if target in node.deps:
-                yield nid, "obs"
+def _referencing_ids(ir, ncp, target):
+    """Node ids referencing ``target`` in the rewritten IR: the builder
+    already records param/arg refs in Node.deps, and NCP reconstruction
+    refs live in ncp_info (the rewritten z node's own op no longer
+    mentions its mu/sigma)."""
+    out = {nid for nid, n in ir.nodes.items()
+           if nid != target and target in n.deps}
+    for nid, info in ncp.items():
+        if info.get("mu") == target or info.get("sigma") == target:
+            out.add(nid)
+    return out
 
 
 def eligible_groups(model):
@@ -133,6 +121,10 @@ def eligible_groups(model):
         node = ir.nodes.get(sig)
         if node is None or node.op[0] != "rv":
             continue
+        if sig in ncp:
+            # an NCP'd scale's flat coordinate is z_sigma, not sigma —
+            # the move's transform/prior bookkeeping would be wrong
+            continue
         prior_params = node.op[2]
         if any(isinstance(v, str) for v in prior_params.values()):
             continue  # prior depends on other coordinates
@@ -144,12 +136,12 @@ def eligible_groups(model):
                and ir.nodes[nid].op[2].get("mu") == sig
                for nid, kind, _ in latents):
             continue
-        # all OTHER references must come from the grouped latents
-        # themselves (centered ops reference sigma directly; NCP'd
-        # z nodes no longer do)
+        # all OTHER references — Node.deps AND ncp_info reconstruction
+        # refs (e.g. another latent whose NCP mu is this scale: its
+        # likelihood would shift without an MH correction) — must come
+        # from the grouped latents themselves
         grouped = {nid for nid, _, _ in latents}
-        refs = [r for r, _ in _references(ir, sig) if r not in grouped]
-        if refs:
+        if _referencing_ids(ir, ncp, sig) - grouped:
             continue
         zs = []
         ok = True
@@ -170,7 +162,9 @@ def eligible_groups(model):
             "offset": e_sig.offset,
             "transform": get_transform(e_sig.transform),
             "dist": get_dist(node.op[1]),
-            "params": {k: np.asarray(v, np.float64).astype(np.float32)
+            # keep f64 numpy; jnp casts per the active precision mode
+            # (EXMC_TPU_X64 golden paths stay full-precision)
+            "params": {k: np.asarray(v, np.float64)
                        if not np.isscalar(v) else v
                        for k, v in prior_params.items()},
             "zs": tuple(zs),

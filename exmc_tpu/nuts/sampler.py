@@ -248,6 +248,12 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
                 q, logp, grad, metric, rescues = args
                 logps = jax.lax.all_gather(logp, rescue_axis)
                 n_chains = logps.shape[0]
+                if n_chains < 5:
+                    # too few chains to tell clusters apart: the 75th-
+                    # percentile reference degenerates to the max chain,
+                    # and a frozen-at-the-mode chain (~d/2 nats ABOVE
+                    # the typical set) would capture the healthy ones
+                    return args
                 # Detector notes (calibrated on the T=5000 SV trap):
                 # * reference = 75th-percentile chain, NOT the median —
                 #   with half the ensemble trapped, median/MAD sit in
@@ -970,7 +976,17 @@ def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
     """Single-/multi-chain NUTS (reference Sampler.sample, sampler.ex:33).
 
     Returns (trace, stats); trace arrays are (chains, samples, *shape)
-    constrained values (chain axis kept even for num_chains=1)."""
+    constrained values (chain axis kept even for num_chains=1).
+
+    NOTE on ``ensemble_rescue`` (default True, >= 5 chains): during
+    WARMUP, chains whose logp sits >= max(50, 1.5*sqrt(d)) nats below
+    the 75th-percentile chain are teleported onto it at window ends
+    (see _pipeline_segment). This revives adaptation-trapped chains,
+    but it also means a genuine minority mode that far below the
+    dominant one (posterior mass < e^-50) is collapsed during warmup
+    rather than flagged by R-hat afterwards — pass
+    ``ensemble_rescue=False`` when hunting multimodality; rescues are
+    counted per chain in ``stats['rescues']``."""
     sampler = _make_sampler(ir, ncp=ncp, **opts)
     if data is None and not isinstance(ir, CompiledModel):
         # a cache-hit sampler may have been compiled from a different IR

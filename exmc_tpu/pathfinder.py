@@ -74,6 +74,19 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
     key = jax.random.PRNGKey(seed)
     key, init_key, elbo_key, draw_key = jax.random.split(key, 4)
 
+    # jitted programs cached per (model, data, sizes): pathfinder_init
+    # calls this num_paths times varying only the SEED (a traced key
+    # argument), and a fresh @jax.jit closure per call would recompile
+    # the identical XLA program each time
+    cache_key = (id(model), None if data is None else id(data),
+                 num_iters, num_elbo_draws, num_draws)
+    cached = _FIT_CACHE.get(cache_key)
+    if cached is not None:
+        run_c, draw_c = cached
+        mu, sigma, elbos, best = run_c(init_key, elbo_key)
+        z, trace = draw_c(draw_key, mu, sigma)
+        return _pack_diag_result(mu, sigma, elbos, best, z, trace)
+
     @jax.jit
     def run(init_key, elbo_key):
         x0 = jax.random.uniform(init_key, (d,), dtype, minval=-2.0, maxval=2.0)
@@ -129,14 +142,25 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
         best = jnp.argmax(elbos)
         return path_mu[best], path_sigma[best], elbos, best
 
-    mu, sigma, elbos, best = run(init_key, elbo_key)
-
     @jax.jit
-    def draw(key):
+    def draw(key, mu, sigma):
         z = mu + sigma * jax.random.normal(key, (num_draws, d), dtype)
         return z, jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(z)
 
-    z, trace = draw(draw_key)
+    _FIT_CACHE[cache_key] = (run, draw)
+    while len(_FIT_CACHE) > 8:
+        _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
+    mu, sigma, elbos, best = run(init_key, elbo_key)
+    z, trace = draw(draw_key, mu, sigma)
+    return _pack_diag_result(mu, sigma, elbos, best, z, trace)
+
+
+# cached closures keep their model alive, so id()-keyed entries cannot
+# alias a collected object; bounded at 8 entries
+_FIT_CACHE = {}
+
+
+def _pack_diag_result(mu, sigma, elbos, best, z, trace):
     return {
         "mu": np.asarray(mu),
         "sigma": np.asarray(sigma),

@@ -184,7 +184,9 @@ def test_ensemble_rescue_teleports_outlier_chain():
     d = model.size
     vag_fn = lambda q: model.value_and_grad(q, None)
 
-    q0 = jnp.zeros((4, d), jnp.float32).at[2, 0].set(150.0)
+    # 6 chains: rescue requires >= 5 (below that the 75th-percentile
+    # reference degenerates to the max chain — see do_rescue)
+    q0 = jnp.zeros((6, d), jnp.float32).at[2, 0].set(150.0)
 
     def init_one(qi, key):
         logp, grad = vag_fn(qi)
@@ -193,7 +195,7 @@ def test_ensemble_rescue_teleports_outlier_chain():
                               0.05, d, jnp.float32, False)
 
     keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        jax.random.PRNGKey(0), jnp.arange(4))
+        jax.random.PRNGKey(0), jnp.arange(6))
     carry = jax.vmap(init_one)(q0, keys)
 
     # 2 iterations; rescue fires at iteration 1
@@ -213,6 +215,6 @@ def test_ensemble_rescue_teleports_outlier_chain():
     out_carry, _ = jax.jit(jax.vmap(seg, in_axes=(0, None),
                                     axis_name="chains"))(carry, xs)
     rescues = np.asarray(out_carry[8])
-    assert rescues.tolist() == [0, 0, 1, 0], rescues
+    assert rescues.tolist() == [0, 0, 1, 0, 0, 0], rescues
     # the rescued chain is now in the typical set, not at mu = 150
     assert abs(float(out_carry[0][2, 0])) < 10.0

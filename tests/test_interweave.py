@@ -169,3 +169,45 @@ def test_centered_eight_schools_gibbs_tau():
     assert float(np.mean(stats["iw_accept"])) > 0.3
     assert abs(float(trace["mu"].mean()) - 4.4) < 0.8
     assert abs(float(trace["tau"].mean()) - 3.6) < 0.9
+
+
+def test_scale_referenced_through_ncp_mu_is_ineligible():
+    """A scale that is another NCP'd latent's MU shifts that latent's
+    reconstruction (and hence the likelihood) when moved — the Gibbs
+    move would need a likelihood term it does not have, so eligibility
+    must reject it (code-review r2 finding)."""
+    t = 20
+    rng = np.random.default_rng(0)
+    y = rng.normal(1.0, 1.0, 10).astype(np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "tau", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "x", dists.GaussianRandomWalk, {"sigma": "sigma"},
+                    shape=(t,))
+    # sigma reappears as the NCP'd mean of w
+    ir = Builder.rv(ir, "w", dists.Normal, {"mu": "sigma", "sigma": "tau"})
+    ir = Builder.rv(ir, "yl", dists.Normal, {"mu": "w", "sigma": 1.0},
+                    shape=(10,))
+    ir = Builder.obs(ir, "y_obs", "yl", y)
+    m = compile_logp(ir, ncp=True)
+    assert "w" in m.ncp_info and m.ncp_info["w"]["mu"] == "sigma"
+    sig_groups = [g for g in eligible_groups(m) if g["sigma_id"] == "sigma"]
+    assert sig_groups == []
+
+
+def test_pathfinder_fit_program_cache():
+    """Repeated pathfinder_fit on the same model reuses the jitted
+    programs instead of recompiling per seed (code-review r2 finding)."""
+    from exmc_tpu import pathfinder as pf
+
+    ir = grw_obs_model(t=16)
+    m = compile_logp(ir, ncp=True)
+    pf._FIT_CACHE.clear()
+    pf.pathfinder_fit(m, num_iters=20, num_draws=4, seed=0)
+    assert len(pf._FIT_CACHE) == 1
+    run1, draw1 = next(iter(pf._FIT_CACHE.values()))
+    r = pf.pathfinder_fit(m, num_iters=20, num_draws=4, seed=123)
+    assert len(pf._FIT_CACHE) == 1
+    run2, draw2 = next(iter(pf._FIT_CACHE.values()))
+    assert run1 is run2 and draw1 is draw2
+    assert r["draws_unconstrained"].shape[1] == 4
