@@ -19,6 +19,7 @@ EXAMPLES = [
     "09_state_space.py",
     "10_bayesian_spc.py",
     "11_bearing_rul.py",
+    "12_model_comparison.py",
 ]
 
 
