@@ -20,6 +20,7 @@ EXAMPLES = [
     "10_bayesian_spc.py",
     "11_bearing_rul.py",
     "12_model_comparison.py",
+    "13_epidemic_pmcmc.py",
 ]
 
 
