@@ -21,6 +21,7 @@ EXAMPLES = [
     "11_bearing_rul.py",
     "12_model_comparison.py",
     "13_epidemic_pmcmc.py",
+    "14_decline_curve.py",
 ]
 
 
