@@ -130,7 +130,11 @@ def _eval_const(expr, env, line):
     if tag == "call":
         if expr[1] not in _NP_FNS:
             raise StanSyntaxError(f"unknown function {expr[1]!r}", line=line)
-        return _NP_FNS[expr[1]](_eval_const(expr[2], env, line))
+        vals = [_eval_const(a, env, line) for a in expr[2]]
+        if len(vals) != 1:
+            raise StanSyntaxError(
+                f"{expr[1]} expects 1 argument, got {len(vals)}", line=line)
+        return _NP_FNS[expr[1]](vals[0])
     if tag == "index":
         base = _eval_const(expr[1], env, line)
         idx = _eval_const(expr[2], env, line)
@@ -139,11 +143,106 @@ def _eval_const(expr, env, line):
                           line=line)
 
 
+def _subst_expr(expr, binding, line):
+    """Bind function parameters to argument expressions (capture-free:
+    params are the only free names a function body may use via name)."""
+    if isinstance(expr, (int, float)):
+        return expr
+    if isinstance(expr, str):
+        return binding.get(expr, expr)
+    tag = expr[0]
+    if tag == "binop":
+        return (tag, expr[1], _subst_expr(expr[2], binding, line),
+                _subst_expr(expr[3], binding, line))
+    if tag == "neg":
+        return (tag, _subst_expr(expr[1], binding, line))
+    if tag == "call":
+        return (tag, expr[1],
+                [_subst_expr(a, binding, line) for a in expr[2]])
+    if tag == "index":
+        base = expr[1]
+        if base in binding:
+            b = binding[base]
+            if not isinstance(b, str):
+                raise StanSyntaxError(
+                    f"cannot index the non-name argument bound to "
+                    f"{base!r} inside a function body", line=line)
+            base = b
+        return (tag, base, _subst_expr(expr[2], binding, line))
+    if tag == "lpdf":
+        return (tag, expr[1], _subst_expr(expr[2], binding, line),
+                [_subst_expr(a, binding, line) for a in expr[3]])
+    raise StanSyntaxError(f"bad expression {expr!r}", line=line)
+
+
+def _expand_expr(expr, fns, line, stack=()):
+    """Inline user-function calls (macro expansion — no call nodes in
+    the lowered graph, one fused XLA program). Recursion is rejected."""
+    if isinstance(expr, (int, float, str)):
+        return expr
+    tag = expr[0]
+    if tag == "call" and expr[1] in fns:
+        f = fns[expr[1]]
+        if expr[1] in stack:
+            raise StanSyntaxError(
+                f"recursive function {expr[1]!r} is not supported",
+                line=line)
+        args = [_expand_expr(a, fns, line, stack) for a in expr[2]]
+        if len(args) != len(f["params"]):
+            raise StanSyntaxError(
+                f"{expr[1]} expects {len(f['params'])} arguments, got "
+                f"{len(args)}", line=line)
+        body = _subst_expr(f["body"], dict(zip(f["params"], args)), line)
+        return _expand_expr(body, fns, line, stack + (expr[1],))
+    if tag == "binop":
+        return (tag, expr[1], _expand_expr(expr[2], fns, line, stack),
+                _expand_expr(expr[3], fns, line, stack))
+    if tag == "neg":
+        return (tag, _expand_expr(expr[1], fns, line, stack))
+    if tag == "call":
+        return (tag, expr[1],
+                [_expand_expr(a, fns, line, stack) for a in expr[2]])
+    if tag == "index":
+        return (tag, expr[1], _expand_expr(expr[2], fns, line, stack))
+    if tag == "lpdf":
+        return (tag, expr[1], _expand_expr(expr[2], fns, line, stack),
+                [_expand_expr(a, fns, line, stack) for a in expr[3]])
+    return expr
+
+
+def _expand_stmt(stmt, fns):
+    kind = stmt.get("kind", "sampling")
+    if kind == "sampling":
+        return dict(stmt, args=[_expand_expr(a, fns, stmt["line"])
+                                for a in stmt["args"]])
+    if kind == "target":
+        return dict(stmt, expr=_expand_expr(stmt["expr"], fns, stmt["line"]))
+    if kind == "for":
+        return dict(stmt, body=[_expand_stmt(s, fns) for s in stmt["body"]])
+    return stmt
+
+
 def compile(code: str, data=None):
     """Compile Stan code + data dict to an IR (reference Stan.compile!,
     stan.ex:52-60). Raises StanSyntaxError with line context on failure."""
     data = dict(data or {})
     ast = parse(code)
+
+    # user functions: inline every call site up front (macro expansion)
+    user_fns = {}
+    for f in ast.get("functions", []):
+        if f["name"] in user_fns:
+            raise StanSyntaxError(f"duplicate function {f['name']!r}",
+                                  line=f["line"])
+        user_fns[f["name"]] = f
+    if user_fns:
+        ast["model"] = [_expand_stmt(s, user_fns) for s in ast["model"]]
+        for block in ("transformed_data", "transformed_parameters"):
+            ast[block] = [
+                dict(row, expr=_expand_expr(row["expr"], user_fns,
+                                            row["line"]))
+                for row in ast[block]
+            ]
 
     data_names = {d["name"] for d in ast["data"]}
     int_data = {
@@ -224,9 +323,14 @@ def compile(code: str, data=None):
             if expr[1] not in _FNS:
                 raise StanSyntaxError(
                     f"unknown function {expr[1]!r} (supported: "
-                    f"{', '.join(sorted(_FNS))})", line=line,
+                    f"{', '.join(sorted(_FNS))}; user functions are "
+                    "inlined before lowering)", line=line,
                 )
-            ir, x = compile_arg(ir, expr[2], line)
+            if len(expr[2]) != 1:
+                raise StanSyntaxError(
+                    f"{expr[1]} expects 1 argument, got {len(expr[2])}",
+                    line=line)
+            ir, x = compile_arg(ir, expr[2][0], line)
             ir = Builder.det(ir, nid, expr[1], [x])
             return ir, nid
         if tag == "index":
@@ -369,7 +473,9 @@ def compile(code: str, data=None):
         if tag == "neg":
             return (tag, subst_loop_var(expr[1], var, vec_sizes, line))
         if tag == "call":
-            return (tag, expr[1], subst_loop_var(expr[2], var, vec_sizes, line))
+            return (tag, expr[1],
+                    [subst_loop_var(a, var, vec_sizes, line)
+                     for a in expr[2]])
         if tag == "index":
             return (tag, expr[1], subst_loop_var(expr[2], var, vec_sizes, line))
         if tag == "lpdf":

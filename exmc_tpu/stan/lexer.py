@@ -35,6 +35,7 @@ TOKEN_SPEC = [
 KEYWORDS = {
     "data", "parameters", "model", "real", "int", "vector", "simplex",
     "lower", "upper", "transformed", "for", "in", "target", "matrix",
+    "functions", "return",
 }
 
 _MASTER = re.compile("|".join(f"(?P<{k}>{v})" for k, v in TOKEN_SPEC))

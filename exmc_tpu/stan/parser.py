@@ -55,10 +55,14 @@ class Parser:
 
     def parse_program(self):
         ast = {"data": [], "parameters": [], "model": [],
-               "transformed_data": [], "transformed_parameters": []}
+               "transformed_data": [], "transformed_parameters": [],
+               "functions": []}
         while self.peek()[0] != "EOF":
             kind, _, line = self.peek()
-            if kind == "DATA":
+            if kind == "FUNCTIONS":
+                self.next()
+                ast["functions"] = self.parse_functions_block()
+            elif kind == "DATA":
                 self.next()
                 ast["data"] = self.parse_decl_block()
             elif kind == "PARAMETERS":
@@ -80,6 +84,57 @@ class Parser:
             else:
                 self.error(f"expected a block keyword, got {self.peek()[1]!r}")
         return ast
+
+    def parse_functions_block(self):
+        """functions { real f(real a, vector b) { return expr; } ... }
+
+        Pure EXPRESSION functions: one ``return``; calls inline at
+        compile time (macro expansion — the TPU-native lowering keeps
+        one fused graph, no call nodes). Multi-statement bodies and
+        local variables are rejected with a clear error."""
+        self.expect("LBRACE")
+        fns = []
+        types = ("REAL", "INT", "VECTOR", "MATRIX")
+        while self.peek()[0] != "RBRACE":
+            ret = self.next()
+            if ret[0] not in types:
+                self.error(f"expected a return type, got {ret[1]!r}",
+                           line=ret[2])
+            name = self.expect("IDENT")
+            self.expect("LPAREN")
+            params = []
+            if self.peek()[0] != "RPAREN":
+                while True:
+                    ptype = self.next()
+                    if ptype[0] not in types:
+                        self.error(
+                            f"expected a parameter type, got {ptype[1]!r}",
+                            line=ptype[2])
+                    params.append(self.expect("IDENT")[1])
+                    if self.peek()[0] == "COMMA":
+                        self.next()
+                        continue
+                    break
+            self.expect("RPAREN")
+            self.expect("LBRACE")
+            tok = self.next()
+            if tok[0] != "RETURN":
+                self.error(
+                    "function bodies must be a single 'return <expr>;' "
+                    "(local variables / multiple statements are not "
+                    "supported)", line=tok[2])
+            body = self.parse_expr()
+            self.expect("SEMI")
+            end = self.next()
+            if end[0] != "RBRACE":
+                self.error(
+                    "function bodies must be a single 'return <expr>;' "
+                    "(local variables / multiple statements are not "
+                    "supported)", line=end[2])
+            fns.append({"name": name[1], "params": params, "body": body,
+                        "line": name[2]})
+        self.expect("RBRACE")
+        return fns
 
     def parse_assign_block(self):
         """transformed data/parameters: 'type[size] name = expr;' rows."""
@@ -284,8 +339,12 @@ class Parser:
                             f"got {tok[1]!r}", line=tok[2],
                         )
                     return ("lpdf", name, arg, args)
+                call_args = [arg]
+                while self.peek()[0] == "COMMA":
+                    self.next()
+                    call_args.append(self.parse_expr())
                 self.expect("RPAREN")
-                return ("call", tok[1], arg)
+                return ("call", tok[1], call_args)
             if self.peek()[0] == "LBRACKET":
                 self.next()
                 idx = self.parse_expr()
@@ -319,7 +378,7 @@ class Parser:
             x = Parser._fold(node[1])
             return -x if isinstance(x, float) else ("neg", x)
         if node[0] == "call":
-            return (node[0], node[1], Parser._fold(node[2]))
+            return (node[0], node[1], [Parser._fold(a) for a in node[2]])
         if node[0] == "index":
             return (node[0], node[1], Parser._fold(node[2]))
         if node[0] == "lpdf":

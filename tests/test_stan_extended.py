@@ -285,3 +285,77 @@ def test_unknown_bound_name_rejected():
     """
     with pytest.raises(StanSyntaxError, match="not in the data"):
         stan.compile(code, {"y": 0.0})
+
+
+# ---- round-3: functions block (inlined expression functions) ----
+
+def test_functions_block_inlines_and_samples():
+    code = """
+    functions {
+      real decline(real qi, real di, real t) { return qi / (1 + di * t); }
+      real sq(real x) { return x * x; }
+    }
+    data { vector[6] t; vector[6] y; }
+    parameters { real<lower=0> qi; real<lower=0> di; real<lower=0> s; }
+    model {
+      qi ~ lognormal(1, 1);
+      di ~ lognormal(-2, 1);
+      s ~ half_normal(1);
+      y ~ normal(decline(qi, di, t), sq(s));
+    }
+    """
+    t = np.arange(1.0, 7.0, dtype=np.float32)
+    true_q = 5.0 / (1.0 + 0.2 * t)
+    y = (true_q + 0.05 * np.array([0.3, -0.5, 0.1, 0.4, -0.2, 0.0])
+         ).astype(np.float32)
+    trace, stats = stan.sample(code, {"t": t, "y": y}, num_warmup=400,
+                               num_samples=400, num_chains=2, seed=0)
+    assert abs(float(trace["qi"].mean()) - 5.0) < 1.0
+    assert abs(float(trace["di"].mean()) - 0.2) < 0.15
+
+
+def test_functions_nested_and_in_target():
+    code = """
+    functions {
+      real half(real x) { return x / 2; }
+      real quarter(real x) { return half(half(x)); }
+    }
+    parameters { real mu; }
+    model { mu ~ normal(0, 1); target += quarter(mu); }
+    """
+    ir = stan.compile(code, {})
+    lp0, m = _lp(ir, np.zeros(1))
+    lp1 = float(m.logp(__import__("jax.numpy", fromlist=["x"]).asarray([2.0], np.float32)))
+    # logp(2) - logp(0) = N(2)-N(0) + 2/4
+    expected_delta = (-0.5 * 4.0) + 0.5
+    assert abs((lp1 - lp0) - expected_delta) < 1e-4
+
+
+def test_recursive_function_rejected():
+    code = """
+    functions { real f(real x) { return f(x) + 1; } }
+    parameters { real mu; }
+    model { mu ~ normal(f(1), 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="recursive"):
+        stan.compile(code, {})
+
+
+def test_function_arity_checked():
+    code = """
+    functions { real f(real a, real b) { return a + b; } }
+    parameters { real mu; }
+    model { mu ~ normal(f(1), 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="expects 2 arguments"):
+        stan.compile(code, {})
+
+
+def test_multi_statement_body_rejected():
+    code = """
+    functions { real f(real x) { real y = x; return y; } }
+    parameters { real mu; }
+    model { mu ~ normal(0, 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="single 'return"):
+        stan.compile(code, {})
