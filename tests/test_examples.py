@@ -22,6 +22,7 @@ EXAMPLES = [
     "12_model_comparison.py",
     "13_epidemic_pmcmc.py",
     "14_decline_curve.py",
+    "15_warranty_batch.py",
 ]
 
 
