@@ -53,7 +53,8 @@ def build(t, q_obs):
                     {"mu": float(np.log(600.0)), "sigma": 0.5})
     ir = Builder.rv(ir, "Di", dists.LogNormal,
                     {"mu": float(np.log(0.1)), "sigma": 0.5})
-    # decline exponent b in (0, 2): 0 = exponential, 1 = harmonic
+    # decline exponent b in (0, 1): b -> 0 is exponential decline,
+    # b -> 1 harmonic (super-harmonic b > 1 would need a scaled prior)
     ir = Builder.rv(ir, "b", dists.Beta, {"alpha": 2.0, "beta": 2.0})
     ir = Builder.rv(ir, "noise", dists.HalfNormal, {"sigma": 0.3})
     ir = Builder.det(

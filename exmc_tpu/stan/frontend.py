@@ -143,6 +143,33 @@ def _eval_const(expr, env, line):
                           line=line)
 
 
+def _free_names(expr):
+    """Variable names referenced by an expression (function/dist names
+    from call/lpdf nodes are NOT variables)."""
+    if isinstance(expr, (int, float)):
+        return set()
+    if isinstance(expr, str):
+        return {expr}
+    tag = expr[0]
+    if tag == "binop":
+        return _free_names(expr[2]) | _free_names(expr[3])
+    if tag == "neg":
+        return _free_names(expr[1])
+    if tag == "call":
+        out = set()
+        for a in expr[2]:
+            out |= _free_names(a)
+        return out
+    if tag == "index":
+        return {expr[1]} | _free_names(expr[2])
+    if tag == "lpdf":
+        out = _free_names(expr[2])
+        for a in expr[3]:
+            out |= _free_names(a)
+        return out
+    return set()
+
+
 def _subst_expr(expr, binding, line):
     """Bind function parameters to argument expressions (capture-free:
     params are the only free names a function body may use via name)."""
@@ -234,6 +261,24 @@ def compile(code: str, data=None):
         if f["name"] in user_fns:
             raise StanSyntaxError(f"duplicate function {f['name']!r}",
                                   line=f["line"])
+        if f["name"] in _FNS or f["name"] in _NP_FNS:
+            raise StanSyntaxError(
+                f"function {f['name']!r} shadows a built-in", line=f["line"])
+        seen = set()
+        for p in f["params"]:
+            if p in seen:
+                raise StanSyntaxError(
+                    f"duplicate parameter {p!r} in function {f['name']!r}",
+                    line=f["line"])
+            seen.add(p)
+        # bodies are CLOSED over their parameters: a free name would
+        # silently bind a same-named model variable at the call site
+        free = _free_names(f["body"]) - seen
+        if free:
+            raise StanSyntaxError(
+                f"function {f['name']!r} uses undeclared name(s) "
+                f"{sorted(free)} (bodies may only reference their "
+                "parameters)", line=f["line"])
         user_fns[f["name"]] = f
     if user_fns:
         ast["model"] = [_expand_stmt(s, user_fns) for s in ast["model"]]

@@ -16,8 +16,10 @@ stmt   = sampling: {"kind": "sampling", "target": str|("index",name,expr),
          for:      {"kind": "for", "var", "lo", "hi", "body": [stmt...],
                     "line"}
 expr   = number | str | ("binop", op, l, r) | ("neg", x)
-         | ("call", fn, arg) | ("index", name, expr)
+         | ("call", fn, [arg_expr...]) | ("index", name, expr)
          | ("lpdf", dist, value_expr, [arg_expr...])
+fn_def = {"name", "params": [str...], "body": expr, "line"}
+         (functions block; single-return expression functions, inlined)
 """
 
 from exmc_tpu.stan.lexer import StanSyntaxError, tokenize
@@ -286,10 +288,10 @@ class Parser:
     # frontend rejects arithmetic in dist args — stan.ex:31-36) --
     # expr   := term (('+'|'-') term)*
     # term   := factor (('*'|'/') factor)*
-    # factor := NUMBER | IDENT | IDENT '(' expr ')' | '(' expr ')'
-    #           | '-' factor
+    # factor := NUMBER | IDENT | IDENT '(' [expr {',' expr}] ')'
+    #           | '(' expr ')' | '-' factor
     # AST: number | str (variable) | ("binop", op, l, r)
-    #      | ("call", fn, arg) | ("neg", x)
+    #      | ("call", fn, [args]) | ("neg", x)
 
     def parse_expr(self):
         left = self.parse_term()
@@ -319,6 +321,9 @@ class Parser:
         if tok[0] == "IDENT":
             if self.peek()[0] == "LPAREN":
                 self.next()
+                if self.peek()[0] == "RPAREN":  # nullary call f()
+                    self.next()
+                    return ("call", tok[1], [])
                 arg = self.parse_expr()
                 if self.peek()[0] == "PIPE":
                     # <dist>_lpdf(value | args) density-increment call

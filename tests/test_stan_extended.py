@@ -359,3 +359,36 @@ def test_multi_statement_body_rejected():
     """
     with pytest.raises(StanSyntaxError, match="single 'return"):
         stan.compile(code, {})
+
+
+def test_function_hygiene_rejections():
+    """Code-review r2: free names, builtin shadowing, duplicate params,
+    nullary calls."""
+    # free name in body -> compile error, not silent call-site capture
+    with pytest.raises(StanSyntaxError, match="undeclared name"):
+        stan.compile("""
+        functions { real f(real x) { return x * sigma; } }
+        parameters { real mu; real<lower=0> sigma; }
+        model { sigma ~ half_normal(1); mu ~ normal(f(2), 1); }
+        """, {})
+    # builtin shadowing rejected
+    with pytest.raises(StanSyntaxError, match="shadows a built-in"):
+        stan.compile("""
+        functions { real log(real x) { return x; } }
+        parameters { real mu; }
+        model { mu ~ normal(0, 1); }
+        """, {})
+    # duplicate parameter names rejected
+    with pytest.raises(StanSyntaxError, match="duplicate parameter"):
+        stan.compile("""
+        functions { real f(real x, real x) { return x; } }
+        parameters { real mu; }
+        model { mu ~ normal(f(1, 2), 1); }
+        """, {})
+    # nullary functions are callable
+    ir = stan.compile("""
+    functions { real c() { return 2.5; } }
+    parameters { real mu; }
+    model { mu ~ normal(c(), 1); }
+    """, {})
+    assert float(ir.nodes["mu"].op[2]["mu"]) == 2.5
