@@ -23,6 +23,7 @@ EXAMPLES = [
     "13_epidemic_pmcmc.py",
     "14_decline_curve.py",
     "15_warranty_batch.py",
+    "16_turbine_imbalance.py",
 ]
 
 
