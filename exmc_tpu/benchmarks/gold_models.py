@@ -710,6 +710,296 @@ def stan_logistic_d21(seed=35):
                         {"beta": sd})
 
 
+def _laplace_is_moments_dict(log_post, grad, hess, x0, todict,
+                             n_draws=400_000, seed=0, df=7.0):
+    """_laplace_is_moments variant for CONSTRAINED summaries of
+    multivariate targets: ``todict(draws)`` maps unconstrained IS draws
+    (m, d) to a dict name -> (m, ...) of constrained parameter values;
+    returns (mean_dict, sd_dict, is_ess)."""
+    from scipy.optimize import minimize
+
+    res = minimize(lambda b: -log_post(b), x0, jac=lambda b: -grad(b),
+                   method="BFGS", options={"maxiter": 1000, "gtol": 1e-7})
+    mode = res.x
+    h = hess(mode)
+    cov = np.linalg.inv(h)
+    # symmetrize against autodiff round-off before Cholesky
+    cov = 0.5 * (cov + cov.T)
+    ch = np.linalg.cholesky(cov)
+    d = len(mode)
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n_draws, d))
+    g = rng.chisquare(df, n_draws) / df
+    draws = mode + (z / np.sqrt(g)[:, None]) @ ch.T
+    delta = draws - mode
+    sol = np.linalg.solve(ch, delta.T).T
+    maha = (sol**2).sum(axis=1)
+    log_q = -0.5 * (df + d) * np.log1p(maha / df)
+    # chunked evaluation: todict/log_post may expand each draw into
+    # (n_obs,)- or (J,)-sized intermediates — unchunked that is GBs of
+    # float64 temporaries for 400k draws
+    chunk = 20_000
+    log_p = np.empty(n_draws)
+    for s in range(0, n_draws, chunk):
+        log_p[s:s + chunk] = log_post(draws[s:s + chunk].T)
+    log_w = log_p - log_q
+    log_w -= log_w.max()
+    w = np.exp(log_w)
+    w /= w.sum()
+    ess = 1.0 / (w**2).sum()
+    # two chunked passes: weighted means, then weighted variances
+    sums, sqs = {}, {}
+    for s in range(0, n_draws, chunk):
+        part = todict(draws[s:s + chunk])
+        wv = w[s:s + chunk]
+        for name, vals in part.items():
+            wb = wv.reshape((-1,) + (1,) * (vals.ndim - 1))
+            sums[name] = sums.get(name, 0.0) + (wb * vals).sum(axis=0)
+    for s in range(0, n_draws, chunk):
+        part = todict(draws[s:s + chunk])
+        wv = w[s:s + chunk]
+        for name, vals in part.items():
+            wb = wv.reshape((-1,) + (1,) * (vals.ndim - 1))
+            sqs[name] = sqs.get(name, 0.0) + (
+                wb * (vals - sums[name]) ** 2
+            ).sum(axis=0)
+    means = dict(sums)
+    sds = {name: np.sqrt(v) for name, v in sqs.items()}
+    return means, sds, ess
+
+
+def radon_varying_intercept(seed=40, n_counties=85, n_homes=919):
+    """Radon-style varying-intercept multilevel model (d=89) — the
+    posteriordb battery's most common model class
+    (reference benchmark/posteriordb/validation_results.md radon rows;
+    VERDICT r2 #8). Minnesota-shaped synthetic data (85 counties with
+    heavily skewed sizes, floor indicator), model:
+
+        mu_a ~ N(0, 10); sigma_a ~ HalfNormal(1)
+        alpha_j ~ N(mu_a, sigma_a), j = 1..85   (auto-NCP'd)
+        beta ~ N(0, 10); sigma_y ~ HalfNormal(1)
+        y_i ~ N(alpha[county_i] + beta * floor_i, sigma_y)
+
+    Gold target: the alphas are MARGINALIZED ANALYTICALLY (the model is
+    linear-Gaussian given the 4 hyperparameters; per-county Woodbury
+    determinant/quadratic from sufficient statistics), Laplace-IS runs
+    on the clean 4-d hyperparameter marginal (torch f64 autograd for
+    its grad/Hessian; IS-ESS ~ the draw count), and alpha moments come
+    from the exact conditional-Gaussian formulas averaged under the IS
+    weights. NOTE (measured, this round): direct 89-d Laplace-IS fails
+    in BOTH parameterizations — centered-unconstrained density is
+    UNBOUNDED at the funnel tip (sigma_a -> 0 with alphas collapsed
+    beats any interior point), and the non-centered joint mode inflates
+    sigma_a with |z| shrunk (IS-ESS 1). Marginalization is the honest
+    mechanism, and it is exact."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    # skewed county sizes (posteriordb radon: 1..116 homes per county)
+    raw = rng.pareto(1.1, size=n_counties) + 1.0
+    sizes = np.maximum(1, (raw / raw.sum() * n_homes).astype(int))
+    while sizes.sum() < n_homes:
+        sizes[rng.integers(n_counties)] += 1
+    while sizes.sum() > n_homes:
+        j = rng.integers(n_counties)
+        if sizes[j] > 1:
+            sizes[j] -= 1
+    county = np.repeat(np.arange(n_counties), sizes)
+    floor_x = (rng.random(n_homes) < 0.45).astype(np.float64)
+    true_alpha = rng.normal(1.46, 0.33, size=n_counties)
+    y = rng.normal(true_alpha[county] - 0.69 * floor_x, 0.76)
+
+    J, n = n_counties, n_homes
+
+    # per-county sufficient statistics: within county j the residual
+    # r_i = y_i - mu_a - beta x_i has |r|^2 and (sum r) expressible in
+    # (S_y, S_x, S_yy, S_xy, S_xx, n_j)
+    n_j = np.asarray(sizes, np.float64)
+    S_y = np.array([y[county == j].sum() for j in range(J)])
+    S_x = np.array([floor_x[county == j].sum() for j in range(J)])
+    S_yy = np.array([(y[county == j] ** 2).sum() for j in range(J)])
+    S_xy = np.array([(y[county == j] * floor_x[county == j]).sum()
+                     for j in range(J)])
+    S_xx = S_x  # x is 0/1 so x^2 = x
+
+    def _marginal_terms(mu_a, beta, u, v):
+        """Vectorized over trailing batch axes. Returns the marginal
+        log-likelihood sum_j log N(y_j | mu_a + beta x_j, s2y I + s2a
+        11^T) via Woodbury, with each per-county term from sufficient
+        stats (works for numpy and torch inputs)."""
+        mod = torch if isinstance(mu_a, torch.Tensor) else np
+        s2a = mod.exp(2 * u)
+        s2y = mod.exp(2 * v)
+        # broadcast county axis first: shapes (J,) + batch
+        nj = n_j.reshape((J,) + (1,) * getattr(mu_a, "ndim", 0)) \
+            if mod is np else torch.tensor(n_j)
+        Sy = S_y.reshape(nj.shape) if mod is np else torch.tensor(S_y)
+        Sx = S_x.reshape(nj.shape) if mod is np else torch.tensor(S_x)
+        Syy = S_yy.reshape(nj.shape) if mod is np else torch.tensor(S_yy)
+        Sxy = S_xy.reshape(nj.shape) if mod is np else torch.tensor(S_xy)
+        Sxx = S_xx.reshape(nj.shape) if mod is np else torch.tensor(S_xx)
+        rsum = Sy - nj * mu_a - beta * Sx
+        rsq = (Syy - 2 * mu_a * Sy - 2 * beta * Sxy
+               + 2 * mu_a * beta * Sx + nj * mu_a ** 2 + beta ** 2 * Sxx)
+        logdet = nj * mod.log(s2y) + mod.log(1 + nj * s2a / s2y)
+        quad = rsq / s2y - (s2a / (s2y * (s2y + nj * s2a))) * rsum ** 2
+        return (-0.5 * (logdet + quad)).sum(axis=0) \
+            if mod is np else (-0.5 * (logdet + quad)).sum()
+
+    def lp_hyper_torch(th):
+        mu_a, beta, u, v = th[0], th[1], th[2], th[3]
+        lp = -0.5 * (mu_a / 10.0) ** 2 - 0.5 * (beta / 10.0) ** 2
+        lp = lp - 0.5 * torch.exp(2 * u) + u - 0.5 * torch.exp(2 * v) + v
+        return lp + _marginal_terms(mu_a, beta, u, v)
+
+    def log_post(b):
+        if b.ndim == 1:
+            with torch.no_grad():
+                return float(lp_hyper_torch(torch.tensor(b)))
+        mu_a, beta, u, v = b[0], b[1], b[2], b[3]
+        lp = -0.5 * (mu_a / 10.0) ** 2 - 0.5 * (beta / 10.0) ** 2
+        lp = lp - 0.5 * np.exp(2 * u) + u - 0.5 * np.exp(2 * v) + v
+        return lp + _marginal_terms(mu_a, beta, u, v)
+
+    def grad(b):
+        th = torch.tensor(b, requires_grad=True)
+        lp_hyper_torch(th).backward()
+        return th.grad.numpy()
+
+    def hess(b):
+        return -torch.autograd.functional.hessian(
+            lp_hyper_torch, torch.tensor(b)).numpy()
+
+    def todict(draws):
+        out = {
+            "mu_a": draws[:, 0],
+            "beta": draws[:, 1],
+            "sigma_a": np.exp(draws[:, 2]),
+            "sigma_y": np.exp(draws[:, 3]),
+        }
+        # exact conditional-Gaussian alpha per draw:
+        # alpha_j | hyper, y ~ N(m_j, v_j),
+        # 1/v_j = 1/s2a + n_j/s2y, m_j = v_j (mu_a/s2a + (S_y - b S_x)/s2y)
+        mu_a, beta = draws[:, 0], draws[:, 1]
+        s2a, s2y = np.exp(2 * draws[:, 2]), np.exp(2 * draws[:, 3])
+        prec = 1.0 / s2a[:, None] + n_j[None, :] / s2y[:, None]
+        v_j = 1.0 / prec
+        m_j = v_j * (mu_a[:, None] / s2a[:, None]
+                     + (S_y[None, :] - beta[:, None] * S_x[None, :])
+                     / s2y[:, None])
+        out["__alpha_mean"] = m_j
+        out["__alpha_var"] = v_j
+        return out
+
+    x0 = np.array([y.mean(), -0.5, np.log(0.3), np.log(y.std() * 0.8)])
+    means, sds, ess = _laplace_is_moments_dict(
+        log_post, grad, hess, x0, todict, seed=seed)
+    # 4-d IS against a t7 Laplace proposal: ESS ~ 1.5e4 of 4e5 (the
+    # sigma_a marginal is right-skewed) => moment SE ~ 0.008 sd, far
+    # below the 0.5-sd pass bar
+    assert ess > 10_000, f"IS target unreliable (ess={ess:.0f})"
+    # law of total expectation/variance for the marginal alpha moments
+    am = means.pop("__alpha_mean")
+    av_within = means.pop("__alpha_var")
+    am_sd = sds.pop("__alpha_mean")
+    sds.pop("__alpha_var")
+    means["alpha"] = am
+    sds["alpha"] = np.sqrt(av_within + am_sd ** 2)
+
+    import jax.numpy as jnp
+
+    county_j = jnp.asarray(county)
+    floor_j = jnp.asarray(floor_x.astype(np.float32))
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu_a", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "sigma_a", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "alpha", dists.Normal,
+                    {"mu": "mu_a", "sigma": "sigma_a"}, shape=(J,))
+    ir = Builder.rv(ir, "beta", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "sigma_y", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.det(ir, "mu_y",
+                     lambda a, b: a[county_j] + b * floor_j,
+                     ["alpha", "beta"])
+    ir = Builder.rv(ir, "y", dists.Normal,
+                    {"mu": "mu_y", "sigma": "sigma_y"}, shape=(n,))
+    ir = Builder.obs(ir, "y_obs", "y", y.astype(np.float32))
+    return GoldStandard("radon_varying_intercept", ir, means, sds, ncp=True)
+
+
+def kidiq_regression(seed=41, n=434):
+    """kidiq-style linear regression (posteriordb's other most common
+    shape, VERDICT r2 #8): kid_score ~ N(b0 + b1*mom_hs + b2*mom_iq,
+    sigma), d=4 with an unknown scale. Gold target via Laplace-IS in
+    unconstrained space (analytic grad/Hessian are simple here, but the
+    torch-f64 path keeps one mechanism for the class)."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    mom_hs = (rng.random(n) < 0.785).astype(np.float64)
+    mom_iq = rng.normal(100.0, 15.0, size=n)
+    y = rng.normal(26.0 + 6.0 * mom_hs + 0.56 * mom_iq, 18.0)
+    # center IQ so the intercept is identified at sane scale
+    iq_c = mom_iq - mom_iq.mean()
+    X = np.stack([np.ones(n), mom_hs, iq_c], axis=1)
+
+    yt, Xt = torch.tensor(y), torch.tensor(X)
+
+    def lp_torch(th):
+        b = th[:3]
+        v = th[3]
+        lp = -0.5 * (b[0] / 100.0) ** 2 - 0.5 * ((b[1:] / 10.0) ** 2).sum()
+        lp = lp - 0.5 * torch.exp(2 * v) / 400.0 + v  # HalfNormal(20)
+        resid = yt - Xt @ b
+        return lp + (-0.5 * (resid / torch.exp(v)) ** 2).sum() - n * v
+
+    def log_post(b):
+        if b.ndim == 1:
+            with torch.no_grad():
+                return float(lp_torch(torch.tensor(b)))
+        bb, v = b[:3], b[3]
+        lp = -0.5 * (bb[0] / 100.0) ** 2 - 0.5 * ((bb[1:] / 10.0) ** 2).sum(axis=0)
+        lp = lp - 0.5 * np.exp(2 * v) / 400.0 + v
+        resid = y[:, None] - X @ bb
+        return lp + (-0.5 * (resid / np.exp(v)) ** 2).sum(axis=0) - n * v
+
+    def grad(b):
+        th = torch.tensor(b, requires_grad=True)
+        lp_torch(th).backward()
+        return th.grad.numpy()
+
+    def hess(b):
+        return -torch.autograd.functional.hessian(
+            lp_torch, torch.tensor(b)).numpy()
+
+    def todict(draws):
+        return {"b0": draws[:, 0], "b_hs": draws[:, 1], "b_iq": draws[:, 2],
+                "sigma": np.exp(draws[:, 3])}
+
+    x0 = np.array([y.mean(), 0.0, 0.0, np.log(y.std())])
+    means, sds, ess = _laplace_is_moments_dict(
+        log_post, grad, hess, x0, todict, seed=seed)
+    assert ess > 50_000, f"IS target unreliable (ess={ess:.0f})"
+
+    import jax.numpy as jnp
+
+    hs_j = jnp.asarray(mom_hs.astype(np.float32))
+    iq_j = jnp.asarray(iq_c.astype(np.float32))
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "b0", dists.Normal, {"mu": 0.0, "sigma": 100.0})
+    ir = Builder.rv(ir, "b_hs", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "b_iq", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 20.0})
+    ir = Builder.det(ir, "mu_y",
+                     lambda b0, b1, b2: b0 + b1 * hs_j + b2 * iq_j,
+                     ["b0", "b_hs", "b_iq"])
+    ir = Builder.rv(ir, "y", dists.Normal,
+                    {"mu": "mu_y", "sigma": "sigma"}, shape=(n,))
+    ir = Builder.obs(ir, "y_obs", "y", y.astype(np.float32))
+    return GoldStandard("kidiq_regression", ir, means, sds)
+
+
 # ---------------------------------------------------------------------------
 # geometry stress: funnel marginals under auto-NCP
 # ---------------------------------------------------------------------------
@@ -757,4 +1047,6 @@ EXTRA_GOLD_STANDARDS = [
     stan_eight_schools_ncp,
     stan_logistic_d21,
     funnel_v_marginal,
+    radon_varying_intercept,
+    kidiq_regression,
 ]

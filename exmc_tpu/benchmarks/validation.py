@@ -165,8 +165,25 @@ def validate(num_warmup=1000, num_samples=1000, num_chains=4, seed=42,
     from exmc_tpu.nuts.sampler import sample
 
     makers = _all_gold_standards() if full else list(CORE_GOLD_STANDARDS)
+    # maker-function names that differ from their GoldStandard.name, so
+    # a ``models`` filter can skip CONSTRUCTION (some targets — the
+    # marginalized-Laplace-IS multilevel models — take a minute+ to
+    # build; constructing then discarding them made the filtered battery
+    # pay for every model anyway)
+    aliases = {
+        "dirichlet_prior_moments": "dirichlet_prior",
+        "_conjugate_normal": "conjugate_normal",
+        "_beta_binomial": "beta_binomial",
+        "_gamma_poisson": "gamma_poisson",
+        "_normal_known_mean_gamma_precision": "normal_gamma_precision",
+        "_mvn_conjugate": "mvn_conjugate",
+        "_eight_schools": "eight_schools_ncp",
+    }
     results = []
     for make in makers:
+        if models is not None:
+            if aliases.get(make.__name__, make.__name__) not in models:
+                continue
         gs = make()
         if models is not None and gs.name not in models:
             continue

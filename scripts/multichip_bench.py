@@ -1,0 +1,189 @@
+"""Virtual-mesh multi-chip benchmark (VERDICT r2 #4).
+
+The reference published real 5-node scaling numbers
+(reference DISTRIBUTED_BENCHMARKS.md:145-207, avg 2.88x at 5 BEAM
+:peer nodes). Real multi-chip TPU hardware is not available in this
+environment, so this records the half of that evidence that IS
+obtainable now, on the 8-virtual-device CPU mesh the test suite uses:
+
+  1. dp-scaling: wall time for the SAME total chain count on meshes of
+     1/2/4/8 devices (chains sharded over "dp") — the sharding overhead
+     bound. On virtual CPU devices each device is a real host thread,
+     so this also demonstrates genuine parallel speedup.
+  2. sp=2 likelihood-sharding gradient parity at n=20,000 rows:
+     max |grad_sharded - grad_single| over random points (the
+     correctness assert the timings ride on).
+  3. per-device chain occupancy: chains/device and draws/s as the chain
+     count grows at dp=8.
+
+Writes MULTICHIP_BENCH.json. Run: python scripts/multichip_bench.py
+(forces the CPU backend + 8 virtual devices itself).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from exmc_tpu import Builder, compile_logp, dists
+from exmc_tpu.parallel.distributed import sample_chains_sharded
+from exmc_tpu.parallel.sharding import make_data_parallel_vag, make_mesh, shard_data
+
+
+def eight_schools_ir():
+    y = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "tau", dists.HalfNormal, {"sigma": 5.0})
+    ir = Builder.rv(ir, "theta", dists.Normal, {"mu": "mu", "sigma": "tau"},
+                    shape=(8,))
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "theta", "sigma": sigma},
+                    shape=(8,))
+    ir = Builder.obs(ir, "y_obs", "y", y)
+    return ir
+
+
+def logistic_ir(n=20_000, d=21, seed=0):
+    """d=21 logistic regression, data as a JIT argument (Builder.data,
+    D69) so rows shard over "sp". Custom-dist pattern matching
+    tests/test_parallel.py: the prior lives inside the data-dependent
+    logpdf (an empty shard zeroes the likelihood term, which is exactly
+    the prior-dedup convention make_data_parallel_vag corrects for)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    beta_true = rng.normal(0, 0.5, size=(d,)).astype(np.float32)
+    p = 1.0 / (1.0 + np.exp(-(X @ beta_true)))
+    y = (rng.uniform(size=n) < p).astype(np.float32)
+    data = np.concatenate([X, y[:, None]], axis=1)  # rows shard over "sp"
+
+    def loglik(beta, params, data=None):
+        xm, yv = data[:, :-1], data[:, -1]
+        logits = xm @ beta
+        ll = jnp.sum(yv * logits - jnp.logaddexp(0.0, logits))
+        lprior = jnp.sum(-0.5 * (beta / 2.5) ** 2)
+        return ll + lprior
+
+    custom = dists.Custom(logpdf_fn=loglik, support="real")
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "beta", custom, {}, shape=(d,))
+    ir = Builder.data(ir, data)
+    return ir
+
+
+def timed(fn, *args, reps=3, **kw):
+    fn(*args, **kw)  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn(*args, **kw)
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    out = {"backend": "cpu-virtual-8", "note": (
+        "virtual-device half of the reference's DISTRIBUTED_BENCHMARKS "
+        "evidence (real multi-chip gated on hardware); each virtual "
+        "device is a host thread, so dp-scaling here shows true "
+        "parallel execution of the sharded program"
+    )}
+
+    ir = eight_schools_ir()
+    chains, W, N = 64, 300, 300
+
+    # 1. dp-scaling at fixed total chains
+    rows = []
+    for ndev in (1, 2, 4, 8):
+        mesh = make_mesh(ndev, dp=ndev, sp=1)
+        wall = timed(
+            lambda: sample_chains_sharded(
+                ir, chains, mesh, seed=0, num_warmup=W, num_samples=N,
+                retry_failed=False,
+            )
+        )
+        rows.append({"devices": ndev, "chains": chains,
+                     "chains_per_device": chains // ndev,
+                     "wall_s": round(wall, 3),
+                     "speedup_vs_1dev": None})
+        print(f"dp={ndev}: {wall:.3f}s")
+    base = rows[0]["wall_s"]
+    for r in rows:
+        r["speedup_vs_1dev"] = round(base / r["wall_s"], 2)
+    out["dp_scaling_eight_schools_64ch_300+300"] = rows
+
+    # 2. sp=2 likelihood-sharding gradient parity, n=20k
+    ir_log = logistic_ir()
+    model = compile_logp(ir_log, ncp=False)
+    mesh = make_mesh(8, dp=4, sp=2)
+    dp_vag = make_data_parallel_vag(model, mesh)
+    data_sh = shard_data(mesh, model.data)
+    rng = np.random.default_rng(1)
+    max_v, max_g = 0.0, 0.0
+    for _ in range(5):
+        q = rng.normal(0, 0.5, size=(model.size,)).astype(np.float32)
+        v1, g1 = model.value_and_grad(q, model.data)
+        v2, g2 = dp_vag(q, data_sh)
+        max_v = max(max_v, abs(float(v1) - float(v2)))
+        max_g = max(max_g, float(np.max(np.abs(np.asarray(g1) - np.asarray(g2)))))
+    rel_v = max_v / 1e4  # |logp| ~ 1e4 at n=20k
+    assert rel_v < 1e-4, f"sp=2 value parity broke: {max_v}"
+    assert max_g < 0.5, f"sp=2 grad parity broke: {max_g}"  # f32 psum on n=2e4 rows
+    out["sp2_parity_logistic_n20000"] = {
+        "n_rows": 20_000, "d": 21, "mesh": "dp=4 x sp=2",
+        "max_abs_value_diff": float(max_v),
+        "max_abs_grad_diff": float(max_g),
+        "points_checked": 5, "pass": True,
+    }
+    print(f"sp=2 parity: |dv|={max_v:.3e} |dg|={max_g:.3e}")
+
+    # sp=2 timing: does sharding the 20k-row likelihood pay?
+    t_single = timed(lambda: model.value_and_grad(
+        np.zeros(model.size, np.float32), model.data), reps=10)
+    t_sp = timed(lambda: dp_vag(
+        np.zeros(model.size, np.float32), data_sh), reps=10)
+    out["sp2_vag_wall"] = {"single_device_s": round(t_single, 5),
+                           "dp4xsp2_s": round(t_sp, 5)}
+    print(f"vag wall: single {t_single*1e3:.2f}ms sharded {t_sp*1e3:.2f}ms")
+
+    # 3. occupancy: chains/device at dp=8
+    occ = []
+    mesh8 = make_mesh(8, dp=8, sp=1)
+    for c in (8, 64, 256):
+        wall = timed(
+            lambda c=c: sample_chains_sharded(
+                ir, c, mesh8, seed=0, num_warmup=W, num_samples=N,
+                retry_failed=False,
+            ), reps=2,
+        )
+        occ.append({"chains": c, "chains_per_device": c // 8,
+                    "wall_s": round(wall, 3),
+                    "draws_per_s": round(c * N / wall)})
+        print(f"occupancy {c} chains: {wall:.2f}s "
+              f"({c * N / wall:.0f} draws/s)")
+    out["occupancy_dp8"] = occ
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "MULTICHIP_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote MULTICHIP_BENCH.json")
+
+
+if __name__ == "__main__":
+    main()

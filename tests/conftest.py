@@ -8,6 +8,13 @@ TPU compute dtype, so f32 numeric hygiene is actually exercised.
 
 import os
 
+# The persistent compilation cache (config.py) replays XLA:CPU AOT
+# executables; the loader logs a benign-but-noisy machine-feature
+# mismatch ERROR per entry (XLA pseudo-features like +prefer-no-scatter
+# are absent from the host-detection list). Silence C++ logging for
+# test runs.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -211,3 +211,44 @@ def test_pathfinder_fit_program_cache():
     run2, draw2 = next(iter(pf._FIT_CACHE.values()))
     assert run1 is run2 and draw1 is draw2
     assert r["draws_unconstrained"].shape[1] == 4
+
+
+def test_bounded_scale_guard_no_nan():
+    """Advisor r2 (medium): a scale constrained by LowerBound(c>0) with a
+    prior whose logpdf is finite below c (Normal) could accept proposals
+    sigma' <= c, writing tf.inverse(sigma') = log(negative) = NaN into
+    the chain. The accept guard must reject any proposal outside the
+    transform's image."""
+    import jax
+    import jax.numpy as jnp
+
+    from exmc_tpu.transforms import LowerBoundTransform
+
+    t = 12
+    lower = 0.9
+    ir = Builder.new_ir()
+    # Normal prior: finite logpdf everywhere, including below the bound
+    ir = Builder.rv(ir, "sigma", dists.Normal, {"mu": 1.1, "sigma": 2.0},
+                    transform=LowerBoundTransform(lower))
+    ir = Builder.rv(ir, "s", dists.GaussianRandomWalk, {"sigma": "sigma"},
+                    shape=(t,))
+    m = compile_logp(ir, ncp=False)
+    gs = eligible_groups(m)
+    assert len(gs) == 1 and gs[0]["sigma_id"] == "sigma"
+    step = build_interweave(m)
+
+    # tiny path -> tiny SSE -> chi2 proposal concentrates sigma' near 0,
+    # i.e. below the bound: without the guard this NaNs immediately
+    q0 = jnp.zeros(m.pm.size, dtype=jnp.float32)
+    q0 = q0.at[:].set(0.01)
+    q = q0
+    n_accept = 0
+    for i in range(200):
+        q, acc = jax.jit(step)(q, jax.random.PRNGKey(i))
+        assert bool(jnp.all(jnp.isfinite(q))), f"NaN at iter {i}"
+        n_accept += int(acc > 0)
+        sig = gs[0]["transform"].forward(q[gs[0]["offset"]])
+        assert float(sig) > lower
+    # the guard rejects out-of-domain proposals rather than crashing;
+    # with SSE this small nearly everything proposed is below the bound
+    assert n_accept < 200

@@ -61,3 +61,49 @@ def test_trace_store_streaming(tmp_path):
         assert start == seen
         seen += tr["mu"].shape[1]
     assert seen == 120
+
+
+def test_per_draw_streaming_every_1():
+    """VERDICT r2 #5: reference sample_stream emits after EVERY draw
+    (sampler.ex:1186-1276); every=1 must deliver each draw index once,
+    in order, with the full chain batch, and the returned trace must
+    match what was streamed."""
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+
+    got = []
+    def cb(i, point, stats):
+        got.append((i, point["mu"], float(stats["logp"].mean()),
+                    stats["diverging"].shape))
+
+    trace, stats = sample_stream(ir, cb, num_chains=4, every=1,
+                                 num_warmup=150, num_samples=80, seed=0)
+    assert [g[0] for g in got] == list(range(80))
+    assert all(g[1].shape == (4,) for g in got)
+    assert all(g[3] == (4,) for g in got)
+    # the streamed points ARE the trace rows
+    streamed = np.stack([g[1] for g in got], axis=1)  # (chains, draws)
+    np.testing.assert_allclose(streamed, trace["mu"], rtol=1e-6)
+
+
+def test_per_draw_streaming_every_k():
+    ys = np.array([1.0, 1.2, 0.8])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+
+    idxs = []
+    # 95 draws with k=10 exercises the block padding path (245 % 10 != 0)
+    trace, _ = sample_stream(ir, lambda i, p, s: idxs.append(i),
+                             num_chains=2, every=10, num_warmup=150,
+                             num_samples=95, seed=1)
+    assert idxs == list(range(9, 95, 10))
+    assert trace["mu"].shape == (2, 95)
+
+    import pytest
+    with pytest.raises(ValueError, match="every"):
+        sample_stream(ir, lambda *a: None, every=0)

@@ -150,3 +150,36 @@ def test_posterior_predictive_mixture_likelihood():
     assert abs(flat.mean() - 0.5) < 0.5
     # both modes represented
     assert (flat < 0).mean() > 0.25 and (flat > 0).mean() > 0.25
+
+
+def test_advi_early_stop_on_device():
+    """VERDICT r2 #6: the ELBO-window convergence test must TERMINATE the
+    on-device while_loop (reference advi.ex:77-84 stops the host loop),
+    not just annotate post-hoc."""
+    ir, post_mean, post_sd, _ = conjugate_ir()
+    out = advi_fit(ir, num_steps=20000, seed=0, window=100, tol=1e-3)
+    assert out["converged_at"] is not None
+    assert out["steps_run"] < 20000, "early stop never fired"
+    assert out["steps_run"] >= out["converged_at"]
+    # steps never run are NaN in the history; run steps are finite
+    hist = out["elbo_history"]
+    assert np.isfinite(hist[: out["steps_run"]]).all()
+    assert np.isnan(hist[out["steps_run"]:]).all()
+    # accuracy unaffected by stopping early
+    mu_draws = out["draws"]["mu"]
+    assert abs(float(mu_draws.mean()) - post_mean) < 0.1
+
+    # opt-out runs every step
+    out_full = advi_fit(ir, num_steps=1000, seed=0, early_stop=False)
+    assert out_full["steps_run"] == 1000
+    assert np.isfinite(out_full["elbo_history"]).all()
+
+
+def test_advi_adam_path():
+    ir, post_mean, post_sd, _ = conjugate_ir()
+    out = advi_fit(ir, num_steps=4000, seed=2, optimizer="adam")
+    mu_draws = out["draws"]["mu"]
+    assert abs(float(mu_draws.mean()) - post_mean) < 0.1
+    assert abs(float(mu_draws.std()) - post_sd) < 0.15
+    with pytest.raises(ValueError, match="optimizer"):
+        advi_fit(ir, num_steps=10, optimizer="rmsprop")
