@@ -804,9 +804,19 @@ class NUTSSampler:
                 raise ValueError(
                     "per-draw streaming does not support warm_start"
                 )
-            draws, stats, tuning = self._run_stream(
-                data, q_inits, keys, num_chains=num_chains
-            )
+            try:
+                draws, stats, tuning = self._run_stream(
+                    data, q_inits, keys, num_chains=num_chains
+                )
+            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "per-draw streaming failed to compile on this "
+                    "backend — remote-compile TPU services may not "
+                    "support host callbacks (measured: the axon tunnel "
+                    "rejects/hangs on io_callback programs). Use the "
+                    "chunked mode instead: sample_stream(..., "
+                    "chunk_size=k) without `every`."
+                ) from e
         else:
             draws, stats, tuning = self._run_jit(
                 data, q_inits, keys, ws_eps, ws_inv,
@@ -1179,10 +1189,11 @@ def sample_chains(ir, num_chains=4, **kwargs):
 
 
 def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
-                  init=None, data=None, ncp=True, every=None, **opts):
+                  init=None, data=None, ncp=True, every=None,
+                  mechanism="chunked", **opts):
     """Streaming sampling (reference sample_stream, sampler.ex:1186-1276).
 
-    Two granularities:
+    Granularities:
 
     * default (``every=None``): after each chunk of draws the host
       ``callback(start_index, constrained_chunk, stats_chunk)`` is
@@ -1192,14 +1203,28 @@ def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
       too; the callback fires once a chunk contains post-warmup draws.
 
     * ``every=k`` (k=1 matches the reference's after-EVERY-draw BEAM
-      message): the sampling scan itself emits ``callback(draw_index,
-      constrained_point, stats)`` every k-th post-warmup draw through an
-      unordered ``io_callback`` — the whole run stays ONE device call.
-      ``constrained_point`` values and stats carry the full
-      (num_chains, ...) batch for that draw. Measured overhead on
-      eight_schools at 256 chains: see docs/BENCHMARKS.md streaming
-      note / tests. This path bypasses the sampler cache (the callback
-      is baked into the traced program).
+      message): ``callback(draw_index, constrained_point, stats)``
+      fires for every k-th post-warmup draw, with the full
+      (num_chains, ...) batch for that draw. Two mechanisms, both
+      measured (64 chains, eight_schools 500+500, 8-device CPU mesh;
+      plain run 3.0 s):
+
+      - ``mechanism="chunked"`` (default): bounded device calls of k
+        iterations via ``run_chunked``, emitting each block's last
+        draw. ~10.6 s at k=10 — and works on EVERY backend (no host
+        callbacks inside the program).
+      - ``mechanism="io_callback"``: the whole run stays ONE device
+        call; an outer scan above the chain vmap fires one ordered
+        ``io_callback`` per k-iteration block. ~29 s at k=10 / ~32 s at
+        k=1 — each callback point effectively splits the program into
+        per-block dispatches, so it is SLOWER than chunked except near
+        k=1, and the axon-tunneled TPU backend rejects/hangs on
+        host-callback programs entirely. Kept for low-latency k=1
+        live-viz on local backends; bypasses the sampler cache.
+
+    Fine-grained streaming of ANY mechanism is dispatch-bound:
+    emission granularity k costs roughly one program dispatch per k
+    draws. Use the coarsest k the consumer can tolerate.
 
     Returns the full (trace, stats) like ``sample``."""
     if data is None and not isinstance(ir, CompiledModel):
@@ -1207,15 +1232,39 @@ def sample_stream(ir, callback, *, num_chains=1, chunk_size=100, seed=0,
     if every is not None:
         if not (isinstance(every, int) and every >= 1):
             raise ValueError(f"every must be a positive int, got {every!r}")
-        known = set(_SAMPLER_OPT_KEYS)
-        unknown = set(opts) - known
-        if unknown:
-            raise TypeError(f"unknown sampler options: {sorted(unknown)}")
-        model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
-        sampler = NUTSSampler(model=model, stream_cb=callback,
-                              stream_every=every, **opts)
-        return sampler.run(num_chains=num_chains, seed=seed, init=init,
-                           data=data)
+        if mechanism == "io_callback":
+            known = set(_SAMPLER_OPT_KEYS)
+            unknown = set(opts) - known
+            if unknown:
+                raise TypeError(f"unknown sampler options: {sorted(unknown)}")
+            model = (ir if isinstance(ir, CompiledModel)
+                     else compile_logp(ir, ncp=ncp))
+            sampler = NUTSSampler(model=model, stream_cb=callback,
+                                  stream_every=every, **opts)
+            return sampler.run(num_chains=num_chains, seed=seed, init=init,
+                               data=data)
+        if mechanism != "chunked":
+            raise ValueError(
+                f"mechanism must be 'chunked' or 'io_callback', "
+                f"got {mechanism!r}")
+        k = every
+
+        def chunk_cb(start, trace_chunk, stats_chunk):
+            first = next(iter(trace_chunk.values()))
+            n = first.shape[1]
+            for j in range(n):
+                if (start + j + 1) % k == 0:
+                    point = {name: arr[:, j]
+                             for name, arr in trace_chunk.items()}
+                    st = {name: arr[:, j]
+                          for name, arr in stats_chunk.items()}
+                    callback(start + j, point, st)
+
+        sampler = _make_sampler(ir, ncp=ncp, **opts)
+        return sampler.run_chunked(
+            num_chains=num_chains, chunk_iters=max(k, 25), seed=seed,
+            init=init, data=data, callback=chunk_cb,
+        )
     sampler = _make_sampler(ir, ncp=ncp, **opts)
     return sampler.run_chunked(
         num_chains=num_chains, chunk_iters=chunk_size, seed=seed, init=init,

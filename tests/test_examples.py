@@ -24,6 +24,10 @@ EXAMPLES = [
     "14_decline_curve.py",
     "15_warranty_batch.py",
     "16_turbine_imbalance.py",
+    "17_the_batch_hierarchy.py",
+    "18_turbofan_fleet.py",
+    "19_trend_cycle.py",
+    "20_dca_business.py",
 ]
 
 

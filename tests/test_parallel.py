@@ -2,6 +2,8 @@
 analogue of the reference's distributed tests without a real cluster
 (``nodes: [node()]`` trick, SURVEY.md §4)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -168,3 +170,51 @@ def test_sp_requires_builder_data():
     with pytest.raises(ValueError, match="Builder.data"):
         sample_chains_sharded(_simple_ir(), 8, mesh, num_warmup=10,
                               num_samples=10)
+
+
+def test_multihost_initialize_two_process_smoke(tmp_path):
+    """VERDICT r2 #10: exercise initialize_distributed's REAL branch
+    (jax.distributed.initialize) at least once before hardware arrives —
+    two localhost processes form a cluster over the Gloo/DCN path and
+    run one cross-process allgather (the reference's validate_nodes!
+    analogue, distributed.ex:105-122)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent("""
+        import os, sys
+        os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, %r)
+        from exmc_tpu.parallel.distributed import initialize_distributed
+        pid = int(sys.argv[1])
+        ok = initialize_distributed("127.0.0.1:47671",
+                                    num_processes=2, process_id=pid)
+        assert ok
+        assert jax.process_count() == 2
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        val = multihost_utils.process_allgather(jnp.asarray([float(pid)]))
+        assert val.reshape(-1).tolist() == [0.0, 1.0], val
+        print("MHOK", pid)
+    """ % os.path.join(os.path.dirname(__file__), "..")))
+
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-host smoke timed out: " + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"MHOK {i}" in out

@@ -104,6 +104,15 @@ def test_per_draw_streaming_every_k():
     assert idxs == list(range(9, 95, 10))
     assert trace["mu"].shape == (2, 95)
 
+    # io_callback mechanism: same emission schedule, one device call
+    idxs_io = []
+    trace_io, _ = sample_stream(ir, lambda i, p, s: idxs_io.append(i),
+                                num_chains=2, every=10, num_warmup=150,
+                                num_samples=95, seed=1,
+                                mechanism="io_callback")
+    assert idxs_io == idxs
+    assert trace_io["mu"].shape == (2, 95)
+
     import pytest
     with pytest.raises(ValueError, match="every"):
         sample_stream(ir, lambda *a: None, every=0)
