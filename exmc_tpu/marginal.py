@@ -205,17 +205,25 @@ def _sv_loglik(r):
     return loglik
 
 
-def sv_marginal_model(r):
+def sv_marginal_model(r, newton_iters=25):
     """The suite's SV model with the latent path MARGINALIZED: free RVs
     are just (sigma, nu) — same priors as benchmarks/suite.sv_model
     (sigma ~ Exponential(50), nu ~ Exponential(0.1)) — and the
     likelihood is the Laplace marginal, a Custom term the standard NUTS
     kernel differentiates straight through (2-d sampling problem at ANY
-    T). Returns the IR; sample with ``sample(ir, ncp=False)``."""
+    T). Returns the IR; sample with ``sample(ir, ncp=False)``.
+
+    ``newton_iters`` trades mode-finding accuracy for traced-program
+    size: the NUTS kernel instantiates the marginal (fwd+bwd) many
+    times, and each instantiation carries ~6 scans per Newton
+    iteration — at T=5000 on the CPU backend, 25 iterations produced a
+    program XLA could not compile within 30 minutes (measured); 10-12
+    suffice once warmup has found the posterior bulk."""
     from exmc_tpu import Builder, dists
 
     T = len(r)
-    marginal = make_grw_marginal(_sv_loglik(np.asarray(r)), T)
+    marginal = make_grw_marginal(_sv_loglik(np.asarray(r)), T,
+                                 newton_iters=newton_iters)
 
     def logpdf(_value, params, data=None):
         logZ, _, _ = marginal(params["sigma"], {"nu": params["nu"]})

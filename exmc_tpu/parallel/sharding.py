@@ -69,7 +69,13 @@ def make_data_parallel_vag(model, mesh):
         g = jax.lax.psum(g, "sp")
         return v, g
 
+    @jax.jit
     def vag(q, data):
+        # jitted at the wrapper level: an eager call would re-trace the
+        # prior-dedup value_and_grad closure on EVERY evaluation
+        # (measured 820 ms/call vs 14 ms single-device on the virtual
+        # mesh before this; inside the NUTS pipeline the enclosing jit
+        # already absorbed it)
         assert data.shape[0] % sp == 0, (
             f"data rows {data.shape[0]} not divisible by sp={sp}"
         )

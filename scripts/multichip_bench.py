@@ -7,9 +7,10 @@ environment, so this records the half of that evidence that IS
 obtainable now, on the 8-virtual-device CPU mesh the test suite uses:
 
   1. dp-scaling: wall time for the SAME total chain count on meshes of
-     1/2/4/8 devices (chains sharded over "dp") — the sharding overhead
-     bound. On virtual CPU devices each device is a real host thread,
-     so this also demonstrates genuine parallel speedup.
+     1/2/4/8 devices (chains sharded over "dp") — the sharding OVERHEAD
+     BOUND. NOTE: one XLA CPU device already uses the whole host thread
+     pool, so virtual-device sharding cannot speed anything up; the
+     measured slowdown IS the GSPMD partition/collective overhead.
   2. sp=2 likelihood-sharding gradient parity at n=20,000 rows:
      max |grad_sharded - grad_single| over random points (the
      correctness assert the timings ride on).
@@ -100,9 +101,9 @@ def timed(fn, *args, reps=3, **kw):
 def main():
     out = {"backend": "cpu-virtual-8", "note": (
         "virtual-device half of the reference's DISTRIBUTED_BENCHMARKS "
-        "evidence (real multi-chip gated on hardware); each virtual "
-        "device is a host thread, so dp-scaling here shows true "
-        "parallel execution of the sharded program"
+        "evidence (real multi-chip gated on hardware). Read dp rows as "
+        "OVERHEAD BOUNDS (one CPU device already uses all host threads); "
+        "the sp row is compute-bound and shows real sharded speedup."
     )}
 
     ir = eight_schools_ir()
