@@ -804,6 +804,11 @@ class NUTSSampler:
                 raise ValueError(
                     "per-draw streaming does not support warm_start"
                 )
+            if self.shared_warmup:
+                raise ValueError(
+                    "per-draw io_callback streaming requires the "
+                    "per-chain pipeline (shared_warmup=False)"
+                )
             try:
                 draws, stats, tuning = self._run_stream(
                     data, q_inits, keys, num_chains=num_chains

@@ -116,3 +116,10 @@ def test_per_draw_streaming_every_k():
     import pytest
     with pytest.raises(ValueError, match="every"):
         sample_stream(ir, lambda *a: None, every=0)
+    # io_callback per-draw emission indexes draws within the per-chain
+    # pipeline's scan; the shared-warmup pipeline has a different carry
+    # layout and is rejected up front rather than silently falling back
+    # (the chunked mechanism supports shared_warmup normally)
+    with pytest.raises(ValueError, match="shared_warmup"):
+        sample_stream(ir, lambda *a: None, every=1, num_chains=2,
+                      mechanism="io_callback", shared_warmup=True)
