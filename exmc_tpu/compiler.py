@@ -117,14 +117,21 @@ class CompiledModel:
                 mu_ok = not isinstance(mu_ref, str) or mu_ref in resolved
                 # sigma may reference a det node (e.g. the funnel's
                 # exp(y/2)); resolve through the compiled graph when the
-                # named map alone can't supply it
-                if mu_ok and sigma_ref in resolved:
+                # named map alone can't supply it. Constant sigma occurs
+                # for Stan <offset=..., multiplier=c> affine parameters.
+                sigma_ok = (not isinstance(sigma_ref, str)
+                            or sigma_ref in resolved)
+                if mu_ok and sigma_ok:
                     mu = (
                         jnp.asarray(resolved[mu_ref])
                         if isinstance(mu_ref, str)
                         else jnp.asarray(mu_ref)
                     )
-                    sigma = jnp.asarray(resolved[sigma_ref])
+                    sigma = (
+                        jnp.asarray(resolved[sigma_ref])
+                        if isinstance(sigma_ref, str)
+                        else jnp.asarray(sigma_ref)
+                    )
                     zmap[nid] = _ncp_invert(info, jnp.asarray(xmap[nid]),
                                             mu, sigma)
                     del pending[nid]
@@ -144,7 +151,11 @@ class CompiledModel:
                         if isinstance(mu_ref, str)
                         else jnp.asarray(mu_ref)
                     )
-                    sigma = resolver(sigma_ref)
+                    sigma = (
+                        resolver(sigma_ref)
+                        if isinstance(sigma_ref, str)
+                        else jnp.asarray(sigma_ref)
+                    )
                     zmap[nid] = _ncp_invert(info, jnp.asarray(xmap[nid]),
                                             mu, sigma)
                     del pending[nid]
@@ -261,7 +272,12 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
                         if isinstance(info["mu"], str)
                         else jnp.asarray(info["mu"])
                     )
-                    x = mu_v + resolve(info["sigma"]) * x
+                    sig_v = (
+                        resolve(info["sigma"])
+                        if isinstance(info["sigma"], str)
+                        else jnp.asarray(info["sigma"])
+                    )
+                    x = mu_v + sig_v * x
             val = x
         else:
             raise ValueError(f"cannot resolve node {ref!r} of kind {tag!r}")

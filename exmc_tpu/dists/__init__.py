@@ -4,6 +4,7 @@ plus general-bounds Uniform)."""
 from exmc_tpu.dists.base import Distribution, get, register, all_dists
 from exmc_tpu.dists.continuous import (
     NORMAL as Normal,
+    FLAT as Flat,
     HALF_NORMAL as HalfNormal,
     EXPONENTIAL as Exponential,
     GAMMA as Gamma,
@@ -29,6 +30,7 @@ __all__ = [
     "register",
     "all_dists",
     "Normal",
+    "Flat",
     "HalfNormal",
     "Exponential",
     "Gamma",

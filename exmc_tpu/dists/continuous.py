@@ -29,6 +29,26 @@ class Normal(Distribution):
         return params["mu"] + params["sigma"] * jax.random.normal(key, shape)
 
 
+class Flat(Distribution):
+    """Improper uniform over the reals (Stan's implicit default prior).
+
+    logpdf is identically zero; used by the Stan frontend's
+    ``<offset=, multiplier=>`` affine-parameter lowering, where the
+    density is supplied by a separate factor node over the constrained
+    value. ``sample`` draws uniform(-2, 2) — Stan's unconstrained-init
+    convention — so init machinery works; the prior itself is improper
+    and has no normalizable sampler.
+    """
+
+    name = "flat"
+
+    def logpdf(self, x, params):
+        return jnp.zeros_like(x)
+
+    def sample(self, key, params, shape=()):
+        return jax.random.uniform(key, shape, minval=-2.0, maxval=2.0)
+
+
 class HalfNormal(Distribution):
     """HalfNormal(sigma), x > 0 — reference half_normal.ex:15-28."""
 
@@ -310,6 +330,7 @@ class Weibull(Distribution):
 
 
 NORMAL = register(Normal())
+FLAT = register(Flat())
 HALF_NORMAL = register(HalfNormal())
 EXPONENTIAL = register(Exponential())
 GAMMA = register(Gamma())

@@ -78,6 +78,11 @@ def eligible_groups(model):
     by_sigma = {}
     for nid, info in ncp.items():
         sig = info.get("sigma")
+        if info.get("kind") == "affine":
+            # Stan <offset=, multiplier=> lowering: the z node carries a
+            # Flat prior with the density in a factor node, so the
+            # ancillary-rescale move's N(0,1) bookkeeping does not apply
+            continue
         if isinstance(sig, str):
             by_sigma.setdefault(sig, []).append((nid, "ncp", None))
     # centered GRW/Normal latents: the latent itself is a free RV whose

@@ -29,7 +29,14 @@ stan.ex:31-36 "no target +=, no loops, no transformed blocks"):
 * ``matrix[N, K]`` parameters (elementwise priors over the flattened
   block, round-3);
 * constraint bounds referencing scalar data, e.g.
-  ``real<lower=min_y> y0;`` (round-3).
+  ``real<lower=min_y> y0;`` (round-3);
+* ``<offset=o, multiplier=m>`` affine parameters (Stan manual §25.7),
+  o/m constants, data scalars, or PARAMETERS — the manual non-centering
+  idiom ``vector<offset=mu, multiplier=tau>[J] theta;`` lowers onto the
+  NCP reconstruction machinery with the exact Jacobian adjustment
+  (round-3; see ``emit_affine``); constraints parse in Stan's
+  before-the-bracket position ``vector<lower=0>[N]`` as well as the
+  legacy ``vector[N]<lower=0>``.
 """
 
 import numpy as np
@@ -416,6 +423,77 @@ def compile(code: str, data=None):
         ir = Builder.det(ir, row["name"], "identity", [ref])
         tparam_names.add(row["name"])
 
+    def emit_affine(ir, decl, target, dist, param_names, params, line):
+        """``<offset=o, multiplier=m>`` affine parameters (Stan manual
+        §25.7 — the manual non-centering idiom; round-3 extension beyond
+        the reference frontend). Lowering rides the NCP reconstruction
+        machinery: the point-map coordinate is the UNCONSTRAINED z with
+        an improper Flat prior; ``ncp_info[target] = {mu: o, sigma: m,
+        kind: "affine"}`` reconstructs x = o + m*z everywhere x is
+        referenced — including the returned trace — and a factor node
+        supplies the density ``dist_lpdf(x | args) + sum(log(m))``
+        (Stan's Jacobian adjustment, which matters when m is itself a
+        parameter: with ``theta<offset=mu, multiplier=tau> ~
+        normal(mu, tau)`` the terms cancel to a standard normal on z,
+        exactly Stan's NCP)."""
+        import jax.numpy as jnp
+        from dataclasses import replace as _replace
+
+        if decl.get("lower") is not None or decl.get("upper") is not None:
+            raise StanSyntaxError(
+                "offset/multiplier cannot be combined with lower/upper "
+                "bounds", line=line)
+        if decl["type"] not in ("real", "vector"):
+            raise StanSyntaxError(
+                "offset/multiplier is supported for real and vector "
+                "parameters", line=line)
+
+        def aff_ref(v, default):
+            if v is None:
+                return default
+            if isinstance(v, float):
+                return v
+            if v in data_names:
+                arr = np.asarray(data[v])
+                if arr.ndim != 0 and arr.size != 1:
+                    raise StanSyntaxError(
+                        f"offset/multiplier data ref {v!r} must be a "
+                        "scalar", line=line)
+                return float(arr)
+            if v in param_decls or v in tparam_names:
+                return v  # node ref, resolved by the NCP reconstruction
+            raise StanSyntaxError(
+                f"offset/multiplier ref {v!r} is neither data nor a "
+                "parameter", line=line)
+
+        off = aff_ref(decl.get("offset"), 0.0)
+        mult = aff_ref(decl.get("multiplier"), 1.0)
+        size = resolve_size(decl.get("size"), line)
+        shape = (size,) if size is not None else None
+
+        ir = Builder.rv(ir, target, dists.Flat, {}, shape=shape)
+        ir = _replace(ir, ncp_info={
+            **ir.ncp_info,
+            target: {"mu": off, "sigma": mult, "kind": "affine"},
+        })
+
+        def aff_lp(x, m, *ps, _dist=dist, _pn=tuple(param_names)):
+            lp = jnp.sum(_dist.logpdf(x, dict(zip(_pn, ps))))
+            jac = jnp.sum(jnp.broadcast_to(jnp.log(jnp.asarray(m)),
+                                           jnp.shape(x)))
+            return lp + jac
+
+        nid = f"__{target}_afflp"
+        ir = Builder.det(ir, nid + "_val", aff_lp,
+                         [target, mult] + [params[p] for p in param_names])
+        fac = dists.Custom(
+            logpdf_fn=lambda x, prm: prm["v"], support="real",
+        )
+        ir = Builder.rv(ir, nid, fac, {"v": nid + "_val"})
+        ir = Builder.obs(ir, nid + "_obs", nid, 0.0)
+        declared_rvs.add(target)
+        return ir
+
     def emit_sampling(ir, stmt):
         target, dist_name, args = stmt["target"], stmt["dist"], stmt["args"]
         line = stmt["line"]
@@ -452,6 +530,10 @@ def compile(code: str, data=None):
 
         if target in param_decls:
             decl = param_decls[target]
+            if (decl.get("offset") is not None
+                    or decl.get("multiplier") is not None):
+                return emit_affine(ir, decl, target, dist, param_names,
+                                   params, line)
             transform = _constraint_transform(decl)
             shape = None
             size = resolve_size(decl.get("size"), line)

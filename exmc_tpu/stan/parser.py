@@ -169,7 +169,13 @@ class Parser:
         if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX"):
             self.error(f"expected a type, got {text!r}", line=line)
         decl = {"type": text, "size": None, "size2": None, "lower": None,
-                "upper": None, "line": line}
+                "upper": None, "offset": None, "multiplier": None,
+                "line": line}
+        # Stan puts constraints BEFORE the size bracket for container
+        # types (vector<lower=0>[N]); the legacy after-bracket position
+        # (vector[N]<lower=0>) is also accepted
+        if self.peek()[0] == "LANGLE":
+            self._parse_constraints(decl)
         if kind in ("VECTOR", "SIMPLEX"):
             self.expect("LBRACKET")
             decl["size"] = self._parse_size()
@@ -181,32 +187,7 @@ class Parser:
             decl["size2"] = self._parse_size()
             self.expect("RBRACKET")
         if self.peek()[0] == "LANGLE":
-            self.next()
-            while True:
-                bound_tok = self.next()
-                if bound_tok[0] not in ("LOWER", "UPPER"):
-                    self.error("expected lower/upper", line=bound_tok[2])
-                self.expect("EQUALS")
-                neg = False
-                if self.peek()[0] == "MINUS":
-                    self.next()
-                    neg = True
-                val_tok = self.next()
-                if val_tok[0] == "NUMBER":
-                    val = -float(val_tok[1]) if neg else float(val_tok[1])
-                elif val_tok[0] == "IDENT" and not neg:
-                    # data-referencing bound, e.g. <lower=min_y> — resolved
-                    # against the data environment by the frontend
-                    val = val_tok[1]
-                else:
-                    self.error("expected a number or data name as bound",
-                               line=val_tok[2])
-                decl[bound_tok[1]] = val
-                if self.peek()[0] == "COMMA":
-                    self.next()
-                    continue
-                break
-            self.expect("RANGLE")
+            self._parse_constraints(decl)
         name = self.expect("IDENT")
         decl["name"] = name[1]
         if assign:
@@ -214,6 +195,44 @@ class Parser:
             decl["expr"] = self.parse_expr()
         self.expect("SEMI")
         return decl
+
+    def _parse_constraints(self, decl):
+        self.expect("LANGLE")
+        while True:
+            bound_tok = self.next()
+            if bound_tok[0] in ("LOWER", "UPPER"):
+                key = bound_tok[1]
+            elif (bound_tok[0] == "IDENT"
+                  and bound_tok[1] in ("offset", "multiplier")):
+                # offset/multiplier are contextual keywords (Stan
+                # allows them as ordinary variable names elsewhere)
+                key = bound_tok[1]
+            else:
+                self.error("expected lower/upper/offset/multiplier",
+                           line=bound_tok[2])
+            self.expect("EQUALS")
+            neg = False
+            if self.peek()[0] == "MINUS":
+                self.next()
+                neg = True
+            val_tok = self.next()
+            if val_tok[0] == "NUMBER":
+                val = -float(val_tok[1]) if neg else float(val_tok[1])
+            elif val_tok[0] == "IDENT" and not neg:
+                # name-referencing value: for bounds a data scalar
+                # (<lower=min_y>, resolved eagerly by the frontend);
+                # for offset/multiplier also a PARAMETER (the Stan
+                # manual's non-centering idiom), resolved to a node
+                # reference at lowering time
+                val = val_tok[1]
+            else:
+                self.error("expected a number or name", line=val_tok[2])
+            decl[key] = val
+            if self.peek()[0] == "COMMA":
+                self.next()
+                continue
+            break
+        self.expect("RANGLE")
 
     def parse_model_block(self):
         self.expect("LBRACE")

@@ -392,3 +392,100 @@ def test_function_hygiene_rejections():
     model { mu ~ normal(c(), 1); }
     """, {})
     assert float(ir.nodes["mu"].op[2]["mu"]) == 2.5
+
+
+# ---- <offset=, multiplier=> affine parameters (Stan manual §25.7) ----
+
+EIGHT_SCHOOLS_AFFINE = """
+data { int J; vector[J] y; vector[J] sigma; }
+parameters {
+  real mu;
+  real<lower=0> tau;
+  vector<offset=mu, multiplier=tau>[J] theta;
+}
+model {
+  mu ~ normal(0, 5);
+  tau ~ half_cauchy(5);
+  theta ~ normal(mu, tau);
+  y ~ normal(theta, sigma);
+}
+"""
+
+
+def test_affine_param_matches_manual_ncp_logp():
+    """theta<offset=mu, multiplier=tau> ~ normal(mu, tau): the affine
+    Jacobian (+J log tau) cancels the lpdf's scale terms, leaving a
+    standard normal on z — the SAME unconstrained density as the manual
+    transformed-parameters NCP (which uses theta_raw ~ normal(0,1)).
+    Both models share the point-map layout {mu, tau, theta*}, so their
+    compiled logps must agree pointwise INCLUDING constants."""
+    ir_aff = stan.compile(EIGHT_SCHOOLS_AFFINE, ES_DATA)
+    ir_ncp = stan.compile(EIGHT_SCHOOLS_NCP, ES_DATA)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        q = rng.normal(size=10).astype(np.float32)
+        lp_a, _ = _lp(ir_aff, q)
+        lp_n, _ = _lp(ir_ncp, q)
+        assert abs(lp_a - lp_n) < 1e-3, (lp_a, lp_n)
+
+
+def test_affine_param_constant_offset_multiplier():
+    """Constant o/m: z-space density is normal_lpdf(o + m*z | mu0, s0)
+    + log m, checked against the closed form."""
+    code = """
+    parameters { real<offset=10, multiplier=2> x; }
+    model { x ~ normal(10, 2); }
+    """
+    ir = stan.compile(code, {})
+    z = 0.7
+    lp, _ = _lp(ir, [z])
+    expect = (-0.5 * z * z - np.log(2.0) - 0.5 * np.log(2 * np.pi)
+              + np.log(2.0))
+    assert abs(lp - expect) < 1e-5
+
+
+def test_affine_param_trace_is_constrained_and_samples():
+    """End-to-end: the trace reports theta on the CONSTRAINED scale
+    (reconstructed o + m*z), and the posterior matches the NCP
+    reference moments."""
+    trace, stats = stan.sample(
+        EIGHT_SCHOOLS_AFFINE, ES_DATA, ncp=False,
+        num_warmup=800, num_samples=800, num_chains=4, seed=0,
+    )
+    mu = float(np.mean(trace["mu"]))
+    tau = float(np.mean(trace["tau"]))
+    assert abs(mu - 4.4) < 0.5 * 3.3
+    assert abs(tau - 3.6) < 0.5 * 3.2
+    # theta must be on the constrained scale: school means pull toward
+    # mu (~4.4), not standard-normal z around 0 with unit spread
+    th = np.asarray(trace["theta"])
+    assert th.shape[-1] == 8
+    assert 2.0 < float(th.mean()) < 8.0
+
+
+def test_affine_constraint_position_both_orders():
+    """Stan's constraint-before-bracket and the legacy after-bracket
+    position parse to the same decl."""
+    a = parse("parameters { vector<lower=0>[3] s; } model { }")
+    b = parse("parameters { vector[3]<lower=0> s; } model { }")
+    da, db = a["parameters"][0], b["parameters"][0]
+    assert da["lower"] == db["lower"] == 0.0
+    assert da["size"] == db["size"] == 3
+
+
+def test_affine_rejects_bounds_combination():
+    code = """
+    parameters { real<lower=0, multiplier=2> x; }
+    model { x ~ normal(0, 2); }
+    """
+    with pytest.raises(StanSyntaxError, match="offset/multiplier"):
+        stan.compile(code, {})
+
+
+def test_affine_unknown_ref_rejected():
+    code = """
+    parameters { real<offset=nope> x; }
+    model { x ~ normal(0, 1); }
+    """
+    with pytest.raises(StanSyntaxError, match="neither data nor"):
+        stan.compile(code, {})
