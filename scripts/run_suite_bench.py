@@ -41,7 +41,15 @@ NCP = {name: name != "eight_schools" for name in MODELS}
 # ESS/s. See BENCHMARKS.md adaptation-study table.
 EXTRA_OPTS = {
     "medium": {"target_accept": 0.95},
-    "stress": {"target_accept": 0.95},
+    # stress: ASIS interweave on the NCP'd tau. Round-3 measurement
+    # (256 chains, on-chip): without it 2/5 seeds trap on tau
+    # (min-ESS 726/340, R-hat 1.11/1.27); with it every measured seed
+    # clears 43k min-ESS at R-hat <= 1.005 and the good seeds improve
+    # ~30% (39.2k -> 51.2k). NOT adopted for medium: with only J=2
+    # groups the scaled-inv-chi^2 proposal is too heavy-tailed and a
+    # measured seed collapsed mu (ESS 868, R-hat 1.10); medium without
+    # interweave is clean on all 5 seeds.
+    "stress": {"target_accept": 0.95, "interweave": True},
     # centered 8sch: the Gibbs tau|theta interweave move escapes the
     # funnel neck NUTS alone cannot — measured (64 chains, CPU):
     # min-ESS 555 -> 3866, R-hat 1.051 -> 1.016, divergences 0.79% at
