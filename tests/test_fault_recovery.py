@@ -206,6 +206,8 @@ def test_ensemble_rescue_teleports_outlier_chain():
         jnp.ones((2,), bool),             # in_warmup
         jnp.zeros((2,), bool),            # eps search
         jnp.asarray([False, True]),       # rescue checkpoint
+        jnp.zeros((2,), bool),            # emit (per-draw streaming)
+        jnp.arange(2, dtype=jnp.int32),   # draw_idx
     )
 
     def seg(c, x):
