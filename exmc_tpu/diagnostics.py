@@ -133,6 +133,28 @@ def rhat_bulk(x):
     return rhat(_rank_normalize(x))
 
 
+def ebfmi(energy):
+    """Energy-Bayesian-fraction-of-missing-information per chain
+    (Betancourt 2016, eq. 23; the e-bfmi of Stan's workflow — beyond
+    the reference, which returns energy in stats but no E-BFMI
+    estimator).
+
+    ``energy``: (chains, draws) array of per-draw Hamiltonian energies
+    (``stats["energy"]``). Returns a (chains,) array; values below ~0.3
+    flag marginal-energy transitions too narrow to explore the energy
+    distribution (heavy tails / mis-specified metric). NOTE: under
+    ``interweave=True`` the recorded energy describes the pre-interweave
+    NUTS transition (see sample() docs) — E-BFMI then measures the NUTS
+    kernel alone, which is the conservative reading."""
+    e = jnp.asarray(energy)
+    if e.ndim == 1:
+        e = e[None, :]
+    de = jnp.diff(e, axis=1)
+    num = jnp.mean(de * de, axis=1)
+    den = jnp.var(e, axis=1, ddof=1)
+    return num / den
+
+
 def autocorrelation(x, max_lag=None):
     """Normalized ACF (diagnostics.ex:123-143) — FFT-based (the reference
     notes switching to FFT beyond 10k draws, D23; we always do)."""

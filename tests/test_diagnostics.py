@@ -92,3 +92,23 @@ def test_quantile_interpolation():
     x = np.arange(101, dtype=float)
     qs = np.asarray(diag.quantile(x, [0.05, 0.5, 0.95]))
     np.testing.assert_allclose(qs, [5.0, 50.0, 95.0], atol=0.01)
+
+
+def test_ebfmi_iid_energy_near_two():
+    # iid normal energies: E[(dE)^2] = 2 Var(E) -> E-BFMI ~ 2
+    rng = np.random.default_rng(7)
+    e = rng.normal(10.0, 3.0, size=(4, 4000))
+    v = np.asarray(diag.ebfmi(e))
+    assert v.shape == (4,)
+    assert np.all(np.abs(v - 2.0) < 0.2), v
+
+
+def test_ebfmi_sticky_energy_low():
+    # strongly autocorrelated (sticky) energy chain -> small E-BFMI
+    rng = np.random.default_rng(8)
+    e = np.empty((1, 4000))
+    e[0, 0] = 0.0
+    for i in range(1, 4000):
+        e[0, i] = 0.995 * e[0, i - 1] + rng.normal(0, 0.1)
+    v = float(diag.ebfmi(e)[0])
+    assert v < 0.3, v
