@@ -197,6 +197,12 @@ def summary(trace, var_names=None):
                 "q95": float(qs[4]),
                 "ess": float(ess(x)),
                 "ess_bulk": float(ess_bulk(x)),
+                "ess_tail": float(ess_tail(x)),
                 "rhat": float(rhat(x)),
             }
+            # Monte Carlo standard error of the mean from the
+            # autocorrelation-aware ESS (sd/sqrt(ess)) — the workflow
+            # number that says how many digits of `mean` to trust
+            out[key]["mcse_mean"] = out[key]["std"] / max(
+                out[key]["ess"], 1.0) ** 0.5
     return out

@@ -112,3 +112,12 @@ def test_ebfmi_sticky_energy_low():
         e[0, i] = 0.995 * e[0, i - 1] + rng.normal(0, 0.1)
     v = float(diag.ebfmi(e)[0])
     assert v < 0.3, v
+
+
+def test_summary_mcse_and_tail():
+    rng = np.random.default_rng(9)
+    trace = {"mu": rng.normal(2.0, 0.5, size=(4, 500))}
+    s = diag.summary(trace)["mu"]
+    # iid draws: mcse ~ sd/sqrt(n_total)
+    assert abs(s["mcse_mean"] - 0.5 / np.sqrt(2000)) < 0.01
+    assert s["ess_tail"] > 500
