@@ -41,6 +41,7 @@ from exmc_tpu import diagnostics
 from exmc_tpu import log_prob
 from exmc_tpu import model_comparison
 from exmc_tpu import predictive
+from exmc_tpu import sbc
 from exmc_tpu import stan
 from exmc_tpu import transforms
 
@@ -66,6 +67,7 @@ __all__ = [
     "log_prob",
     "model_comparison",
     "predictive",
+    "sbc",
     "stan",
     "transforms",
 ]

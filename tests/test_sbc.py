@@ -1,0 +1,117 @@
+"""Simulation-based calibration harness (exmc_tpu/sbc.py).
+
+SBC validates the whole pipeline end-to-end: prior draw -> synthetic
+data -> NUTS posterior -> rank of truth among thinned draws must be
+uniform (Talts et al. 2018). Beyond the reference (its north star is
+posteriordb recovery, not calibration)."""
+
+import numpy as np
+import pytest
+
+from exmc_tpu import Builder, dists
+from exmc_tpu.sbc import rank_uniformity, sbc
+
+
+def _normal_model():
+    ys = np.linspace(1.5, 2.6, 10)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 2.0})
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": "sigma"},
+                    shape=(10,))
+    return Builder.obs(ir, "x_obs", "x", ys)
+
+
+def test_rank_uniformity_accepts_uniform():
+    rng = np.random.default_rng(0)
+    ranks = rng.integers(0, 51, size=400)
+    stat, p = rank_uniformity(ranks, L=50)
+    assert p > 0.01
+
+
+def test_rank_uniformity_rejects_biased():
+    # a sampler whose posterior is shifted yields pile-up at one end
+    rng = np.random.default_rng(0)
+    ranks = rng.integers(0, 16, size=400)  # never above 15 of 50
+    stat, p = rank_uniformity(ranks, L=50)
+    assert p < 1e-6
+
+
+def test_sbc_normal_model_calibrated():
+    out = sbc(_normal_model(), num_replications=60, num_warmup=300,
+              num_samples=400, thin=8, seed=0)
+    assert out["L"] == 50
+    assert set(out["ranks"]) == {"mu", "sigma"}
+    # healthy pipeline: no component fails uniformity hard
+    assert out["min_p"] > 1e-3
+    # ranks actually span the support (a frozen sampler would pile up)
+    for r in out["ranks"].values():
+        assert r.min() < 10 and r.max() > 40
+    assert out["divergence_rate"] < 0.05
+
+
+def test_sbc_detects_broken_jacobian():
+    """A deliberately mis-specified pair — generator prior N(0, 6) vs
+    fitted prior N(0, 0.5) with only two observations, so the fitted
+    posterior over-shrinks toward 0 and the truth lands in the tails —
+    must produce non-uniform (U-shaped) ranks. The calibration harness
+    catches what posterior-recovery tolerances miss."""
+    ys = np.array([1.5, 2.6])
+    gen = Builder.new_ir()
+    gen = Builder.rv(gen, "mu", dists.Normal, {"mu": 0.0, "sigma": 6.0})
+    gen = Builder.rv(gen, "x", dists.Normal, {"mu": "mu", "sigma": 1.0},
+                     shape=(2,))
+    gen = Builder.obs(gen, "x_obs", "x", ys)
+
+    fit = Builder.new_ir()
+    fit = Builder.rv(fit, "mu", dists.Normal, {"mu": 0.0, "sigma": 0.5})
+    fit = Builder.rv(fit, "x", dists.Normal, {"mu": "mu", "sigma": 1.0},
+                     shape=(2,))
+    fit = Builder.obs(fit, "x_obs", "x", ys)
+
+    from exmc_tpu.predictive import posterior_predictive, prior_samples
+    from exmc_tpu.sbc import _data_arg_ir, _single_obs_node
+
+    R = 60
+    prior = prior_samples(gen, num_draws=R, seed=0)
+    y = posterior_predictive(
+        gen, {"mu": prior["mu"][None]}, seed=1)["x_obs"][0]
+
+    import jax
+    import jax.numpy as jnp
+
+    from exmc_tpu.compiler import constrain_flat
+    from exmc_tpu.config import default_dtype
+    from exmc_tpu.nuts.sampler import _init_position, _make_sampler
+
+    obs_id, obs_node = _single_obs_node(fit)
+    ir2 = _data_arg_ir(fit, obs_id, obs_node)
+    sampler = _make_sampler(ir2, ncp=True, num_warmup=300, num_samples=400,
+                            ensemble_rescue=False, pooled_adaptation=False)
+    d = sampler.model.size
+    dtype = default_dtype()
+    keys = jax.random.split(jax.random.PRNGKey(2), R)
+    q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(keys)
+
+    def one(data_r, qi, key):
+        draws, _, _ = sampler._one_chain(
+            data_r, qi, key, False, jnp.ones((), dtype),
+            jnp.ones((d,), dtype))
+        sub = draws[7::8]
+        return jax.vmap(
+            lambda f: constrain_flat(sampler.model.ir, sampler.model.pm,
+                                     f, data_r))(sub)
+
+    named = jax.jit(jax.vmap(one))(jnp.asarray(y), q_inits, keys)
+    draws_mu = np.asarray(named["mu"]).reshape(R, -1)
+    ranks = (draws_mu < np.asarray(prior["mu"]).reshape(R, 1)).sum(axis=1)
+    _, p = rank_uniformity(ranks, L=draws_mu.shape[1])
+    assert p < 1e-4  # mis-calibration detected
+
+
+def test_sbc_rejects_multi_obs():
+    ir = _normal_model()
+    ir = Builder.rv(ir, "z", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+    ir = Builder.obs(ir, "z_obs", "z", 0.3)
+    with pytest.raises(ValueError, match="exactly one obs"):
+        sbc(ir, num_replications=4, num_warmup=10, num_samples=10)
