@@ -1020,6 +1020,28 @@ def funnel_v_marginal():
                         ncp=True)
 
 
+# ---------------------------------------------------------------------------
+# improper flat prior (Stan's implicit default): exact ML posterior
+# ---------------------------------------------------------------------------
+
+def flat_prior_normal(seed=33):
+    """Flat (improper) prior + Normal likelihood with known sigma: the
+    posterior is exactly N(ybar, sigma^2/n) — validates the zero-logpdf
+    Flat dist used by the Stan frontend's <offset=, multiplier=>
+    lowering keeps the sampler on the likelihood alone."""
+    rng = np.random.default_rng(seed)
+    n, mu_true, sigma = 50, 1.7, 2.0
+    ys = rng.normal(mu_true, sigma, size=n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Flat, {})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": sigma})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    return GoldStandard(
+        "flat_prior_normal", ir, {"mu": float(ys.mean())},
+        {"mu": sigma / math.sqrt(n)},
+    )
+
+
 EXTRA_GOLD_STANDARDS = [
     exponential_gamma,
     lognormal_conjugate,
@@ -1049,4 +1071,5 @@ EXTRA_GOLD_STANDARDS = [
     funnel_v_marginal,
     radon_varying_intercept,
     kidiq_regression,
+    flat_prior_normal,
 ]
