@@ -133,6 +133,48 @@ def rhat_bulk(x):
     return rhat(_rank_normalize(x))
 
 
+def nested_rhat(x, num_superchains):
+    """Nested R-hat (Margossian et al. 2022, arXiv:2110.13017) — the
+    convergence diagnostic for the MANY-SHORT-CHAINS regime this
+    framework runs in (1024 vmapped chains x few hundred draws), where
+    classic split R-hat needs more draws per chain than the run has.
+    Beyond the reference (single-digit chain counts never needed it).
+
+    ``x``: (chains, draws); chains are grouped CONSECUTIVELY into
+    ``num_superchains`` superchains of M = chains/num_superchains
+    members. For the diagnostic to detect non-stationarity, chains
+    within a superchain should share an initialization (or an init
+    distribution narrower than the target); with exmc_tpu's stride-7919
+    fold_in seeding, pass inits accordingly or treat the grouping as a
+    between-group mixing check.
+
+        nRhat = sqrt(1 + B/W)
+        B = var_{k}(superchain means)            (ddof=1)
+        W = mean_k [ var_{m in k}(chain means)   (ddof=1)
+                     + mean_{m in k}(within-chain var) ]
+
+    Works down to draws=1 per chain (the within-chain term drops out).
+    Threshold: the paper recommends ~1.01 on nRhat just like R-hat."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    c, n = x.shape
+    k = int(num_superchains)
+    if c % k != 0:
+        raise ValueError(f"chains ({c}) not divisible by num_superchains ({k})")
+    m = c // k
+    if m < 2:
+        raise ValueError("need >= 2 chains per superchain")
+    g = x.reshape(k, m, n)
+    chain_means = jnp.mean(g, axis=2)                      # (k, m)
+    within_chain = (
+        jnp.var(g, axis=2, ddof=1).mean(axis=1) if n > 1
+        else jnp.zeros((k,), x.dtype)
+    )                                                      # (k,)
+    super_means = jnp.mean(chain_means, axis=1)            # (k,)
+    b = jnp.var(super_means, ddof=1)
+    w = jnp.mean(jnp.var(chain_means, axis=1, ddof=1) + within_chain)
+    return jnp.sqrt(1.0 + b / jnp.maximum(w, 1e-30))
+
+
 def ebfmi(energy):
     """Energy-Bayesian-fraction-of-missing-information per chain
     (Betancourt 2016, eq. 23; the e-bfmi of Stan's workflow — beyond

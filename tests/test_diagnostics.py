@@ -121,3 +121,37 @@ def test_summary_mcse_and_tail():
     # iid draws: mcse ~ sd/sqrt(n_total)
     assert abs(s["mcse_mean"] - 0.5 / np.sqrt(2000)) < 0.01
     assert s["ess_tail"] > 500
+
+
+def test_nested_rhat_stationary_near_one():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(32, 20))  # 32 chains, 20 draws, all stationary
+    r = float(diag.nested_rhat(x, num_superchains=8))
+    assert abs(r - 1.0) < 0.02
+
+
+def test_nested_rhat_detects_superchain_separation():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(32, 20))
+    offsets = np.repeat([0.0, 5.0, -5.0, 10.0], 8)  # 4 stuck regions
+    x = x + offsets[:, None]
+    r = float(diag.nested_rhat(x, num_superchains=4))
+    assert r > 1.5
+
+
+def test_nested_rhat_single_draw_regime():
+    """The paper's selling point: valid with draws=1 per chain."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(64, 1))
+    r = float(diag.nested_rhat(x, num_superchains=8))
+    assert abs(r - 1.0) < 0.15
+    x_bad = x + np.repeat(np.linspace(0, 6, 8), 8)[:, None]
+    assert float(diag.nested_rhat(x_bad, num_superchains=8)) > 1.3
+
+
+def test_nested_rhat_validates_grouping():
+    x = np.zeros((10, 5))
+    with pytest.raises(ValueError, match="divisible"):
+        diag.nested_rhat(x, num_superchains=3)
+    with pytest.raises(ValueError, match=">= 2 chains"):
+        diag.nested_rhat(x, num_superchains=10)
