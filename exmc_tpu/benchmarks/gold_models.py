@@ -1042,6 +1042,74 @@ def flat_prior_normal(seed=33):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 discrete-likelihood expansion (Binomial/NegBin/Categorical)
+# ---------------------------------------------------------------------------
+
+def binomial_beta(seed=34):
+    """Beta(2,2) prior + Binomial(20, p) likelihood: posterior exactly
+    Beta(2 + sum y, 2 + sum n - sum y)."""
+    rng = np.random.default_rng(seed)
+    groups, trials, p_true, a0, b0 = 30, 20, 0.35, 2.0, 2.0
+    ys = rng.binomial(trials, p_true, size=groups).astype(float)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "p", dists.Beta, {"alpha": a0, "beta": b0})
+    ir = Builder.rv(ir, "y", dists.Binomial, {"n": float(trials), "p": "p"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a = a0 + ys.sum()
+    b = b0 + groups * trials - ys.sum()
+    mean = a / (a + b)
+    sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1.0)))
+    return GoldStandard("binomial_beta", ir, {"p": mean}, {"p": sd})
+
+
+def negbin_rate(seed=35):
+    """Gamma prior on the NegativeBinomial mean mu (alpha fixed):
+    quadrature-exact. The mu-dependent log-posterior needs no lgamma —
+    the combinatorial terms are constant in mu."""
+    rng = np.random.default_rng(seed)
+    n, mu_true, alpha = 50, 4.0, 3.0
+    lam = rng.gamma(alpha, mu_true / alpha, size=n)
+    ys = rng.poisson(lam).astype(float)
+    a0, b0 = 2.0, 0.5  # Gamma(shape, rate) prior on mu
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Gamma, {"alpha": a0, "beta": b0})
+    ir = Builder.rv(ir, "y", dists.NegativeBinomial,
+                    {"mu": "mu", "alpha": alpha})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    s = ys.sum()
+
+    def log_post(mu):
+        lik = (n * alpha * math.log(alpha)
+               - (n * alpha + s) * np.log(alpha + mu) + s * np.log(mu))
+        prior = (a0 - 1.0) * np.log(mu) - b0 * mu
+        return lik + prior
+
+    mean, sd = quadrature_posterior(log_post, 1e-3, 12.0)
+    return GoldStandard("negbin_rate", ir, {"mu": mean}, {"mu": sd})
+
+
+def categorical_dirichlet(seed=36):
+    """Dirichlet(2,2,2,2) prior + Categorical likelihood: posterior
+    exactly Dirichlet(2 + counts)."""
+    rng = np.random.default_rng(seed)
+    K, n = 4, 120
+    w_true = np.array([0.4, 0.3, 0.2, 0.1])
+    ys = rng.choice(K, size=n, p=w_true).astype(float)
+    a0 = np.full(K, 2.0)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "w", dists.Dirichlet, {"alpha": a0})
+    ir = Builder.rv(ir, "y", dists.Categorical, {"p": "w"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    counts = np.bincount(ys.astype(int), minlength=K)
+    a = a0 + counts
+    tot = a.sum()
+    mean = a / tot
+    sd = np.sqrt(a * (tot - a) / (tot**2 * (tot + 1.0)))
+    return GoldStandard("categorical_dirichlet", ir, {"w": mean}, {"w": sd})
+
+
 EXTRA_GOLD_STANDARDS = [
     exponential_gamma,
     lognormal_conjugate,
@@ -1072,4 +1140,7 @@ EXTRA_GOLD_STANDARDS = [
     radon_varying_intercept,
     kidiq_regression,
     flat_prior_normal,
+    binomial_beta,
+    negbin_rate,
+    categorical_dirichlet,
 ]

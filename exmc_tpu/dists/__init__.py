@@ -19,7 +19,13 @@ from exmc_tpu.dists.continuous import (
     TRUNCATED_NORMAL as TruncatedNormal,
     WEIBULL as Weibull,
 )
-from exmc_tpu.dists.discrete import BERNOULLI as Bernoulli, POISSON as Poisson
+from exmc_tpu.dists.discrete import (
+    BERNOULLI as Bernoulli,
+    POISSON as Poisson,
+    BINOMIAL as Binomial,
+    NEGATIVE_BINOMIAL as NegativeBinomial,
+    CATEGORICAL as Categorical,
+)
 from exmc_tpu.dists.multivariate import MV_NORMAL as MvNormal, DIRICHLET as Dirichlet
 from exmc_tpu.dists.timeseries import GAUSSIAN_RANDOM_WALK as GaussianRandomWalk
 from exmc_tpu.dists.composite import MIXTURE as Mixture, CENSORED as Censored, Custom
@@ -45,6 +51,9 @@ __all__ = [
     "TruncatedNormal",
     "Weibull",
     "Bernoulli",
+    "Binomial",
+    "NegativeBinomial",
+    "Categorical",
     "Poisson",
     "MvNormal",
     "Dirichlet",

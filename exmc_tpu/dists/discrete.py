@@ -66,3 +66,114 @@ class Poisson(Distribution):
 
 BERNOULLI = register(Bernoulli())
 POISSON = register(Poisson())
+
+
+class Binomial(Distribution):
+    """Binomial(n, p) likelihood — beyond the reference's 21 dists (the
+    first likelihood a PyMC user reaches for after Bernoulli). Accepts
+    ``logits`` like Bernoulli for the stable log-sigmoid path."""
+
+    name = "binomial"
+
+    def logpdf(self, y, params):
+        n = jnp.asarray(params["n"])
+        comb = xm.lgamma(n + 1.0) - xm.lgamma(y + 1.0) - xm.lgamma(n - y + 1.0)
+        if "logits" in params:
+            eta = params["logits"]
+            return comb + y * eta - n * jnp.logaddexp(0.0, eta)
+        p = jnp.asarray(params["p"])
+        eps = jnp.finfo(jnp.result_type(p, jnp.float32)).eps
+        p = jnp.clip(p, eps, 1.0 - eps)
+        return comb + y * jnp.log(p) + (n - y) * jnp.log1p(-p)
+
+    def support(self, params):
+        return "unit"
+
+    def default_transform(self, params):
+        return "logit"
+
+    def sample(self, key, params, shape=()):
+        if "logits" in params:
+            p = jax.nn.sigmoid(jnp.asarray(params["logits"]))
+        else:
+            p = jnp.asarray(params["p"])
+        n = jnp.asarray(params["n"])
+        nmax = int(jnp.max(n))
+        shp = shape if shape else jnp.broadcast_shapes(
+            jnp.shape(n), jnp.shape(p))
+        u = jax.random.uniform(key, (nmax,) + tuple(shp))
+        trials = (u < p).astype(jnp.float32)
+        mask = (jnp.arange(nmax).reshape((nmax,) + (1,) * len(shp))
+                < n).astype(jnp.float32)
+        return (trials * mask).sum(axis=0)
+
+
+class NegativeBinomial(Distribution):
+    """NegativeBinomial(mu, alpha) — PyMC's mean/overdispersion
+    parameterization (alpha -> inf recovers Poisson(mu)); beyond the
+    reference. y ~ NB: p(y) = C(y+alpha-1, y) (alpha/(alpha+mu))^alpha
+    (mu/(alpha+mu))^y."""
+
+    name = "negative_binomial"
+
+    def logpdf(self, y, params):
+        mu = xm.floor_scale(params["mu"])
+        alpha = xm.floor_scale(params["alpha"])
+        comb = (xm.lgamma(y + alpha) - xm.lgamma(alpha)
+                - xm.lgamma(y + 1.0))
+        return (comb + alpha * (jnp.log(alpha) - jnp.log(alpha + mu))
+                + y * (jnp.log(mu) - jnp.log(alpha + mu)))
+
+    def support(self, params):
+        return "positive"
+
+    def default_transform(self, params):
+        return "log"
+
+    def sample(self, key, params, shape=()):
+        # gamma-Poisson mixture: lam ~ Gamma(alpha, alpha/mu), y ~ Poisson(lam)
+        mu = jnp.asarray(params["mu"])
+        alpha = jnp.asarray(params["alpha"])
+        k1, k2 = jax.random.split(key)
+        lam = jax.random.gamma(k1, alpha, shape) * (mu / alpha)
+        return jax.random.poisson(k2, lam).astype(jnp.float32)
+
+
+class Categorical(Distribution):
+    """Categorical(p) over {0..K-1} — beyond the reference. ``p`` is a
+    length-K probability vector (typically a Dirichlet RV ref or a
+    softmax det node); y is integer-coded. Also accepts ``logits``."""
+
+    name = "categorical"
+
+    def logpdf(self, y, params):
+        if "logits" in params:
+            logp = jax.nn.log_softmax(jnp.asarray(params["logits"]), axis=-1)
+        else:
+            p = jnp.asarray(params["p"])
+            eps = jnp.finfo(jnp.result_type(p, jnp.float32)).eps
+            logp = jnp.log(jnp.clip(p, eps, 1.0))
+        y = jnp.asarray(y, jnp.int32)
+        return jnp.take_along_axis(
+            jnp.broadcast_to(logp, y.shape + logp.shape[-1:]),
+            y[..., None], axis=-1)[..., 0]
+
+    def support(self, params):
+        return "simplex"
+
+    def default_transform(self, params):
+        return "stick_breaking"
+
+    def sample(self, key, params, shape=()):
+        if "logits" in params:
+            logits = jnp.asarray(params["logits"])
+        else:
+            p = jnp.asarray(params["p"])
+            logits = jnp.log(jnp.clip(p, 1e-30, 1.0))
+        return jax.random.categorical(key, logits, shape=shape or None).astype(
+            jnp.float32)
+
+
+BINOMIAL = register(Binomial())
+NEGATIVE_BINOMIAL = register(NegativeBinomial())
+CATEGORICAL = register(Categorical())

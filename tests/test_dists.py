@@ -317,3 +317,70 @@ def test_bound_transforms_roundtrip_and_ladj(t):
     jac = jax.jacfwd(t.forward)(z)
     expected = float(jnp.sum(jnp.log(jnp.abs(jnp.diagonal(jac)))))
     assert abs(float(t.log_abs_det_jacobian(z)) - expected) < 1e-4
+
+
+# ---- round-3 discrete-likelihood expansion (beyond the reference) ----
+
+def test_binomial_logpdf_matches_formula():
+    from math import comb, log
+    d = dists.Binomial
+    for n, y, p in [(10, 3, 0.4), (20, 0, 0.05), (5, 5, 0.9)]:
+        want = log(comb(n, y)) + y * log(p) + (n - y) * log(1 - p)
+        got = float(d.logpdf(float(y), {"n": float(n), "p": p}))
+        assert abs(got - want) < 1e-4
+    # logits path agrees with p path
+    import numpy as np
+    eta = 0.7
+    p = 1 / (1 + np.exp(-eta))
+    a = float(d.logpdf(4.0, {"n": 9.0, "logits": eta}))
+    b = float(d.logpdf(4.0, {"n": 9.0, "p": p}))
+    assert abs(a - b) < 1e-5
+
+
+def test_negative_binomial_logpdf_poisson_limit():
+    """alpha -> inf recovers Poisson(mu). alpha kept at 1e3 because the
+    lgamma(y+alpha)-lgamma(alpha) difference loses all resolution in
+    f32 beyond that; the analytic gap at alpha=1e3 is O(y^2/alpha)."""
+    d = dists.NegativeBinomial
+    pois = dists.Poisson
+    for y in [0.0, 2.0, 7.0]:
+        nb = float(d.logpdf(y, {"mu": 3.0, "alpha": 1e3}))
+        po = float(pois.logpdf(y, {"mu": 3.0}))
+        assert abs(nb - po) < 0.05
+
+
+def test_negative_binomial_normalizes():
+    import numpy as np
+    d = dists.NegativeBinomial
+    ys = np.arange(0, 400, dtype=float)
+    lp = np.asarray(d.logpdf(ys, {"mu": 5.0, "alpha": 2.0}))
+    assert abs(np.exp(lp).sum() - 1.0) < 1e-6
+
+
+def test_categorical_logpdf_and_logits():
+    import numpy as np
+    d = dists.Categorical
+    p = np.array([0.5, 0.3, 0.2])
+    for y in [0, 1, 2]:
+        got = float(d.logpdf(float(y), {"p": p}))
+        assert abs(got - np.log(p[y])) < 1e-5
+    logits = np.log(p)
+    ys = np.array([0.0, 2.0, 1.0])
+    a = np.asarray(d.logpdf(ys, {"logits": logits}))
+    b = np.asarray(d.logpdf(ys, {"p": p}))
+    assert np.allclose(a, b, atol=1e-5)
+
+
+def test_discrete_samplers_moments():
+    import jax
+    import numpy as np
+    key = jax.random.PRNGKey(0)
+    y = np.asarray(dists.Binomial.sample(key, {"n": 20.0, "p": 0.3}, (4000,)))
+    assert abs(y.mean() - 6.0) < 0.15
+    y = np.asarray(dists.NegativeBinomial.sample(
+        key, {"mu": 4.0, "alpha": 3.0}, (4000,)))
+    assert abs(y.mean() - 4.0) < 0.25
+    y = np.asarray(dists.Categorical.sample(
+        key, {"p": np.array([0.6, 0.3, 0.1])}, (4000,)))
+    f = np.bincount(y.astype(int), minlength=3) / 4000
+    assert np.allclose(f, [0.6, 0.3, 0.1], atol=0.04)
