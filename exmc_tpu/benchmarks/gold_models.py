@@ -1110,6 +1110,31 @@ def categorical_dirichlet(seed=36):
     return GoldStandard("categorical_dirichlet", ir, {"w": mean}, {"w": sd})
 
 
+def lkj_marginals(seed=37):
+    """LKJ(eta=2) prior on a d=3 correlation Cholesky factor: every
+    marginal correlation r_ij of R = L L' is exactly
+    2*Beta(eta-1+d/2, eta-1+d/2) - 1 -> mean 0, sd 1/sqrt(2*eta+d-1)
+    (Lewandowski et al. 2009). Checked through the ``derived`` hook on
+    all three correlations (r12 = L[1,0] directly; r13, r23 via L L')."""
+    eta, d = 2.0, 3
+    sd = 1.0 / math.sqrt(2.0 * eta + d - 1.0)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "L", dists.LKJCholesky, {"eta": eta}, shape=(d, d))
+
+    def corr(i, j):
+        def fn(trace):
+            L = np.asarray(trace["L"])  # (chains, draws, d, d)
+            return (L[:, :, i, :] * L[:, :, j, :]).sum(axis=-1)
+        return fn
+
+    return GoldStandard(
+        "lkj_marginals", ir,
+        {"r12": 0.0, "r13": 0.0, "r23": 0.0},
+        {"r12": sd, "r13": sd, "r23": sd},
+        derived={"r12": corr(1, 0), "r13": corr(2, 0), "r23": corr(2, 1)},
+    )
+
+
 EXTRA_GOLD_STANDARDS = [
     exponential_gamma,
     lognormal_conjugate,
@@ -1143,4 +1168,5 @@ EXTRA_GOLD_STANDARDS = [
     binomial_beta,
     negbin_rate,
     categorical_dirichlet,
+    lkj_marginals,
 ]

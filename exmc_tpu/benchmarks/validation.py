@@ -25,6 +25,10 @@ class GoldStandard:
     ref_sds: dict        # param -> exact posterior sd
     ncp: bool = False
     opts: dict = field(default_factory=dict)  # extra sample() options
+    derived: dict = field(default_factory=dict)  # name -> fn(trace) ->
+    #   (chains, draws, ...) samples; checked against ref_means/ref_sds
+    #   like params (for targets analytic only in a FUNCTION of the free
+    #   RVs, e.g. LKJ correlation entries inside a Cholesky factor)
 
 
 def _conjugate_normal(seed=0):
@@ -191,6 +195,9 @@ def validate(num_warmup=1000, num_samples=1000, num_chains=4, seed=42,
                     num_chains=num_chains, seed=seed)
         opts.update(gs.opts)
         trace, stats = sample(gs.ir, ncp=gs.ncp, **opts)
+        trace = dict(trace)
+        for dname, fn in gs.derived.items():
+            trace[dname] = np.asarray(fn(trace))
         ok = True
         detail = {}
         for param, ref_mean in gs.ref_means.items():

@@ -26,7 +26,11 @@ from exmc_tpu.dists.discrete import (
     NEGATIVE_BINOMIAL as NegativeBinomial,
     CATEGORICAL as Categorical,
 )
-from exmc_tpu.dists.multivariate import MV_NORMAL as MvNormal, DIRICHLET as Dirichlet
+from exmc_tpu.dists.multivariate import (
+    MV_NORMAL as MvNormal,
+    DIRICHLET as Dirichlet,
+    LKJ_CHOLESKY as LKJCholesky,
+)
 from exmc_tpu.dists.timeseries import GAUSSIAN_RANDOM_WALK as GaussianRandomWalk
 from exmc_tpu.dists.composite import MIXTURE as Mixture, CENSORED as Censored, Custom
 
@@ -57,6 +61,7 @@ __all__ = [
     "Poisson",
     "MvNormal",
     "Dirichlet",
+    "LKJCholesky",
     "GaussianRandomWalk",
     "Mixture",
     "Censored",

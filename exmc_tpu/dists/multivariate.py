@@ -38,7 +38,15 @@ class MvNormal(Distribution):
         mu, chol, log_det = params["mu"], params["chol"], params["log_det_cov"]
         d = mu.shape[-1]
         diff = x - mu
-        w = solve_triangular(chol, diff, lower=True)
+        if diff.ndim == 1:
+            w = solve_triangular(chol, diff, lower=True)
+        else:
+            # batched rows (n, d) against one (d, d) factor: solve all
+            # rows as the columns of one matrix b (triangular_solve does
+            # not broadcast batch dims)
+            flat = diff.reshape(-1, d)
+            w = solve_triangular(chol, flat.T, lower=True).T.reshape(
+                diff.shape)
         mahal = jnp.sum(w * w, axis=-1)
         return -0.5 * (d * xm.LOG_2PI + log_det + mahal)
 
@@ -81,3 +89,60 @@ class Dirichlet(Distribution):
 
 MV_NORMAL = register(MvNormal())
 DIRICHLET = register(Dirichlet())
+
+
+class LKJCholesky(Distribution):
+    """LKJ prior on the Cholesky factor L of a correlation matrix
+    (Lewandowski-Kurowicka-Joe 2009; Stan lkj_corr_cholesky) — beyond
+    the reference (no correlation-matrix support there). Requires an
+    explicit ``shape=(d, d)``; default transform ``cholesky_corr``.
+
+    logpdf (unnormalized — the constant depends only on (eta, d), so
+    ``eta`` must be a fixed number, not a sampled ref):
+        sum_{i=1}^{d-1} (d - i + 2*eta - 3) * log L[i, i]
+
+    Under the canonical-partial-correlation construction the column-j
+    CPCs are independent scaled Beta(b_j, b_j) on (-1, 1) with
+    b_j = eta + (d - j - 2)/2 (0-indexed j), so every marginal
+    correlation r_ij is Beta(eta - 1 + d/2, .) scaled: mean 0,
+    sd 1/sqrt(2*eta + d - 1) — the exact targets the gold model checks.
+    """
+
+    name = "lkj_cholesky"
+
+    def logpdf(self, L, params):
+        eta = params["eta"]
+        d = L.shape[-1]
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        i = jnp.arange(d, dtype=L.dtype)
+        coeff = d - i + 2.0 * eta - 3.0
+        # row 0 has L[0,0] = 1 (log = 0), coefficient irrelevant
+        return jnp.sum(coeff * jnp.log(jnp.maximum(diag, 1e-30)), axis=-1)
+
+    def support(self, params):
+        return "cholesky_corr"
+
+    def default_transform(self, params):
+        return "cholesky_corr"
+
+    def sample(self, key, params, shape=()):
+        from exmc_tpu.transforms import CHOLESKY_CORR
+
+        eta = params["eta"]
+        if len(shape) < 2 or shape[-1] != shape[-2]:
+            raise ValueError("LKJCholesky.sample needs shape=(..., d, d)")
+        d = shape[-1]
+        batch = shape[:-2]
+        # column-j CPC ~ 2*Beta(b_j, b_j) - 1, b_j = eta + (d - j - 2)/2
+        xs = []
+        for i in range(1, d):
+            for j in range(i):
+                b = eta + (d - j - 2) / 2.0
+                key, sub = jax.random.split(key)
+                xs.append(2.0 * jax.random.beta(sub, b, b, batch) - 1.0)
+        x = jnp.stack(xs, axis=-1)
+        return CHOLESKY_CORR.forward(jnp.arctanh(
+            jnp.clip(x, -1.0 + 1e-7, 1.0 - 1e-7)))
+
+
+LKJ_CHOLESKY = register(LKJCholesky())

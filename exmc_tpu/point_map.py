@@ -47,6 +47,10 @@ def _infer_shape(node):
         raise ValueError(
             f"GaussianRandomWalk RV {node.id!r} requires an explicit shape"
         )
+    if dist.name == "lkj_cholesky":
+        raise ValueError(
+            f"LKJCholesky RV {node.id!r} requires an explicit shape=(d, d)"
+        )
     # elementwise dists broadcast over constant array params
     shapes = [
         np.asarray(v).shape

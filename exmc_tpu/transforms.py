@@ -136,6 +136,96 @@ class StickBreakingTransform(Transform):
         return tuple(shape[:-1]) + (shape[-1] + 1,)
 
 
+class CholeskyCorrTransform(Transform):
+    """z in R^{d(d-1)/2} -> L, the lower-triangular Cholesky factor of a
+    correlation matrix (unit rows: sum_j L[i,j]^2 = 1, L[i,i] > 0).
+
+    Stan's canonical-partial-correlation construction: x = tanh(z)
+    row-major over the strict lower triangle; L[i,j] = x_ij *
+    sqrt(1 - sum_{k<j} L[i,k]^2), L[i,i] = sqrt(1 - sum_{k<i} L[i,k]^2).
+    The Jacobian (row-major ordering) is triangular:
+
+        log|J| = sum_ij [ log(1 - x_ij^2) + 0.5 * log rem_ij ]
+
+    with log(1 - tanh^2 z) computed overflow-safe as
+    2*(log 2 - z - softplus(-2z)). Beyond the reference's transform
+    surface (no correlation-matrix support there); enables LKJ priors
+    for hierarchical covariance models. Batches over leading axes; d is
+    recovered statically from the trailing dim."""
+
+    name = "cholesky_corr"
+
+    @staticmethod
+    def _dim(m):
+        d = int(round((1.0 + (1.0 + 8.0 * m) ** 0.5) / 2.0))
+        if d * (d - 1) // 2 != m:
+            raise ValueError(f"invalid cholesky_corr length {m}")
+        return d
+
+    def forward(self, z):
+        m = z.shape[-1]
+        d = self._dim(m)
+        x = jnp.tanh(z)
+        batch = z.shape[:-1]
+        rows = [jnp.concatenate(
+            [jnp.ones(batch + (1,), z.dtype), jnp.zeros(batch + (d - 1,), z.dtype)],
+            axis=-1)]
+        idx = 0
+        for i in range(1, d):
+            rem = jnp.ones(batch, z.dtype)
+            entries = []
+            for j in range(i):
+                xij = x[..., idx + j]
+                lij = xij * jnp.sqrt(rem)
+                entries.append(lij)
+                rem = rem * (1.0 - xij * xij)
+            entries.append(jnp.sqrt(rem))
+            idx += i
+            row = jnp.stack(entries, axis=-1)
+            pad = jnp.zeros(batch + (d - 1 - i,), z.dtype)
+            rows.append(jnp.concatenate([row, pad], axis=-1))
+        return jnp.stack(rows, axis=-2)
+
+    def inverse(self, L):
+        d = L.shape[-1]
+        zs = []
+        for i in range(1, d):
+            rem = jnp.ones(L.shape[:-2], L.dtype)
+            for j in range(i):
+                lij = L[..., i, j]
+                xij = lij / jnp.sqrt(jnp.maximum(rem, 1e-30))
+                zs.append(jnp.arctanh(jnp.clip(xij, -1.0 + 1e-7, 1.0 - 1e-7)))
+                rem = rem * (1.0 - xij * xij)
+        return jnp.stack(zs, axis=-1)
+
+    def log_abs_det_jacobian(self, z):
+        m = z.shape[-1]
+        d = self._dim(m)
+        x = jnp.tanh(z)
+        # log(1 - tanh^2 z), overflow-safe
+        log_dtanh = 2.0 * (jnp.log(2.0) - z - xm.softplus(-2.0 * z))
+        total = jnp.sum(log_dtanh)
+        idx = 0
+        for i in range(1, d):
+            rem = jnp.ones(z.shape[:-1], z.dtype)
+            for j in range(i):
+                xij = x[..., idx + j]
+                total = total + 0.5 * jnp.sum(jnp.log(jnp.maximum(rem, 1e-30)))
+                rem = rem * (1.0 - xij * xij)
+            idx += i
+        return total
+
+    def unconstrained_shape(self, shape):
+        if len(shape) < 2 or shape[-1] != shape[-2]:
+            raise ValueError("cholesky_corr requires a (d, d)-shaped RV")
+        d = shape[-1]
+        return tuple(shape[:-2]) + (d * (d - 1) // 2,)
+
+    def constrained_shape(self, shape):
+        d = self._dim(shape[-1])
+        return tuple(shape[:-1]) + (d, d)
+
+
 class IntervalTransform(Transform):
     """x = lower + (upper - lower) * sigmoid(z) — bounded-interval transform
     (extension beyond the reference's 4 transforms, used by the Stan
@@ -207,6 +297,7 @@ LOG = LogTransform()
 SOFTPLUS = SoftplusTransform()
 LOGIT = LogitTransform()
 STICK_BREAKING = StickBreakingTransform()
+CHOLESKY_CORR = CholeskyCorrTransform()
 
 _REGISTRY = {
     None: IDENTITY,
@@ -215,6 +306,7 @@ _REGISTRY = {
     "softplus": SOFTPLUS,
     "logit": LOGIT,
     "stick_breaking": STICK_BREAKING,
+    "cholesky_corr": CHOLESKY_CORR,
 }
 
 
