@@ -62,7 +62,13 @@ DIST_MAP = {
     "cauchy": (dists.Cauchy, ["loc", "scale"]),
     "student_t": (dists.StudentT, ["df", "loc", "scale"]),
     "bernoulli": (dists.Bernoulli, ["p"]),
+    "bernoulli_logit": (dists.Bernoulli, ["logits"]),
     "poisson": (dists.Poisson, ["mu"]),
+    "binomial": (dists.Binomial, ["n", "p"]),
+    "binomial_logit": (dists.Binomial, ["n", "logits"]),
+    # Stan's neg_binomial_2(mu, phi) IS the mu/alpha parameterization
+    "neg_binomial_2": (dists.NegativeBinomial, ["mu", "alpha"]),
+    "categorical": (dists.Categorical, ["p"]),
     "lognormal": (dists.LogNormal, ["mu", "sigma"]),
     "truncated_normal": (dists.TruncatedNormal, ["mu", "sigma", "lower", "upper"]),
     "laplace": (dists.Laplace, ["mu", "b"]),

@@ -489,3 +489,42 @@ def test_affine_unknown_ref_rejected():
     """
     with pytest.raises(StanSyntaxError, match="neither data nor"):
         stan.compile(code, {})
+
+
+def test_stan_binomial_and_negbin_likelihoods():
+    """Round-3 dist-map additions: binomial(n, p) recovers the exact
+    Beta posterior; neg_binomial_2(mu, phi) is the mu/alpha NB."""
+    import numpy as np
+
+    from exmc_tpu import stan
+
+    code = """
+    data { int N; vector[N] y; vector[N] n; }
+    parameters { real<lower=0, upper=1> p; }
+    model {
+      p ~ beta(2, 2);
+      y ~ binomial(n, p);
+    }
+    """
+    rng = np.random.default_rng(0)
+    ys = rng.binomial(20, 0.35, size=30).astype(float)
+    trace, _ = stan.sample(
+        code, {"N": 30, "y": ys, "n": np.full(30, 20.0)},
+        num_warmup=300, num_samples=400, num_chains=2, seed=0)
+    a, b = 2 + ys.sum(), 2 + 600 - ys.sum()
+    assert abs(trace["p"].mean() - a / (a + b)) < 0.015
+
+    code2 = """
+    data { int N; vector[N] y; }
+    parameters { real<lower=0> mu; real<lower=0> phi; }
+    model {
+      mu ~ gamma(2, 0.5);
+      phi ~ gamma(2, 0.5);
+      y ~ neg_binomial_2(mu, phi);
+    }
+    """
+    ys2 = rng.poisson(rng.gamma(3.0, 4.0 / 3.0, size=50)).astype(float)
+    trace2, _ = stan.sample(code2, {"N": 50, "y": ys2},
+                            num_warmup=300, num_samples=400, num_chains=2,
+                            seed=0)
+    assert abs(trace2["mu"].mean() - ys2.mean()) < 1.0
