@@ -28,6 +28,7 @@ EXAMPLES = [
     "18_turbofan_fleet.py",
     "19_trend_cycle.py",
     "20_dca_business.py",
+    "21_correlated_effects.py",
 ]
 
 
