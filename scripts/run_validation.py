@@ -47,12 +47,14 @@ lines = [
     "(benchmark/posteriordb/README.md:17-23): every parameter mean within",
     "0.5 reference SD and SD ratio within [0.5, 2.0].",
     "",
-    f"Round-2 battery: {len(results)} models — 6 round-1 cores + the round-2",
-    "(exmc_tpu/benchmarks/gold_models.py). Targets are EXACT:",
+    f"Battery: {len(results)} models — 6 round-1 cores + the round-2/3",
+    "expansions (exmc_tpu/benchmarks/gold_models.py). Targets are EXACT:",
     "conjugate/analytic moments, 1e-10 quadrature for scalar-parameter",
     "models, and Kalman/RTS smoothing for the T=1000 GaussianRandomWalk —",
     "stronger per-model than posteriordb's reference MCMC draws. Coverage:",
-    "all 22 distributions, meas_obs matmul/affine Jacobians,",
+    "all 26 distributions (incl. the round-3 Binomial /",
+    "NegativeBinomial / Categorical / LKJCholesky / Flat additions),",
+    "meas_obs matmul/affine Jacobians,",
     "right+interval censoring, dense mass matrix, simplex",
     "(stick-breaking), auto-NCP funnel, long-T latent paths, and 3 models",
     "built through the Stan frontend.",

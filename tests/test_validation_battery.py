@@ -102,7 +102,10 @@ def test_battery_fast_subset():
 def test_battery_full():
     n_pass, results = validation.validate(verbose=False)
     failed = [r["model"] for r in results if not r["pass"]]
-    assert len(results) == 34
+    # count derives from the registry (round 3 grew it past the
+    # round-2 hardcoded 34: flat/binomial/negbin/categorical/lkj)
+    assert len(results) == len(validation._all_gold_standards())
+    assert len(results) >= 39
     assert n_pass == len(results), f"failed: {failed}"
 
 
