@@ -1110,6 +1110,45 @@ def categorical_dirichlet(seed=36):
     return GoldStandard("categorical_dirichlet", ir, {"w": mean}, {"w": sd})
 
 
+def multinomial_dirichlet(seed=38):
+    """Dirichlet(3,3,3) prior + one Multinomial(300, w) count vector:
+    posterior exactly Dirichlet(3 + counts)."""
+    rng = np.random.default_rng(seed)
+    K, n = 3, 300
+    w_true = np.array([0.5, 0.3, 0.2])
+    counts = rng.multinomial(n, w_true).astype(float)
+    a0 = np.full(K, 3.0)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "w", dists.Dirichlet, {"alpha": a0})
+    ir = Builder.rv(ir, "y", dists.Multinomial, {"n": n, "p": "w"},
+                    shape=(K,))
+    ir = Builder.obs(ir, "y_obs", "y", counts, reduce="sum")
+    a = a0 + counts
+    tot = a.sum()
+    mean = a / tot
+    sd = np.sqrt(a * (tot - a) / (tot**2 * (tot + 1.0)))
+    return GoldStandard("multinomial_dirichlet", ir, {"w": mean}, {"w": sd})
+
+
+def ordered_normal_orderstats(seed=39):
+    """ordered transform on an iid-Normal(0,1) K=3 vector: the
+    constrained density IS the joint of 3 standard-normal order
+    statistics — exact marginal means E[x_(1)] = -3/(2 sqrt(pi)),
+    E[x_(2)] = 0 (David & Nagaraja); sds from a 4e6-sample sorted-iid
+    MC (se ~4e-4, an order of magnitude below the 0.5-sd pass bar)."""
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": 0.0, "sigma": 1.0},
+                    transform="ordered", shape=(3,))
+    m1 = -3.0 / (2.0 * math.sqrt(math.pi))
+    sd_outer = 0.74788
+    sd_mid = 0.66954
+    return GoldStandard(
+        "ordered_normal_orderstats", ir,
+        {"x": np.array([m1, 0.0, -m1])},
+        {"x": np.array([sd_outer, sd_mid, sd_outer])},
+    )
+
+
 def lkj_marginals(seed=37):
     """LKJ(eta=2) prior on a d=3 correlation Cholesky factor: every
     marginal correlation r_ij of R = L L' is exactly
@@ -1169,4 +1208,6 @@ EXTRA_GOLD_STANDARDS = [
     negbin_rate,
     categorical_dirichlet,
     lkj_marginals,
+    multinomial_dirichlet,
+    ordered_normal_orderstats,
 ]

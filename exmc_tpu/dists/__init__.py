@@ -30,6 +30,7 @@ from exmc_tpu.dists.multivariate import (
     MV_NORMAL as MvNormal,
     DIRICHLET as Dirichlet,
     LKJ_CHOLESKY as LKJCholesky,
+    MULTINOMIAL as Multinomial,
 )
 from exmc_tpu.dists.timeseries import GAUSSIAN_RANDOM_WALK as GaussianRandomWalk
 from exmc_tpu.dists.composite import MIXTURE as Mixture, CENSORED as Censored, Custom
@@ -62,6 +63,7 @@ __all__ = [
     "MvNormal",
     "Dirichlet",
     "LKJCholesky",
+    "Multinomial",
     "GaussianRandomWalk",
     "Mixture",
     "Censored",

@@ -87,8 +87,39 @@ class Dirichlet(Distribution):
         return jax.random.dirichlet(key, alpha, shape[:-1] if shape else ())
 
 
+class Multinomial(Distribution):
+    """Multinomial(n, p) over count vectors summing to n — beyond the
+    reference; completes the Dirichlet-conjugate family (obs-only
+    likelihood, like Bernoulli/Poisson)."""
+
+    name = "multinomial"
+
+    def logpdf(self, y, params):
+        p = jnp.asarray(params["p"])
+        n = jnp.sum(y, axis=-1)
+        eps = jnp.finfo(jnp.result_type(p, jnp.float32)).eps
+        comb = xm.lgamma(n + 1.0) - jnp.sum(xm.lgamma(y + 1.0), axis=-1)
+        return comb + jnp.sum(y * jnp.log(jnp.clip(p, eps, 1.0)), axis=-1)
+
+    def support(self, params):
+        return "simplex"
+
+    def default_transform(self, params):
+        return "stick_breaking"
+
+    def sample(self, key, params, shape=()):
+        p = jnp.asarray(params["p"])
+        n = int(params["n"])
+        k = p.shape[-1]
+        batch = tuple(shape[:-1]) if shape else ()
+        draws = jax.random.categorical(
+            key, jnp.log(jnp.clip(p, 1e-30, 1.0)), shape=batch + (n,))
+        return jax.nn.one_hot(draws, k).sum(axis=-2)
+
+
 MV_NORMAL = register(MvNormal())
 DIRICHLET = register(Dirichlet())
+MULTINOMIAL = register(Multinomial())
 
 
 class LKJCholesky(Distribution):

@@ -69,6 +69,8 @@ DIST_MAP = {
     # Stan's neg_binomial_2(mu, phi) IS the mu/alpha parameterization
     "neg_binomial_2": (dists.NegativeBinomial, ["mu", "alpha"]),
     "categorical": (dists.Categorical, ["p"]),
+    "multinomial": (dists.Multinomial, ["p"]),
+    "lkj_corr_cholesky": (dists.LKJCholesky, ["eta"]),
     "lognormal": (dists.LogNormal, ["mu", "sigma"]),
     "truncated_normal": (dists.TruncatedNormal, ["mu", "sigma", "lower", "upper"]),
     "laplace": (dists.Laplace, ["mu", "b"]),
@@ -550,6 +552,13 @@ def compile(code: str, data=None):
                 shape = (size,)
             if decl["type"] == "simplex":
                 shape = (size,)
+            elif decl["type"] in ("ordered", "positive_ordered"):
+                # type carries the constraint (Stan ordered vectors)
+                transform = decl["type"]
+                shape = (size,)
+            elif decl["type"] == "cholesky_factor_corr":
+                transform = "cholesky_corr"
+                shape = (size, size)
             ir = Builder.rv(ir, target, dist, params, transform=transform,
                             shape=shape)
             declared_rvs.add(target)

@@ -35,7 +35,8 @@ TOKEN_SPEC = [
 KEYWORDS = {
     "data", "parameters", "model", "real", "int", "vector", "simplex",
     "lower", "upper", "transformed", "for", "in", "target", "matrix",
-    "functions", "return",
+    "functions", "return", "ordered", "positive_ordered",
+    "cholesky_factor_corr",
 }
 
 _MASTER = re.compile("|".join(f"(?P<{k}>{v})" for k, v in TOKEN_SPEC))

@@ -166,7 +166,9 @@ class Parser:
 
     def parse_decl(self, assign=False):
         kind, text, line = self.next()
-        if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX"):
+        if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX",
+                        "ORDERED", "POSITIVE_ORDERED",
+                        "CHOLESKY_FACTOR_CORR"):
             self.error(f"expected a type, got {text!r}", line=line)
         decl = {"type": text, "size": None, "size2": None, "lower": None,
                 "upper": None, "offset": None, "multiplier": None,
@@ -176,7 +178,8 @@ class Parser:
         # (vector[N]<lower=0>) is also accepted
         if self.peek()[0] == "LANGLE":
             self._parse_constraints(decl)
-        if kind in ("VECTOR", "SIMPLEX"):
+        if kind in ("VECTOR", "SIMPLEX", "ORDERED", "POSITIVE_ORDERED",
+                    "CHOLESKY_FACTOR_CORR"):
             self.expect("LBRACKET")
             decl["size"] = self._parse_size()
             self.expect("RBRACKET")

@@ -136,6 +136,49 @@ class StickBreakingTransform(Transform):
         return tuple(shape[:-1]) + (shape[-1] + 1,)
 
 
+class OrderedTransform(Transform):
+    """z in R^K -> strictly increasing x (Stan's ``ordered`` type):
+    x_1 = z_1, x_k = x_{k-1} + exp(z_k); log|J| = sum_{k>=2} z_k.
+    The standard fix for mixture label switching. Beyond the
+    reference's transform surface."""
+
+    name = "ordered"
+
+    def forward(self, z):
+        lim = log_transform_clamp()
+        steps = jnp.exp(jnp.clip(z[..., 1:], -lim, lim))
+        return jnp.concatenate(
+            [z[..., :1], z[..., :1] + jnp.cumsum(steps, axis=-1)], axis=-1)
+
+    def inverse(self, x):
+        return jnp.concatenate(
+            [x[..., :1], jnp.log(jnp.diff(x, axis=-1))], axis=-1)
+
+    def log_abs_det_jacobian(self, z):
+        lim = log_transform_clamp()
+        return jnp.sum(jnp.clip(z[..., 1:], -lim, lim))
+
+
+class PositiveOrderedTransform(Transform):
+    """z in R^K -> strictly increasing positive x (Stan's
+    ``positive_ordered``): x_k = sum_{j<=k} exp(z_j); log|J| = sum z."""
+
+    name = "positive_ordered"
+
+    def forward(self, z):
+        lim = log_transform_clamp()
+        return jnp.cumsum(jnp.exp(jnp.clip(z, -lim, lim)), axis=-1)
+
+    def inverse(self, x):
+        first = jnp.log(x[..., :1])
+        rest = jnp.log(jnp.diff(x, axis=-1))
+        return jnp.concatenate([first, rest], axis=-1)
+
+    def log_abs_det_jacobian(self, z):
+        lim = log_transform_clamp()
+        return jnp.sum(jnp.clip(z, -lim, lim))
+
+
 class CholeskyCorrTransform(Transform):
     """z in R^{d(d-1)/2} -> L, the lower-triangular Cholesky factor of a
     correlation matrix (unit rows: sum_j L[i,j]^2 = 1, L[i,i] > 0).
@@ -298,6 +341,8 @@ SOFTPLUS = SoftplusTransform()
 LOGIT = LogitTransform()
 STICK_BREAKING = StickBreakingTransform()
 CHOLESKY_CORR = CholeskyCorrTransform()
+ORDERED = OrderedTransform()
+POSITIVE_ORDERED = PositiveOrderedTransform()
 
 _REGISTRY = {
     None: IDENTITY,
@@ -307,6 +352,8 @@ _REGISTRY = {
     "logit": LOGIT,
     "stick_breaking": STICK_BREAKING,
     "cholesky_corr": CHOLESKY_CORR,
+    "ordered": ORDERED,
+    "positive_ordered": POSITIVE_ORDERED,
 }
 
 
