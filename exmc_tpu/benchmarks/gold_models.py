@@ -1149,6 +1149,19 @@ def ordered_normal_orderstats(seed=39):
     )
 
 
+def zero_sum_normal_prior(seed=40):
+    """ZeroSumNormal(sigma=2, K=4) prior: exact marginals
+    N(0, sigma^2 (1 - 1/K)) -> sd = sqrt(3)."""
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.ZeroSumNormal, {"sigma": 2.0},
+                    shape=(4,))
+    sd = 2.0 * math.sqrt(1.0 - 0.25)
+    return GoldStandard(
+        "zero_sum_normal_prior", ir,
+        {"x": np.zeros(4)}, {"x": np.full(4, sd)},
+    )
+
+
 def lkj_marginals(seed=37):
     """LKJ(eta=2) prior on a d=3 correlation Cholesky factor: every
     marginal correlation r_ij of R = L L' is exactly
@@ -1210,4 +1223,5 @@ EXTRA_GOLD_STANDARDS = [
     lkj_marginals,
     multinomial_dirichlet,
     ordered_normal_orderstats,
+    zero_sum_normal_prior,
 ]

@@ -31,6 +31,7 @@ from exmc_tpu.dists.multivariate import (
     DIRICHLET as Dirichlet,
     LKJ_CHOLESKY as LKJCholesky,
     MULTINOMIAL as Multinomial,
+    ZERO_SUM_NORMAL as ZeroSumNormal,
 )
 from exmc_tpu.dists.timeseries import GAUSSIAN_RANDOM_WALK as GaussianRandomWalk
 from exmc_tpu.dists.composite import MIXTURE as Mixture, CENSORED as Censored, Custom
@@ -64,6 +65,7 @@ __all__ = [
     "Dirichlet",
     "LKJCholesky",
     "Multinomial",
+    "ZeroSumNormal",
     "GaussianRandomWalk",
     "Mixture",
     "Censored",

@@ -117,9 +117,43 @@ class Multinomial(Distribution):
         return jax.nn.one_hot(draws, k).sum(axis=-2)
 
 
+class ZeroSumNormal(Distribution):
+    """Exchangeable normal constrained to sum(x) = 0 (PyMC's
+    ZeroSumNormal) — the identifiable prior for categorical effects
+    alongside an intercept; beyond the reference. Requires an explicit
+    ``shape=(K,)``; default transform ``zero_sum`` (isometric, zero
+    Jacobian), so the density on the K-1 free coordinates is iid
+    N(0, sigma): logpdf(x) = -(K-1)/2 log(2 pi sigma^2)
+    - |x|^2 / (2 sigma^2). Marginals: Var[x_k] = sigma^2 (1 - 1/K)."""
+
+    name = "zero_sum_normal"
+
+    def logpdf(self, x, params):
+        sigma = xm.floor_scale(params.get("sigma", 1.0))
+        k = x.shape[-1]
+        return (-(k - 1) / 2.0 * (xm.LOG_2PI + 2.0 * jnp.log(sigma))
+                - 0.5 * jnp.sum(x * x, axis=-1) / (sigma * sigma))
+
+    def support(self, params):
+        return "zero_sum"
+
+    def default_transform(self, params):
+        return "zero_sum"
+
+    def sample(self, key, params, shape=()):
+        from exmc_tpu.transforms import ZERO_SUM
+
+        sigma = params.get("sigma", 1.0)
+        if len(shape) == 0:
+            raise ValueError("ZeroSumNormal.sample needs shape=(..., K)")
+        z = sigma * jax.random.normal(key, tuple(shape[:-1]) + (shape[-1] - 1,))
+        return ZERO_SUM.forward(z)
+
+
 MV_NORMAL = register(MvNormal())
 DIRICHLET = register(Dirichlet())
 MULTINOMIAL = register(Multinomial())
+ZERO_SUM_NORMAL = register(ZeroSumNormal())
 
 
 class LKJCholesky(Distribution):

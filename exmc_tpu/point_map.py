@@ -51,6 +51,10 @@ def _infer_shape(node):
         raise ValueError(
             f"LKJCholesky RV {node.id!r} requires an explicit shape=(d, d)"
         )
+    if dist.name == "zero_sum_normal":
+        raise ValueError(
+            f"ZeroSumNormal RV {node.id!r} requires an explicit shape=(K,)"
+        )
     # elementwise dists broadcast over constant array params
     shapes = [
         np.asarray(v).shape

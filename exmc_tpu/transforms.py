@@ -159,6 +159,46 @@ class OrderedTransform(Transform):
         return jnp.sum(jnp.clip(z[..., 1:], -lim, lim))
 
 
+class ZeroSumTransform(Transform):
+    """z in R^{K-1} -> x in R^K with sum(x) = 0 (PyMC's ZeroSumNormal
+    support). The map is the isometric embedding onto the orthogonal
+    complement of the ones vector (normalized Helmert-style basis), so
+    the Jacobian is an isometry: log|det J| = 0 and an iid N(0, sigma)
+    density on z induces the exchangeable zero-sum normal on x with
+    Var[x_k] = sigma^2 (1 - 1/K), Cov = -sigma^2/K."""
+
+    name = "zero_sum"
+
+    @staticmethod
+    def _basis(k, dtype):
+        # columns: orthonormal basis of {x : sum x = 0} in R^k
+        import numpy as np
+
+        a = np.eye(k, k - 1)
+        a[-1, :] = -1.0
+        q, _ = np.linalg.qr(a)
+        return jnp.asarray(q, dtype)
+
+    def forward(self, z):
+        b = self._basis(z.shape[-1] + 1, z.dtype)
+        return z @ b.T
+
+    def inverse(self, x):
+        b = self._basis(x.shape[-1], x.dtype)
+        return x @ b
+
+    def log_abs_det_jacobian(self, z):
+        return jnp.zeros(())
+
+    def unconstrained_shape(self, shape):
+        if len(shape) == 0:
+            raise ValueError("zero_sum requires a vector-shaped RV")
+        return tuple(shape[:-1]) + (shape[-1] - 1,)
+
+    def constrained_shape(self, shape):
+        return tuple(shape[:-1]) + (shape[-1] + 1,)
+
+
 class PositiveOrderedTransform(Transform):
     """z in R^K -> strictly increasing positive x (Stan's
     ``positive_ordered``): x_k = sum_{j<=k} exp(z_j); log|J| = sum z."""
@@ -343,6 +383,7 @@ STICK_BREAKING = StickBreakingTransform()
 CHOLESKY_CORR = CholeskyCorrTransform()
 ORDERED = OrderedTransform()
 POSITIVE_ORDERED = PositiveOrderedTransform()
+ZERO_SUM = ZeroSumTransform()
 
 _REGISTRY = {
     None: IDENTITY,
@@ -354,6 +395,7 @@ _REGISTRY = {
     "cholesky_corr": CHOLESKY_CORR,
     "ordered": ORDERED,
     "positive_ordered": POSITIVE_ORDERED,
+    "zero_sum": ZERO_SUM,
 }
 
 

@@ -100,3 +100,33 @@ def test_stan_positive_ordered():
     # exp(1) order stats of n=2: E = 1/2, 3/2
     assert abs(s.mean(0)[0] - 0.5) < 0.08
     assert abs(s.mean(0)[1] - 1.5) < 0.15
+
+
+def test_zero_sum_normal():
+    """ZeroSumNormal: draws sum to zero exactly, marginal sd matches
+    sigma*sqrt(1-1/K), and the isometric transform round-trips."""
+    from exmc_tpu.transforms import ZERO_SUM
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=5).astype(np.float32))
+    x = np.asarray(ZERO_SUM.forward(z))
+    assert abs(x.sum()) < 1e-5
+    assert np.allclose(np.asarray(ZERO_SUM.inverse(jnp.asarray(x))), z,
+                       atol=1e-5)
+    # isometry: |x| == |z|
+    assert abs(np.linalg.norm(x) - np.linalg.norm(np.asarray(z))) < 1e-5
+
+    key = jax.random.PRNGKey(0)
+    y = np.asarray(dists.ZeroSumNormal.sample(
+        key, {"sigma": 2.0}, (4000, 4)))
+    assert np.allclose(y.sum(-1), 0.0, atol=1e-4)
+    assert np.allclose(y.std(0), 2.0 * np.sqrt(0.75), atol=0.08)
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.ZeroSumNormal, {"sigma": 2.0},
+                    shape=(4,))
+    trace, _ = sample(ir, num_warmup=300, num_samples=500, num_chains=4,
+                      seed=0)
+    xs = np.asarray(trace["x"]).reshape(-1, 4)
+    assert np.allclose(xs.sum(-1), 0.0, atol=1e-4)
+    assert np.allclose(xs.std(0), 2.0 * np.sqrt(0.75), atol=0.1)
