@@ -556,6 +556,9 @@ def compile(code: str, data=None):
                 # type carries the constraint (Stan ordered vectors)
                 transform = decl["type"]
                 shape = (size,)
+            elif decl["type"] == "sum_to_zero_vector":
+                transform = "zero_sum"
+                shape = (size,)
             elif decl["type"] == "cholesky_factor_corr":
                 transform = "cholesky_corr"
                 shape = (size, size)

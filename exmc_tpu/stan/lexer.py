@@ -36,7 +36,7 @@ KEYWORDS = {
     "data", "parameters", "model", "real", "int", "vector", "simplex",
     "lower", "upper", "transformed", "for", "in", "target", "matrix",
     "functions", "return", "ordered", "positive_ordered",
-    "cholesky_factor_corr",
+    "cholesky_factor_corr", "sum_to_zero_vector",
 }
 
 _MASTER = re.compile("|".join(f"(?P<{k}>{v})" for k, v in TOKEN_SPEC))

@@ -168,7 +168,7 @@ class Parser:
         kind, text, line = self.next()
         if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX",
                         "ORDERED", "POSITIVE_ORDERED",
-                        "CHOLESKY_FACTOR_CORR"):
+                        "CHOLESKY_FACTOR_CORR", "SUM_TO_ZERO_VECTOR"):
             self.error(f"expected a type, got {text!r}", line=line)
         decl = {"type": text, "size": None, "size2": None, "lower": None,
                 "upper": None, "offset": None, "multiplier": None,
@@ -179,7 +179,7 @@ class Parser:
         if self.peek()[0] == "LANGLE":
             self._parse_constraints(decl)
         if kind in ("VECTOR", "SIMPLEX", "ORDERED", "POSITIVE_ORDERED",
-                    "CHOLESKY_FACTOR_CORR"):
+                    "CHOLESKY_FACTOR_CORR", "SUM_TO_ZERO_VECTOR"):
             self.expect("LBRACKET")
             decl["size"] = self._parse_size()
             self.expect("RBRACKET")

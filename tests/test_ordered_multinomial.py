@@ -130,3 +130,13 @@ def test_zero_sum_normal():
     xs = np.asarray(trace["x"]).reshape(-1, 4)
     assert np.allclose(xs.sum(-1), 0.0, atol=1e-4)
     assert np.allclose(xs.std(0), 2.0 * np.sqrt(0.75), atol=0.1)
+
+
+def test_stan_sum_to_zero_vector():
+    trace, _ = stan.sample("""
+    parameters { sum_to_zero_vector[4] x; }
+    model { x ~ normal(0, 2); }
+    """, {}, num_warmup=300, num_samples=500, num_chains=2, seed=0)
+    x = trace["x"].reshape(-1, 4)
+    assert np.abs(x.sum(-1)).max() < 1e-3
+    assert np.allclose(x.std(0), 2.0 * np.sqrt(0.75), atol=0.12)
