@@ -52,8 +52,10 @@ lines = [
     "conjugate/analytic moments, 1e-10 quadrature for scalar-parameter",
     "models, and Kalman/RTS smoothing for the T=1000 GaussianRandomWalk —",
     "stronger per-model than posteriordb's reference MCMC draws. Coverage:",
-    "all 26 distributions (incl. the round-3 Binomial /",
-    "NegativeBinomial / Categorical / LKJCholesky / Flat additions),",
+    "all 28 distributions (incl. the round-3 Binomial /",
+    "NegativeBinomial / Categorical / Multinomial / ZeroSumNormal /",
+    "LKJCholesky / Flat additions), ordered/zero-sum/cholesky-corr",
+    "constrained types,",
     "meas_obs matmul/affine Jacobians,",
     "right+interval censoring, dense mass matrix, simplex",
     "(stick-breaking), auto-NCP funnel, long-T latent paths, and 3 models",
