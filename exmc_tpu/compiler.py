@@ -321,6 +321,7 @@ def _resolve_value(value, data):
 def _rv_prior_term(node, entry, zmap, resolve, ir):
     """Free-RV log-prior + transform Jacobian (compiler.ex:200-235)."""
     dist = get_dist(node.op[1])
+    dist.validate_ir_params(node.op[2])
     transform = node.op[3] if len(node.op) == 4 else None
     t = tf.get(transform)
     z = zmap[node.id]

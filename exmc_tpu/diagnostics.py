@@ -158,6 +158,9 @@ def nested_rhat(x, num_superchains):
     x = jnp.atleast_2d(jnp.asarray(x))
     c, n = x.shape
     k = int(num_superchains)
+    if k < 2:
+        raise ValueError("need >= 2 superchains (B is a between-superchain "
+                         "variance; k=1 would return nan)")
     if c % k != 0:
         raise ValueError(f"chains ({c}) not divisible by num_superchains ({k})")
     m = c // k

@@ -41,6 +41,10 @@ class Distribution:
         """Eagerly pre-process constant params at compile time."""
         return params
 
+    def validate_ir_params(self, params):
+        """Compile-time check on RAW IR params (string refs intact);
+        raise for parameterizations the logpdf cannot honor."""
+
     def __repr__(self):
         return f"<dist:{self.name}>"
 

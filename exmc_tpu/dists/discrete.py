@@ -98,14 +98,9 @@ class Binomial(Distribution):
         else:
             p = jnp.asarray(params["p"])
         n = jnp.asarray(params["n"])
-        nmax = int(jnp.max(n))
-        shp = shape if shape else jnp.broadcast_shapes(
+        shp = tuple(shape) if shape else jnp.broadcast_shapes(
             jnp.shape(n), jnp.shape(p))
-        u = jax.random.uniform(key, (nmax,) + tuple(shp))
-        trials = (u < p).astype(jnp.float32)
-        mask = (jnp.arange(nmax).reshape((nmax,) + (1,) * len(shp))
-                < n).astype(jnp.float32)
-        return (trials * mask).sum(axis=0)
+        return jax.random.binomial(key, n, p, shp).astype(jnp.float32)
 
 
 class NegativeBinomial(Distribution):

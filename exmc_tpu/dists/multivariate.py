@@ -109,12 +109,10 @@ class Multinomial(Distribution):
 
     def sample(self, key, params, shape=()):
         p = jnp.asarray(params["p"])
-        n = int(params["n"])
-        k = p.shape[-1]
+        n = jnp.asarray(params["n"], jnp.float32)
         batch = tuple(shape[:-1]) if shape else ()
-        draws = jax.random.categorical(
-            key, jnp.log(jnp.clip(p, 1e-30, 1.0)), shape=batch + (n,))
-        return jax.nn.one_hot(draws, k).sum(axis=-2)
+        return jax.random.multinomial(
+            key, n, p, shape=batch + p.shape[-1:]).astype(jnp.float32)
 
 
 class ZeroSumNormal(Distribution):
@@ -174,6 +172,15 @@ class LKJCholesky(Distribution):
     """
 
     name = "lkj_cholesky"
+
+    def validate_ir_params(self, params):
+        if isinstance(params.get("eta"), str):
+            raise ValueError(
+                "LKJCholesky eta must be a fixed constant, not a sampled "
+                "parameter ref: the logpdf drops the eta-dependent "
+                "normalizing constant c(eta, d), so a posterior over eta "
+                "would be silently wrong (code-review r3)"
+            )
 
     def logpdf(self, L, params):
         eta = params["eta"]

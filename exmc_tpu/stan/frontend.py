@@ -552,16 +552,26 @@ def compile(code: str, data=None):
                 shape = (size,)
             if decl["type"] == "simplex":
                 shape = (size,)
-            elif decl["type"] in ("ordered", "positive_ordered"):
-                # type carries the constraint (Stan ordered vectors)
-                transform = decl["type"]
-                shape = (size,)
-            elif decl["type"] == "sum_to_zero_vector":
-                transform = "zero_sum"
-                shape = (size,)
-            elif decl["type"] == "cholesky_factor_corr":
-                transform = "cholesky_corr"
-                shape = (size, size)
+            elif decl["type"] in ("ordered", "positive_ordered",
+                                  "sum_to_zero_vector",
+                                  "cholesky_factor_corr"):
+                if transform is not None:
+                    # Stan rejects bounds on these types too; silently
+                    # dropping a parsed <lower=,upper=> would mis-sample
+                    raise StanSyntaxError(
+                        f"<lower=/upper=> bounds are not supported on "
+                        f"{decl['type']} (the type carries its own "
+                        "constraint)", line=line,
+                    )
+                if decl["type"] == "sum_to_zero_vector":
+                    transform = "zero_sum"
+                    shape = (size,)
+                elif decl["type"] == "cholesky_factor_corr":
+                    transform = "cholesky_corr"
+                    shape = (size, size)
+                else:
+                    transform = decl["type"]
+                    shape = (size,)
             ir = Builder.rv(ir, target, dist, params, transform=transform,
                             shape=shape)
             declared_rvs.add(target)
@@ -569,6 +579,16 @@ def compile(code: str, data=None):
             # data on the left of ~ : RV + obs pair (stan/compiler.ex:61-97)
             rv_id = f"__{target}_rv"
             value = np.asarray(data[target], dtype=np.float32)
+            if dist_name == "categorical":
+                # Stan categorical outcomes are 1-indexed (y in 1..K);
+                # the Categorical dist is 0-indexed
+                if value.min() < 1:
+                    raise StanSyntaxError(
+                        "categorical data must be 1-indexed (Stan "
+                        f"convention); got a value of {value.min()}",
+                        line=line,
+                    )
+                value = value - 1.0
             shape = tuple(value.shape) or None
             ir = Builder.rv(ir, rv_id, dist, params, shape=shape)
             ir = Builder.obs(ir, f"{target}_obs", rv_id, value)

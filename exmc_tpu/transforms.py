@@ -13,10 +13,22 @@ Unlike the reference's per-element Elixir reductions
 batches over arbitrary leading axes.
 """
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 
 from exmc_tpu import math as xm
 from exmc_tpu.config import log_transform_clamp
+
+
+@lru_cache(maxsize=None)
+def _zero_sum_basis(k, dtype_name):
+    import numpy as np
+
+    a = np.eye(k, k - 1)
+    a[-1, :] = -1.0
+    q, _ = np.linalg.qr(a)
+    return jnp.asarray(q, dtype_name)
 
 
 class Transform:
@@ -171,13 +183,10 @@ class ZeroSumTransform(Transform):
 
     @staticmethod
     def _basis(k, dtype):
-        # columns: orthonormal basis of {x : sum x = 0} in R^k
-        import numpy as np
-
-        a = np.eye(k, k - 1)
-        a[-1, :] = -1.0
-        q, _ = np.linalg.qr(a)
-        return jnp.asarray(q, dtype)
+        # columns: orthonormal basis of {x : sum x = 0} in R^k;
+        # cached per (k, dtype) — it is a constant and eager callers
+        # (to_unconstrained per draw) would otherwise re-run QR each time
+        return _zero_sum_basis(int(k), jnp.dtype(dtype).name)
 
     def forward(self, z):
         b = self._basis(z.shape[-1] + 1, z.dtype)

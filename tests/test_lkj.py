@@ -96,3 +96,15 @@ def test_lkj_mvnormal_covariance_model():
     r = (L[:, 1, :] * L[:, 0, :]).sum(axis=-1)
     assert abs(r.mean() - r_true) < 0.08
     assert stats["divergences"].sum() < 50
+
+
+def test_lkj_rejects_sampled_eta():
+    """The LKJ logpdf drops the eta-dependent normalizing constant, so
+    a sampled eta would yield a silently wrong posterior — rejected at
+    compile time (code-review r3)."""
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "eta", dists.Gamma, {"alpha": 2.0, "beta": 2.0})
+    ir = Builder.rv(ir, "L", dists.LKJCholesky, {"eta": "eta"},
+                    shape=(3, 3))
+    with pytest.raises(Exception, match="fixed constant"):
+        sample(ir, num_warmup=10, num_samples=10, seed=0)

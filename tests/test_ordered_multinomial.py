@@ -140,3 +140,42 @@ def test_stan_sum_to_zero_vector():
     x = trace["x"].reshape(-1, 4)
     assert np.abs(x.sum(-1)).max() < 1e-3
     assert np.allclose(x.std(0), 2.0 * np.sqrt(0.75), atol=0.12)
+
+
+def test_stan_categorical_one_indexed():
+    """Stan categorical data is 1-indexed; the frontend shifts to the
+    0-indexed Categorical dist (code-review r3 finding)."""
+    rng = np.random.default_rng(0)
+    ys = rng.choice([1.0, 2.0, 3.0], size=200, p=[0.5, 0.3, 0.2])
+    trace, _ = stan.sample("""
+    data { vector[200] y; vector[3] alpha; }
+    parameters { simplex[3] w; }
+    model { w ~ dirichlet(alpha); y ~ categorical(w); }
+    """, {"y": ys, "alpha": np.full(3, 2.0)},
+        num_warmup=300, num_samples=500, num_chains=2, seed=0)
+    counts = np.bincount(ys.astype(int) - 1, minlength=3)
+    a = 2 + counts
+    assert np.allclose(trace["w"].reshape(-1, 3).mean(0), a / a.sum(),
+                       atol=0.02)
+
+    with pytest.raises(Exception, match="1-indexed"):
+        stan.sample("""
+        data { vector[3] y; vector[3] alpha; }
+        parameters { simplex[3] w; }
+        model { w ~ dirichlet(alpha); y ~ categorical(w); }
+        """, {"y": np.array([0.0, 1.0, 2.0]), "alpha": np.full(3, 2.0)},
+            num_warmup=10, num_samples=10)
+
+
+def test_stan_rejects_bounds_on_constrained_types():
+    with pytest.raises(Exception, match="bounds are not supported"):
+        stan.sample("""
+        parameters { ordered<lower=0, upper=1>[3] c; }
+        model { c ~ normal(0, 1); }
+        """, {}, num_warmup=10, num_samples=10)
+
+
+def test_nested_rhat_rejects_single_superchain():
+    from exmc_tpu import diagnostics as diag
+    with pytest.raises(ValueError, match="2 superchains"):
+        diag.nested_rhat(np.zeros((8, 5)), num_superchains=1)
