@@ -22,13 +22,16 @@ from exmc_tpu.config import log_transform_clamp
 
 
 @lru_cache(maxsize=None)
-def _zero_sum_basis(k, dtype_name):
+def _zero_sum_basis(k):
+    # cache the NUMPY result only: a jnp array materialized inside a
+    # trace is a tracer, and caching one leaks it into later traces
+    # (UnexpectedTracerError); jnp.asarray at the call site is free
     import numpy as np
 
     a = np.eye(k, k - 1)
     a[-1, :] = -1.0
     q, _ = np.linalg.qr(a)
-    return jnp.asarray(q, dtype_name)
+    return q
 
 
 class Transform:
@@ -184,9 +187,9 @@ class ZeroSumTransform(Transform):
     @staticmethod
     def _basis(k, dtype):
         # columns: orthonormal basis of {x : sum x = 0} in R^k;
-        # cached per (k, dtype) — it is a constant and eager callers
-        # (to_unconstrained per draw) would otherwise re-run QR each time
-        return _zero_sum_basis(int(k), jnp.dtype(dtype).name)
+        # QR cached per k — a constant; eager callers
+        # (to_unconstrained per draw) would otherwise re-run it each time
+        return jnp.asarray(_zero_sum_basis(int(k)), dtype)
 
     def forward(self, z):
         b = self._basis(z.shape[-1] + 1, z.dtype)
