@@ -115,3 +115,21 @@ def test_sbc_rejects_multi_obs():
     ir = Builder.obs(ir, "z_obs", "z", 0.3)
     with pytest.raises(ValueError, match="exactly one obs"):
         sbc(ir, num_replications=4, num_warmup=10, num_samples=10)
+
+
+def test_sbc_matrix_valued_obs():
+    """SBC supports matrix-valued observations: an (n, d) MvNormal
+    dataset rides the data channel per replication."""
+    rng = np.random.default_rng(1)
+    n, d = 20, 2
+    ys = rng.normal(size=(n, d))
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 1.5},
+                    shape=(d,))
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0},
+                    shape=(n, d))
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    out = sbc(ir, num_replications=40, num_warmup=200, num_samples=300,
+              thin=6, seed=0)
+    assert set(out["ranks"]) == {"mu[0]", "mu[1]"}
+    assert out["min_p"] > 1e-3
