@@ -87,6 +87,33 @@ def rank_uniformity(ranks, L, num_bins=20):
     return stat, _chi2_sf(stat, B - 1)
 
 
+def ecdf_ks(ranks, L, num_sims=2000, seed=0):
+    """Kolmogorov-style uniformity test on SBC ranks with the EXACT
+    discrete null simulated (the ECDF-difference view of Säilynoja et
+    al. 2021: chi-squared binning hides shape; the max ECDF deviation
+    catches U/∩/shifted rank histograms directly, and simulating the
+    discrete-uniform null avoids the continuous-KS conservativeness at
+    small L).
+
+    Returns (statistic, p_value): statistic = max_t |ECDF(t) - t/(L+1)|
+    over t in {0..L}; p = P(null statistic >= observed) over
+    ``num_sims`` simulated rank sets of the same size."""
+    ranks = np.asarray(ranks)
+    R = ranks.shape[0]
+    grid = np.arange(L + 1)
+    uniform_cdf = (grid + 1) / (L + 1)
+
+    def stat(r):
+        ecdf = np.searchsorted(np.sort(r), grid, side="right") / R
+        return np.abs(ecdf - uniform_cdf).max()
+
+    observed = stat(ranks)
+    rng = np.random.default_rng(seed)
+    sims = rng.integers(0, L + 1, size=(num_sims, R))
+    null = np.array([stat(s) for s in sims])
+    return float(observed), float((null >= observed).mean())
+
+
 def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
         thin=10, seed=0, ncp=True, num_bins=20, **sampler_opts):
     """Run SBC for ``ir``'s single-obs model.
@@ -151,7 +178,7 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     named, div = jax.jit(jax.vmap(one))(y_batch, q_inits, keys)
     L = int(np.asarray(named[names[0]]).shape[1])
 
-    ranks, chi2 = {}, {}
+    ranks, chi2, ecdf = {}, {}, {}
     for k in names:
         draws_k = np.asarray(named[k]).reshape(
             num_replications, L, -1)           # (R, L, C)
@@ -162,13 +189,16 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             name = k if C == 1 else f"{k}[{c}]"
             ranks[name] = r_k[:, c]
             chi2[name] = rank_uniformity(r_k[:, c], L, num_bins)
+            ecdf[name] = ecdf_ks(r_k[:, c], L, seed=seed + 3)
 
     return {
         "ranks": ranks,
         "L": L,
         "num_replications": num_replications,
         "chi2": chi2,
+        "ecdf": ecdf,
         "min_p": min(p for _, p in chi2.values()),
+        "min_ecdf_p": min(p for _, p in ecdf.values()),
         "divergence_rate": float(np.asarray(div).sum())
         / (num_replications * num_samples),
     }

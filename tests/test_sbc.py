@@ -133,3 +133,15 @@ def test_sbc_matrix_valued_obs():
               thin=6, seed=0)
     assert set(out["ranks"]) == {"mu[0]", "mu[1]"}
     assert out["min_p"] > 1e-3
+
+
+def test_ecdf_ks_uniformity():
+    from exmc_tpu.sbc import ecdf_ks
+
+    rng = np.random.default_rng(0)
+    _, p_good = ecdf_ks(rng.integers(0, 51, size=300), L=50, seed=1)
+    assert p_good > 0.01
+    # U-shaped ranks (tails only) — the shape chi2 binning can smear out
+    u = np.concatenate([rng.integers(0, 6, 150), rng.integers(45, 51, 150)])
+    _, p_bad = ecdf_ks(u, L=50, seed=1)
+    assert p_bad < 1e-3
