@@ -22,6 +22,16 @@ from exmc_tpu.config import log_transform_clamp
 
 
 @lru_cache(maxsize=None)
+def _tril_indices(d):
+    """Strict-lower-triangle (row, col) index arrays, row-major — the
+    packing order of the cholesky_corr unconstrained vector. Cached as
+    NUMPY (caching traced jnp arrays leaks tracers)."""
+    import numpy as np
+
+    return np.tril_indices(d, -1)
+
+
+@lru_cache(maxsize=None)
 def _zero_sum_basis(k):
     # cache the NUMPY result only: a jnp array materialized inside a
     # trace is a tracer, and caching one leaks it into later traces
@@ -257,58 +267,57 @@ class CholeskyCorrTransform(Transform):
             raise ValueError(f"invalid cholesky_corr length {m}")
         return d
 
+    @staticmethod
+    def _scatter_tril(z, d):
+        """Strict-lower-triangle scatter of the packed row-major vector
+        into a (d, d) matrix — one static-index scatter, so the whole
+        transform is ~6 fused array ops instead of O(d^2) Python-loop
+        ops (the original unrolled build traced minutes at d~100)."""
+        rows, cols = _tril_indices(d)
+        out = jnp.zeros(z.shape[:-1] + (d, d), z.dtype)
+        return out.at[..., rows, cols].set(z)
+
+    def _rem(self, x):
+        """rem[i, j] = prod_{k<j} (1 - x[i,k]^2) with x zero outside the
+        strict lower triangle — exclusive cumprod along each row; the
+        diagonal entry rem[i, i] is the full row product."""
+        s = 1.0 - x * x
+        p = jnp.cumprod(s, axis=-1)
+        return jnp.concatenate(
+            [jnp.ones_like(p[..., :1]), p[..., :-1]], axis=-1)
+
     def forward(self, z):
-        m = z.shape[-1]
-        d = self._dim(m)
-        x = jnp.tanh(z)
-        batch = z.shape[:-1]
-        rows = [jnp.concatenate(
-            [jnp.ones(batch + (1,), z.dtype), jnp.zeros(batch + (d - 1,), z.dtype)],
-            axis=-1)]
-        idx = 0
-        for i in range(1, d):
-            rem = jnp.ones(batch, z.dtype)
-            entries = []
-            for j in range(i):
-                xij = x[..., idx + j]
-                lij = xij * jnp.sqrt(rem)
-                entries.append(lij)
-                rem = rem * (1.0 - xij * xij)
-            entries.append(jnp.sqrt(rem))
-            idx += i
-            row = jnp.stack(entries, axis=-1)
-            pad = jnp.zeros(batch + (d - 1 - i,), z.dtype)
-            rows.append(jnp.concatenate([row, pad], axis=-1))
-        return jnp.stack(rows, axis=-2)
+        d = self._dim(z.shape[-1])
+        x = self._scatter_tril(jnp.tanh(z), d)
+        rem = self._rem(x)
+        rows, cols = _tril_indices(d)
+        strict = jnp.zeros((d, d), bool).at[rows, cols].set(True)
+        L = jnp.where(strict, x * jnp.sqrt(rem), 0.0)
+        diag = jnp.sqrt(rem[..., jnp.arange(d), jnp.arange(d)])
+        return L.at[..., jnp.arange(d), jnp.arange(d)].set(diag)
 
     def inverse(self, L):
         d = L.shape[-1]
-        zs = []
-        for i in range(1, d):
-            rem = jnp.ones(L.shape[:-2], L.dtype)
-            for j in range(i):
-                lij = L[..., i, j]
-                xij = lij / jnp.sqrt(jnp.maximum(rem, 1e-30))
-                zs.append(jnp.arctanh(jnp.clip(xij, -1.0 + 1e-7, 1.0 - 1e-7)))
-                rem = rem * (1.0 - xij * xij)
-        return jnp.stack(zs, axis=-1)
+        rows, cols = _tril_indices(d)
+        strict = jnp.zeros((d, d), bool).at[rows, cols].set(True)
+        low = jnp.where(strict, L, 0.0)
+        # rem[i, j] = 1 - sum_{k<j} L[i,k]^2 (exclusive cumsum)
+        s2 = jnp.cumsum(low * low, axis=-1)
+        rem = 1.0 - jnp.concatenate(
+            [jnp.zeros_like(s2[..., :1]), s2[..., :-1]], axis=-1)
+        x = low / jnp.sqrt(jnp.maximum(rem, 1e-30))
+        z = jnp.arctanh(jnp.clip(x, -1.0 + 1e-7, 1.0 - 1e-7))
+        return z[..., rows, cols]
 
     def log_abs_det_jacobian(self, z):
-        m = z.shape[-1]
-        d = self._dim(m)
-        x = jnp.tanh(z)
+        d = self._dim(z.shape[-1])
         # log(1 - tanh^2 z), overflow-safe
         log_dtanh = 2.0 * (jnp.log(2.0) - z - xm.softplus(-2.0 * z))
-        total = jnp.sum(log_dtanh)
-        idx = 0
-        for i in range(1, d):
-            rem = jnp.ones(z.shape[:-1], z.dtype)
-            for j in range(i):
-                xij = x[..., idx + j]
-                total = total + 0.5 * jnp.sum(jnp.log(jnp.maximum(rem, 1e-30)))
-                rem = rem * (1.0 - xij * xij)
-            idx += i
-        return total
+        x = self._scatter_tril(jnp.tanh(z), d)
+        rem = self._rem(x)
+        rows, cols = _tril_indices(d)
+        return jnp.sum(log_dtanh) + 0.5 * jnp.sum(
+            jnp.log(jnp.maximum(rem[..., rows, cols], 1e-30)))
 
     def unconstrained_shape(self, shape):
         if len(shape) < 2 or shape[-1] != shape[-2]:
