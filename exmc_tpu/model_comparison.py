@@ -194,7 +194,21 @@ def compare(models, data=None, criterion="waic"):
         rows.append({"name": name, **res, "elpd": res[elpd_key]})
     rows.sort(key=lambda r: -r["elpd"])
     best = rows[0]["elpd"]
+    best_pw = np.asarray(rows[0]["pointwise"])
     for i, r in enumerate(rows):
         r["rank"] = i
         r["delta_elpd"] = best - r["elpd"]
+        # paired SE of the difference from the POINTWISE elpd diffs
+        # (Vehtari 2017 workflow) — NOT the quadrature of the two
+        # model SEs, which overstates uncertainty for correlated
+        # pointwise errors on shared observations
+        pw = np.asarray(r["pointwise"])
+        if i == 0 or pw.shape != best_pw.shape:
+            r["delta_elpd_se"] = 0.0
+        else:
+            d = best_pw - pw
+            n = d.shape[0]
+            r["delta_elpd_se"] = (
+                float(math.sqrt(n * np.var(d, ddof=1))) if n > 1 else 0.0
+            )
     return rows

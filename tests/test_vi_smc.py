@@ -101,6 +101,11 @@ def test_compare_ranks_better_model_first():
     assert rows[0]["name"] == "good"
     assert rows[0]["rank"] == 0
     assert rows[1]["delta_elpd"] > 0
+    # paired SE from pointwise diffs (Vehtari workflow): positive for
+    # the loser, zero for the winner, and the gap here is decisive
+    assert rows[0]["delta_elpd_se"] == 0.0
+    assert rows[1]["delta_elpd_se"] > 0
+    assert rows[1]["delta_elpd"] > 2 * rows[1]["delta_elpd_se"]
 
 
 def test_prior_samples():
