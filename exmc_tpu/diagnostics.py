@@ -187,10 +187,11 @@ def ebfmi(energy):
     ``energy``: (chains, draws) array of per-draw Hamiltonian energies
     (``stats["energy"]``). Returns a (chains,) array; values below ~0.3
     flag marginal-energy transitions too narrow to explore the energy
-    distribution (heavy tails / mis-specified metric). NOTE: under
-    ``interweave=True`` the recorded energy describes the pre-interweave
-    NUTS transition (see sample() docs) — E-BFMI then measures the NUTS
-    kernel alone, which is the conservative reading."""
+    distribution (heavy tails / mis-specified metric). Under
+    ``interweave=True`` the recorded energy is POST-interweave (its
+    potential term is shifted by the interweave's logp delta, see
+    sample() docs), so E-BFMI reads the states the chain actually
+    continues from."""
     e = jnp.asarray(energy)
     if e.ndim == 1:
         e = e[None, :]

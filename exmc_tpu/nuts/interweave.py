@@ -52,6 +52,66 @@ from exmc_tpu.dists.base import get as get_dist
 from exmc_tpu.transforms import get as get_transform
 
 
+def _anc_obs_info(ir, latent_id, latent_len):
+    """Ancillary-leg (Yu & Meng's second ASIS sweep) eligibility for one
+    centered-Normal latent theta: every reference to theta (besides its
+    own node) must be an OBSERVED Normal rv y ~ N(theta, s) with non-ref
+    scale and plain obs metadata, and y referenced nowhere else. Returns
+    a list of (y_values, obs_sigma) numpy pairs broadcast against the
+    latent length (possibly empty — a latent with no obs contributes no
+    likelihood term to tau's ancillary conditional), or None when theta
+    has other uses (the Gaussian conditional would be wrong)."""
+    obs_by_rv = {}
+    for n in ir.nodes.values():
+        if n.op[0] == "obs":
+            obs_by_rv.setdefault(n.op[1], []).append(n)
+    out = []
+    for nid, n in ir.nodes.items():
+        if nid == latent_id or latent_id not in n.deps:
+            continue
+        if n.op[0] == "obs":
+            return None  # theta observed directly: not a latent to move
+        if n.op[0] != "rv" or get_dist(n.op[1]).name != "normal":
+            return None
+        params = n.op[2]
+        if params.get("mu") != latent_id or isinstance(
+                params.get("sigma"), str):
+            return None
+        obs = obs_by_rv.get(nid, [])
+        if len(obs) != 1:
+            return None
+        meta = obs[0].op[3]
+        # rewrite passes normalize meta with explicit defaults — only
+        # NON-default values (weighting, masking, censoring, custom
+        # likelihood) break the Gaussian conditional
+        w = meta.get("weight")
+        if not (w is None or (np.isscalar(w) and float(w) == 1.0)):
+            return None
+        lk = meta.get("likelihood")
+        if lk not in (None, True):
+            return None
+        if meta.get("mask") is not None or meta.get("censored") is not None:
+            return None
+        value = obs[0].op[2]
+        if isinstance(value, dict):
+            return None  # data-ref obs: values unavailable at build time
+        # y must feed nothing but its obs node
+        if any(nid in m.deps for mid, m in ir.nodes.items()
+               if mid != obs[0].id and m.op[0] != "obs"):
+            return None
+        try:
+            y = np.asarray(value, np.float64)
+            s = np.asarray(params["sigma"], np.float64)
+            bshape = np.broadcast_shapes(y.shape, s.shape, (latent_len,))
+        except ValueError:
+            return None
+        if bshape[-1] != latent_len:
+            return None  # theta must broadcast along the trailing axis
+        out.append((np.broadcast_to(y, bshape).copy(),
+                    np.broadcast_to(s, bshape).copy()))
+    return out
+
+
 def _referencing_ids(ir, ncp, target):
     """Node ids referencing ``target`` in the rewritten IR: the builder
     already records param/arg refs in Node.deps, and NCP reconstruction
@@ -162,6 +222,24 @@ def eligible_groups(model):
             zs.append((e.offset, e.length, kind, mu_spec))
         if not ok or not zs:
             continue
+        # ancillary leg (the full Yu & Meng interweave for CENTERED
+        # hierarchical-Normal groups): with z = (theta - mu)/sigma held
+        # fixed, y = mu + sigma z + eps is LINEAR in sigma, so
+        # sigma | z, mu, y is a (truncated-)Gaussian regression draw.
+        # Available only when every latent is centered_normal and each
+        # one's only downstream use is a plain observed Normal.
+        anc = None
+        if all(kind == "centered_normal" for _, kind, _ in latents):
+            anc = []
+            for nid, _, mu_spec in latents:
+                e = entries[nid]
+                info = _anc_obs_info(ir, nid, e.length)
+                if info is None:
+                    anc = None
+                    break
+                anc.append((e.offset, e.length, mu_spec, tuple(info)))
+            if anc is not None and not any(info for *_, info in anc):
+                anc = None  # no observations anywhere: no likelihood leg
         groups.append({
             "sigma_id": sig,
             "offset": e_sig.offset,
@@ -174,8 +252,84 @@ def eligible_groups(model):
                        for k, v in prior_params.items()},
             "zs": tuple(zs),
             "n": int(sum(ln for _, ln, _, _ in zs)),
+            "anc": tuple(anc) if anc is not None else None,
         })
     return groups
+
+
+def build_conditional_metric(model):
+    """For ``gibbs_scales`` (NUTS-within-Gibbs): a function
+    ``fn(q, inv) -> inv'`` overriding the inverse-mass entries of each
+    group's centered-Normal latents with their ANALYTIC conditional
+    variance given the current (frozen) scale:
+
+        prec(theta_e | mu, tau, y) = 1/tau^2 + sum_obs 1/s_e^2
+
+    Valid as a NUTS metric because tau is frozen for the whole
+    trajectory (the metric is constant within each transition; it only
+    re-conditions across transitions, which is ordinary Gibbs
+    preconditioning). This is what keeps the conditional integrator
+    stable when the Gibbs legs drop tau into the funnel neck — the
+    adapted marginal variance over-estimates the conditional one by
+    orders of magnitude there. Returns None when no group carries the
+    ancillary obs info this needs."""
+    groups = [g for g in eligible_groups(model) if g.get("anc")]
+    if not groups:
+        return None
+    ir, ncp = model.ir, model.ncp_info
+    specs = []   # latent overrides: (sig_off, tf, zoff, zlen, w_sum)
+    mu_specs = {}  # mu overrides: (mu_off, mu_len) -> [prec0, [(sig_off, tf, count)]]
+    for g in groups:
+        for zoff, zlen, mu_spec, obs_info in g["anc"]:
+            w_sum = np.zeros(zlen, np.float64)
+            for y_arr, s_arr in obs_info:
+                w = 1.0 / np.square(s_arr)
+                w_sum += w.reshape(-1, zlen).sum(axis=0)
+            specs.append((g["offset"], g["transform"], zoff, zlen, w_sum))
+            if mu_spec is not None and mu_spec[0] == "coord":
+                mkey = (mu_spec[1], mu_spec[2])
+                if mkey not in mu_specs:
+                    # prior precision of mu, when its prior is a plain
+                    # constant-parameter Normal (0 otherwise — slightly
+                    # under-preconditioned, conservative)
+                    prec0 = 0.0
+                    for nid, n in ir.nodes.items():
+                        e = next((e for e in model.pm.entries
+                                  if e.id == nid), None)
+                        if (e is not None and e.offset == mu_spec[1]
+                                and n.op[0] == "rv" and nid not in ncp
+                                and get_dist(n.op[1]).name == "normal"):
+                            s0 = n.op[2].get("sigma")
+                            if not isinstance(s0, str):
+                                prec0 = float(1.0 / np.square(
+                                    np.asarray(s0, np.float64)).min())
+                            break
+                    mu_specs[mkey] = [prec0, []]
+                # each latent element couples 1/tau^2 into its mu
+                # element; a scalar mu broadcast over zlen latents gets
+                # zlen such contributions, a vector mu gets one each
+                count = zlen if mu_spec[2] == 1 else 1
+                mu_specs[mkey][1].append((g["offset"], g["transform"], count))
+    if not specs:
+        return None
+
+    def fn(q, inv):
+        for off, tf, zoff, zlen, w_sum in specs:
+            tau = tf.forward(q[off])
+            prec = 1.0 / jnp.maximum(tau * tau, 1e-20) + jnp.asarray(
+                w_sum, q.dtype)
+            inv = jax.lax.dynamic_update_slice(
+                inv, (1.0 / prec).astype(inv.dtype), (zoff,))
+        for (moff, mlen), (prec0, taus) in mu_specs.items():
+            prec = jnp.asarray(prec0, q.dtype)
+            for soff, stf, count in taus:
+                tau = stf.forward(q[soff])
+                prec = prec + count / jnp.maximum(tau * tau, 1e-20)
+            inv = jax.lax.dynamic_update_slice(
+                inv, jnp.full((mlen,), 1.0, q.dtype) / prec, (moff,))
+        return inv
+
+    return fn
 
 
 def build_interweave(model):
@@ -256,6 +410,71 @@ def build_interweave(model):
                 q = jax.lax.dynamic_update_slice(q, zseg * scale, (zoff,))
             q = q.at[off].set(u_new)
             accepts.append(accept.astype(q.dtype))
+
+            # ---- ancillary leg (full ASIS, centered groups only) ----
+            # Hold z = (theta - mu)/sigma fixed; y = mu + sigma z + eps
+            # is linear in sigma, so the likelihood factor of
+            # p(sigma | z, mu, y) is N(sigma; m, s^2) — propose from it
+            # truncated to sigma > 0 and MH-correct with the PRIOR ratio
+            # alone (likelihood over proposal cancels exactly; the
+            # (u, theta) -> (sigma, z) change of variables contributes
+            # p(z)=N(0,1) constant in sigma and a unit transform
+            # Jacobian, same algebra as the module docstring). theta
+            # moves WITH sigma on this leg — that is what breaks the
+            # slow centered-Gibbs tau walk at weak identification.
+            if g["anc"] is not None:
+                key, kanc, kacc2 = jax.random.split(key, 3)
+                u = q[off]
+                sigma = tf.forward(u)
+                prec = jnp.zeros((), q.dtype)
+                num = jnp.zeros((), q.dtype)
+                lat = []
+                for zoff, zlen, mu_spec, obs_info in g["anc"]:
+                    theta = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
+                    if mu_spec is None or mu_spec[0] == "const":
+                        mu_v = jnp.asarray(
+                            0.0 if mu_spec is None else mu_spec[1], q.dtype)
+                    else:
+                        mu_v = jax.lax.dynamic_slice(
+                            q, (mu_spec[1],), (mu_spec[2],))
+                    z = (theta - mu_v) / sigma
+                    for y_arr, s_arr in obs_info:
+                        yb = jnp.asarray(y_arr, q.dtype)
+                        w = 1.0 / jnp.square(jnp.asarray(s_arr, q.dtype))
+                        prec = prec + jnp.sum(w * z * z
+                                              * jnp.ones_like(yb))
+                        num = num + jnp.sum(w * z * (yb - mu_v))
+                    lat.append((zoff, theta, mu_v, z))
+                prec = jnp.maximum(prec, jnp.asarray(1e-12, q.dtype))
+                m_lik = num / prec
+                s_lik = 1.0 / jnp.sqrt(prec)
+                # inverse-CDF truncated-normal draw on (0, inf)
+                u_lo = jax.scipy.special.ndtr(-m_lik / s_lik)
+                uu = jax.random.uniform(
+                    kanc, dtype=q.dtype,
+                    minval=jnp.clip(u_lo, 0.0, 1.0 - 1e-6), maxval=1.0)
+                uu = jnp.clip(uu, 1e-7, 1.0 - 1e-7)
+                sigma_anc = m_lik + s_lik * jax.scipy.special.ndtri(uu)
+
+                def lp_prior(s_val):
+                    return jnp.sum(g["dist"].logpdf(s_val, g["params"]))
+
+                log_a2 = lp_prior(sigma_anc) - lp_prior(sigma)
+                u_prop2 = tf.inverse(sigma_anc)
+                rt2 = tf.forward(u_prop2)
+                in_dom2 = (jnp.isfinite(u_prop2) & jnp.isfinite(rt2)
+                           & (jnp.abs(rt2 - sigma_anc)
+                              <= 1e-3 * jnp.abs(sigma_anc) + 1e-12))
+                acc2 = (jnp.log(jax.random.uniform(kacc2, dtype=q.dtype))
+                        < log_a2)
+                acc2 = (acc2 & jnp.isfinite(sigma_anc) & (sigma_anc > 0)
+                        & in_dom2)
+                for zoff, theta, mu_v, z in lat:
+                    theta_new = jnp.where(acc2, mu_v + sigma_anc * z, theta)
+                    q = jax.lax.dynamic_update_slice(
+                        q, theta_new.astype(q.dtype), (zoff,))
+                q = q.at[off].set(jnp.where(acc2, u_prop2, u))
+                accepts.append(acc2.astype(q.dtype))
         return q, jnp.mean(jnp.stack(accepts))
 
     return step

@@ -54,11 +54,17 @@ def kinetic_energy(metric: Metric, p):
 
 def sample_momentum(key, metric: Metric, d):
     """p ~ N(0, M). Diag: z / sqrt(M^{-1}) (sampler.ex:393-407); dense:
-    with M^{-1} = L L^T, p = L^{-T} z (sampler.ex:412-427)."""
+    with M^{-1} = L L^T, p = L^{-T} z (sampler.ex:412-427).
+
+    A diag entry inv == 0 means the coordinate is FROZEN (infinite
+    mass — the NUTS-within-Gibbs mode, sampler ``gibbs_scales``):
+    its momentum is 0 so the coordinate never drifts and contributes
+    no kinetic energy; gradient kicks still touch its p but velocity
+    and kinetic both read inv * p = 0."""
     z = jax.random.normal(key, (d,), dtype=metric.inv.dtype)
     if metric.dense:
         return solve_triangular(metric.chol_inv.T, z, lower=False)
-    return z / metric.chol_inv
+    return jnp.where(metric.chol_inv > 0, z / metric.chol_inv, 0.0)
 
 
 def leapfrog(vag_fn, q, p, grad, eps, metric: Metric):

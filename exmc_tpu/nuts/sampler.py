@@ -252,7 +252,8 @@ def _pipeline_init(vag_fn, q0, logp0, grad0, key, metric0, eps0, d, dtype,
 
 def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
                       adapt_mass, d, dtype, dense, pool_axis=None,
-                      interweave_fn=None, rescue_axis=None):
+                      interweave_fn=None, rescue_axis=None,
+                      freeze_mask=None, cond_metric_fn=None):
     """Scan a segment of the unified pipeline; carry threads across
     segments so execution can be chunked into bounded device calls.
 
@@ -330,19 +331,27 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
             q, logp, grad, metric, rescues = jax.lax.cond(
                 resc, do_rescue, lambda a: a, (q, logp, grad, metric, rescues)
             )
+        # gibbs_scales conditional preconditioning: override the
+        # frozen-scale group latents' inverse mass with the analytic
+        # conditional variance given the CURRENT scale value (constant
+        # within the trajectory because the scale is frozen; see
+        # interweave.build_conditional_metric)
+        metric_t = metric
+        if cond_metric_fn is not None:
+            metric_t = make_metric(cond_metric_fn(q, metric.inv))
         # epsilon (re-)search at iteration starts flagged by the
         # schedule (iteration 0 + post-window); one traced instance of
         # find_reasonable_epsilon per pipeline (TODO r2 compile latency)
         da = jax.lax.cond(
             search,
             lambda _: da_init(find_reasonable_epsilon(
-                vag_fn, q, logp, grad, ekey, metric)),
+                vag_fn, q, logp, grad, ekey, metric_t)),
             lambda d_: d_,
             da,
         )
         eps = jnp.where(in_warmup, jnp.exp(da.log_eps), da_finalize(da))
         q, logp, grad, stats = nuts_transition(
-            vag_fn, metric, eps, q, logp, grad, tkey, max_depth, cap
+            vag_fn, metric_t, eps, q, logp, grad, tkey, max_depth, cap
         )
         # chain-level fault recovery (reference distributed.ex:172-180
         # retries failed chains on the coordinator; here a dead carry —
@@ -368,8 +377,17 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
         iw_acc = None
         if interweave_fn is not None:
             key, iwkey = jax.random.split(key)
+            logp_pre_iw = logp
             q, iw_acc = interweave_fn(q, iwkey)
             logp, grad = vag_fn(q)
+            # stats["energy"] is kinetic - logp at the accepted point
+            # (tree.py: -joint_prop). The recorded draw is
+            # POST-interweave, so shift the potential term by the
+            # interweave's logp delta: E-BFMI then reads the energy of
+            # the state the chain actually continues from, and the
+            # invariant energy + logp == kinetic >= 0 holds for the
+            # recorded pair (pinned by test_interweave energy test).
+            stats = dict(stats, energy=stats["energy"] - (logp - logp_pre_iw))
         # NOTE: the dual-averaging signal stays PER-CHAIN even under
         # pooled mass adaptation — pooling it (pmean of accept_prob) was
         # measured to raise the divergence rate ~27x on eight_schools
@@ -389,6 +407,12 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
                     welford_merge_across(wf, pool_axis) if pool_axis else wf
                 )
                 inv = welford_finalize(wf_eff, metric.inv)
+                if freeze_mask is not None:
+                    # gibbs_scales: the frozen scale coordinates DO vary
+                    # across draws (the interweave Gibbs legs move them),
+                    # so Welford estimates a nonzero variance — re-zero
+                    # their inverse mass to keep them out of the dynamics
+                    inv = inv * jnp.asarray(freeze_mask, inv.dtype)
                 new_metric = make_metric(inv)
                 # epsilon re-search fires at the START of the next
                 # iteration (search flag) under this new metric
@@ -413,7 +437,8 @@ def _pipeline_segment(vag_fn, carry, xs, target_accept, max_depth,
 
 def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
                  target_accept, max_depth, eps0=None, adapt_mass=True,
-                 pool_axis=None, interweave_fn=None, rescue_axis=None):
+                 pool_axis=None, interweave_fn=None, rescue_axis=None,
+                 freeze_mask=None, cond_metric_fn=None):
     """Warmup + sampling as ONE scan (one chain; vmapped by the caller).
 
     The tree kernel is the largest traced subprogram; tracing it once
@@ -439,7 +464,8 @@ def _run_unified(vag_fn, schedule, num_samples, q0, logp0, grad0, key, metric0,
     carry, (draws, stats) = _pipeline_segment(
         vag_fn, carry, xs, target_accept, max_depth, adapt_mass, d, dtype,
         dense, pool_axis=pool_axis, interweave_fn=interweave_fn,
-        rescue_axis=rescue_axis,
+        rescue_axis=rescue_axis, freeze_mask=freeze_mask,
+        cond_metric_fn=cond_metric_fn,
     )
     da, metric, recoveries, rescues = (
         carry[4], carry[6], carry[7], carry[8]
@@ -488,6 +514,16 @@ class NUTSSampler:
     interweave: bool = False  # ASIS scale updates after each transition
     #                           (nuts/interweave.py; weak-identification
     #                           state-space models)
+    gibbs_scales: bool = False  # NUTS-within-Gibbs: FREEZE the
+    #                             interweave-eligible scale coordinates in
+    #                             the NUTS dynamics (inverse mass 0 — see
+    #                             leapfrog.sample_momentum) so the tree
+    #                             integrates the conditional given the
+    #                             scales, which for hierarchical-Normal
+    #                             groups is Gaussian (no funnel, no
+    #                             divergences); the scales move ONLY via
+    #                             the interweave Gibbs legs. Requires
+    #                             interweave=True.
     ensemble_rescue: bool = True  # warmup-only cross-chain rescue of
     #                               adaptation-trapped chains (see
     #                               _pipeline_segment)
@@ -524,6 +560,29 @@ class NUTSSampler:
                     "only as the NCP sigma of Normal/GRW latents; did you "
                     "compile with ncp=False?)"
                 )
+        self._freeze_mask = None
+        self._cond_metric_fn = None
+        if self.gibbs_scales:
+            if not self.interweave:
+                raise ValueError(
+                    "gibbs_scales=True requires interweave=True: frozen "
+                    "scales move only via the interweave Gibbs legs"
+                )
+            if self.dense_mass:
+                raise ValueError(
+                    "gibbs_scales is diag-metric only (freezing is an "
+                    "inverse-mass zero on the scale coordinate)"
+                )
+            from exmc_tpu.nuts.interweave import (
+                build_conditional_metric,
+                eligible_groups,
+            )
+
+            mask = np.ones(self.model.size, np.float64)
+            for g in eligible_groups(self.model):
+                mask[g["offset"]] = 0.0
+            self._freeze_mask = mask
+            self._cond_metric_fn = build_conditional_metric(self.model)
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
         self._ft_schedule = build_schedule(
             FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,
@@ -560,7 +619,10 @@ class NUTSSampler:
         d = self.model.size
         if self.dense_mass:
             return make_metric(jnp.eye(d, dtype=dtype))
-        return make_metric(jnp.ones((d,), dtype=dtype))
+        inv = jnp.ones((d,), dtype=dtype)
+        if self._freeze_mask is not None:
+            inv = inv * jnp.asarray(self._freeze_mask, dtype)
+        return make_metric(inv)
 
     def _resolve_inits(self, init, num_chains, base, d, dtype, data):
         """Per-chain unconstrained init positions: a named dict (all
@@ -666,6 +728,8 @@ class NUTSSampler:
                 vag_fn, c, x_blk, self.target_accept, self.max_tree_depth,
                 self.adapt_mass, d, dtype, dense, pool_axis=pool_axis,
                 interweave_fn=self._iw_fn, rescue_axis=rescue_axis,
+                freeze_mask=self._freeze_mask,
+                cond_metric_fn=self._cond_metric_fn,
             )
 
         @jax.jit
@@ -713,6 +777,8 @@ class NUTSSampler:
                 vag_fn, self._ft_schedule, self.num_samples, q0, logp0,
                 grad0, key, metric, self.target_accept, self.max_tree_depth,
                 eps0=ws_eps, adapt_mass=False, interweave_fn=self._iw_fn,
+                freeze_mask=self._freeze_mask,
+                cond_metric_fn=self._cond_metric_fn,
             )
         else:
             metric = self._init_metric(dtype)
@@ -721,6 +787,8 @@ class NUTSSampler:
                 key, metric, self.target_accept, self.max_tree_depth,
                 pool_axis=pool_axis, interweave_fn=self._iw_fn,
                 rescue_axis=rescue_axis, adapt_mass=self.adapt_mass,
+                freeze_mask=self._freeze_mask,
+                cond_metric_fn=self._cond_metric_fn,
             )
 
         tuning = {"step_size": eps, "inv_mass": metric.inv,
@@ -901,6 +969,8 @@ class NUTSSampler:
                 self.adapt_mass, d, dtype, dense, pool_axis=pool_axis,
                 interweave_fn=self._iw_fn,
                 rescue_axis="chains" if self.ensemble_rescue else None,
+                freeze_mask=self._freeze_mask,
+                cond_metric_fn=self._cond_metric_fn,
             )
 
         seg_fn = jax.jit(jax.vmap(seg, in_axes=(0, None), axis_name="chains"))
@@ -1128,6 +1198,7 @@ _SAMPLER_OPT_KEYS = (
     "shared_warmup",
     "pooled_adaptation",
     "interweave",
+    "gibbs_scales",
     "ensemble_rescue",
     "adapt_mass",
 )
@@ -1171,11 +1242,13 @@ def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
     counted per chain in ``stats['rescues']`` and warned about when
     nonzero.
 
-    NOTE on ``interweave=True`` stats: the recorded draw and
-    ``stats['logp']`` are POST-interweave, while ``stats['energy']`` and
-    ``stats['accept_prob']`` describe the preceding NUTS transition
-    (pre-interweave) — energy-based diagnostics (E-BFMI) therefore see
-    states shifted by the accepted scale moves (advisor r2 note)."""
+    NOTE on ``interweave=True`` stats: the recorded draw,
+    ``stats['logp']`` and ``stats['energy']`` are all POST-interweave
+    (the energy's potential term is shifted by the interweave's logp
+    delta, so ``energy + logp == kinetic >= 0`` holds and E-BFMI reads
+    the state the chain actually continues from; VERDICT r3 item 8).
+    ``stats['accept_prob']`` still describes the preceding NUTS
+    transition — that is its honest meaning for step-size adaptation."""
     sampler = _make_sampler(ir, ncp=ncp, **opts)
     if data is None and not isinstance(ir, CompiledModel):
         # a cache-hit sampler may have been compiled from a different IR

@@ -195,6 +195,119 @@ def test_scale_referenced_through_ncp_mu_is_ineligible():
     assert sig_groups == []
 
 
+def _exact_eight_schools_moments(prior="halfnormal", scale=5.0):
+    """theta marginalized analytically (y_i ~ N(mu, tau^2 + s_i^2)),
+    then 2-d quadrature over (mu, tau) — exact reference moments."""
+    y = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    s = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+    mu_g = np.linspace(-15, 25, 801)
+    tau_g = np.linspace(1e-4, 40, 1601)
+    M, T = np.meshgrid(mu_g, tau_g, indexing="ij")
+    var = T[..., None] ** 2 + s ** 2
+    ll = -0.5 * np.sum((y - M[..., None]) ** 2 / var + np.log(var), axis=-1)
+    lp = ll - 0.5 * (M / 5.0) ** 2
+    if prior == "halfnormal":
+        lp = lp - 0.5 * (T / scale) ** 2
+    else:  # halfcauchy
+        lp = lp - np.log1p((T / scale) ** 2)
+    w = np.exp(lp - lp.max())
+    w /= w.sum()
+    tau_mean = float((w * T).sum())
+    tau_sd = float(np.sqrt((w * (T - tau_mean) ** 2).sum()))
+    mu_mean = float((w * M).sum())
+    return mu_mean, tau_mean, tau_sd
+
+
+def test_gibbs_scales_eight_schools_exact():
+    """NUTS-within-Gibbs (gibbs_scales=True): tau frozen in the NUTS
+    dynamics (inverse mass 0), moved only by the two ASIS Gibbs legs,
+    with the analytic conditional metric for (mu, theta). The centered
+    funnel's divergences disappear entirely (the conditional given tau
+    is Gaussian) and the moments must match 2-d quadrature."""
+    from exmc_tpu.benchmarks.suite import eight_schools_model
+
+    trace, stats = sample(eight_schools_model(), num_chains=32,
+                          num_warmup=400, num_samples=800, seed=0,
+                          ncp=False, interweave=True, gibbs_scales=True)
+    assert int(stats["divergences"].sum()) == 0
+    mu_ex, tau_ex, tau_sd_ex = _exact_eight_schools_moments("halfnormal")
+    assert abs(float(trace["mu"].mean()) - mu_ex) < 0.15
+    assert abs(float(trace["tau"].mean()) - tau_ex) < 0.1
+    assert abs(float(trace["tau"].std()) - tau_sd_ex) < 0.1
+    assert float(rhat(trace["tau"])) < 1.01
+
+
+def test_anc_leg_nonconjugate_prior_exact():
+    """The ancillary leg proposes from the likelihood Gaussian and
+    MH-corrects with the PRIOR ratio — exact for any scale prior, not
+    just the conjugate HalfNormal. Pin with HalfCauchy(5) (the classic
+    eight-schools prior) against quadrature."""
+    y = [28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0]
+    sig = [15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0]
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "tau", dists.HalfCauchy, {"scale": 5.0})
+    for i in range(8):
+        ir = Builder.rv(ir, f"theta_{i}", dists.Normal,
+                        {"mu": "mu", "sigma": "tau"})
+        ir = Builder.rv(ir, f"y_{i}", dists.Normal,
+                        {"mu": f"theta_{i}", "sigma": sig[i]})
+        ir = Builder.obs(ir, f"y_{i}_obs", f"y_{i}", y[i])
+    trace, stats = sample(ir, num_chains=32, num_warmup=400,
+                          num_samples=800, seed=0, ncp=False,
+                          interweave=True, gibbs_scales=True)
+    assert int(stats["divergences"].sum()) == 0
+    mu_ex, tau_ex, tau_sd_ex = _exact_eight_schools_moments("halfcauchy")
+    assert abs(float(trace["mu"].mean()) - mu_ex) < 0.2
+    assert abs(float(trace["tau"].mean()) - tau_ex) < 0.15
+    assert abs(float(trace["tau"].std()) - tau_sd_ex) < 0.2
+
+
+def test_gibbs_scales_requires_interweave():
+    from exmc_tpu.benchmarks.suite import eight_schools_model
+
+    with pytest.raises(ValueError, match="requires interweave"):
+        sample(eight_schools_model(), num_warmup=10, num_samples=10,
+               ncp=False, gibbs_scales=True)
+
+
+def test_energy_recorded_post_interweave(monkeypatch):
+    """VERDICT r3 item 8: stats['energy'] must describe the POST-
+    interweave state the chain continues from, i.e. the recorded pair
+    satisfies energy + logp == kinetic >= 0 on every draw.
+
+    Uses a deterministic fake 'interweave' that shifts q by +5 in
+    unconstrained space: the logp delta is then large and negative
+    (~-100 nats on a 4-d standard normal), so the PRE-fix recording
+    (pre-interweave energy paired with post-interweave logp) would
+    drive energy + logp far below zero on nearly every draw, while the
+    fixed recording keeps it equal to the (nonnegative) kinetic term."""
+    import jax.numpy as jnp
+
+    import exmc_tpu.nuts.interweave as iw
+    from exmc_tpu.nuts.sampler import clear_sampler_cache
+
+    def fake_build(model):
+        def step(q, key):
+            return q + 5.0, jnp.asarray(1.0, q.dtype)
+
+        return step
+
+    monkeypatch.setattr(iw, "build_interweave", fake_build)
+    clear_sampler_cache()
+    try:
+        ir = Builder.new_ir()
+        ir = Builder.rv(ir, "z", dists.Normal, {"mu": 0.0, "sigma": 1.7},
+                        shape=(4,))
+        _, stats = sample(ir, num_chains=2, num_warmup=50, num_samples=80,
+                          seed=0, interweave=True)
+        kinetic = np.asarray(stats["energy"]) + np.asarray(stats["logp"])
+        assert np.all(np.isfinite(kinetic))
+        assert float(kinetic.min()) >= -1e-3, float(kinetic.min())
+    finally:
+        clear_sampler_cache()  # drop the fake-interweave pipeline
+
+
 def test_pathfinder_fit_program_cache():
     """Repeated pathfinder_fit on the same model reuses the jitted
     programs instead of recompiling per seed (code-review r2 finding)."""
