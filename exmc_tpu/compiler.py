@@ -233,7 +233,7 @@ def _make_resolver(ir: IR, pm: PointMap, zmap: dict, data):
 
     def resolve(ref):
         if ref == OBS_DATA_KEY:
-            return data
+            return _base_data(data)
         if ref in memo:
             return memo[ref]
         node = ir.get_node(ref)
@@ -308,14 +308,30 @@ def _resolve_params(params, resolve, dist=None):
 
 def _resolve_value(value, data):
     """Obs values may be arrays, {"lower","upper"} dicts (interval
-    censoring), or the string "__obs_data" (-> JIT data argument, D69)."""
+    censoring), the string "__obs_data" (-> JIT data argument, D69), or
+    a KEYED ref ("__obs_data", key) -> data[key] — the multi-obs data
+    channel the SBC harness rides (one compiled program, a dict of
+    per-replication synthetic datasets)."""
     if isinstance(value, str):
         if value == OBS_DATA_KEY:
-            return data
+            return _base_data(data)
         raise ValueError(f"bad obs value ref: {value!r}")
+    if (isinstance(value, tuple) and len(value) == 2
+            and value[0] == OBS_DATA_KEY):
+        return data[value[1]]
     if isinstance(value, dict):
         return {k: jnp.asarray(v) for k, v in value.items()}
     return jnp.asarray(value)
+
+
+def _base_data(data):
+    """The value plain "__obs_data" refs see. When the data pytree is a
+    dict carrying keyed obs entries, the model's original data rides
+    the reserved "__base" key (so det nodes / Custom dists keep
+    resolving what they were compiled against)."""
+    if isinstance(data, dict) and "__base" in data:
+        return data["__base"]
+    return data
 
 
 def _rv_prior_term(node, entry, zmap, resolve, ir):

@@ -35,7 +35,12 @@ class MvNormal(Distribution):
 
     def logpdf(self, x, params):
         params = self.prepare_params(params)
-        mu, chol, log_det = params["mu"], params["chol"], params["log_det_cov"]
+        mu, chol = jnp.asarray(params["mu"]), params["chol"]
+        log_det = params.get("log_det_cov")
+        if log_det is None:
+            # chol passed directly (e.g. a sampled LKJCholesky ref):
+            # prepare_params could not precompute the determinant
+            log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         d = mu.shape[-1]
         diff = x - mu
         if diff.ndim == 1:

@@ -61,6 +61,22 @@ def _forward_draw(ir: IR, order, key, data):
             shape = _infer_shape(node)
             key, sub = jax.random.split(key)
             vm[nid] = dist.sample(sub, params, shape)
+            tf = node.op[3] if len(node.op) == 4 else None
+            tf_name = tf if isinstance(tf, str) else getattr(tf, "name", None)
+            if tf_name in ("ordered", "positive_ordered"):
+                # an ordered-transform prior restricts an iid dist to
+                # the sorted cone; for EXCHANGEABLE components (scalar
+                # params) the restriction of iid draws equals sorted
+                # iid draws exactly (symmetry: the cone has prior mass
+                # 1/K!), so forward sampling = sample + sort
+                if any(jnp.ndim(p) > 0 for p in params.values()):
+                    raise ValueError(
+                        f"prior_samples: rv {nid!r} has an ordered "
+                        "transform with non-scalar params — components "
+                        "are not exchangeable, the sorted-iid forward "
+                        "sample would not match the model prior"
+                    )
+                vm[nid] = jnp.sort(vm[nid], axis=-1)
         elif tag == "det":
             fn = node.op[1]
             fn = DET_OPS[fn] if isinstance(fn, str) else fn
@@ -126,11 +142,29 @@ def posterior_predictive(ir: IR, trace, seed=0, data=None, ncp=True):
             value = node.op[2]
             shape = (
                 tuple(np.asarray(value).shape)
-                if not isinstance(value, (str, dict))
+                if not isinstance(value, (str, dict, tuple))
                 else _infer_shape(target)
             )
             key, sub = jax.random.split(key)
-            out[obs_id] = dist.sample(sub, params, shape)
+            draw = dist.sample(sub, params, shape)
+            if node.op[0] == "meas_obs":
+                # the OBSERVED quantity is the measurable transform of
+                # the target RV (compiler._meas_obs_term inverts it) —
+                # predictive simulation must apply it forward
+                op_info = node.op[3]
+                kind = op_info[0]
+                a = (resolve(op_info[1]) if isinstance(op_info[1], str)
+                     else jnp.asarray(op_info[1]))
+                if kind == "matmul":
+                    draw = a @ draw
+                elif kind == "affine":
+                    b = (resolve(op_info[2])
+                         if isinstance(op_info[2], str)
+                         else jnp.asarray(op_info[2]))
+                    draw = a * draw + b
+                else:
+                    raise ValueError(f"unknown measurable op: {kind!r}")
+            out[obs_id] = draw
         return out
 
     keys = jax.random.split(jax.random.PRNGKey(seed), c * n)

@@ -33,35 +33,52 @@ from exmc_tpu.config import default_dtype
 from exmc_tpu.predictive import posterior_predictive, prior_samples
 
 
-def _single_obs_node(ir):
-    obs = [(nid, n) for nid, n in sorted(ir.nodes.items()) if n.op[0] == "obs"]
-    meas = [nid for nid, n in sorted(ir.nodes.items()) if n.op[0] == "meas_obs"]
-    if meas:
-        raise ValueError(
-            "sbc: meas_obs (lifted matmul/affine observation) models are "
-            "not supported yet — the synthetic-data generator samples the "
-            "target RV, not the measurable transform of it"
-        )
-    if len(obs) != 1:
-        raise ValueError(
-            f"sbc supports exactly one obs node (got {len(obs)}): the "
-            "replication axis rides the single __obs_data JIT argument"
-        )
-    return obs[0]
+def _obs_nodes(ir):
+    """All observation nodes (obs AND meas_obs — the generator applies
+    the measurable transform forward, posterior_predictive handles it).
+    Interval-censored obs ({"lower","upper"} dict values) cannot ride
+    the replication channel: the simulated quantity is the latent y,
+    not a censoring interval."""
+    nodes = [(nid, n) for nid, n in sorted(ir.nodes.items())
+             if n.op[0] in ("obs", "meas_obs")]
+    if not nodes:
+        raise ValueError("sbc: model has no observation nodes")
+    for nid, n in nodes:
+        if isinstance(n.op[2], dict):
+            raise ValueError(
+                f"sbc: obs node {nid!r} is interval-censored — the "
+                "synthetic-data channel carries simulated values, not "
+                "censoring intervals"
+            )
+    return nodes
 
 
-def _data_arg_ir(ir, obs_id, obs_node):
-    """Rewrite the obs node's inline value to the ``__obs_data`` runtime
-    argument so one compiled sampler serves every synthetic dataset."""
-    value = obs_node.op[2]
-    if isinstance(value, str) and value == OBS_DATA_KEY:
-        return ir  # already data-as-argument
-    new_node = replace(
-        obs_node, op=(obs_node.op[0], obs_node.op[1], OBS_DATA_KEY)
-        + obs_node.op[3:]
-    )
-    ir2 = ir.replace_node(new_node)
-    return replace(ir2, data=np.asarray(value))
+def _data_arg_ir(ir, obs_nodes):
+    """Rewrite every obs node's inline value to a KEYED ``__obs_data``
+    ref so ONE compiled sampler serves every synthetic dataset; the
+    data argument becomes a dict {obs_id: value} (plus the model's
+    original ``Builder.data`` under the reserved "__base" key, which
+    plain "__obs_data" refs keep resolving — compiler._base_data)."""
+    ir2 = ir
+    data = {}
+    for obs_id, node in obs_nodes:
+        value = node.op[2]
+        if isinstance(value, str) and value == OBS_DATA_KEY:
+            if ir.data is None:
+                raise ValueError(
+                    f"sbc: obs node {obs_id!r} references __obs_data but "
+                    "the IR carries no data"
+                )
+            data[obs_id] = np.asarray(ir.data)
+        else:
+            data[obs_id] = np.asarray(value)
+        new_node = replace(
+            node, op=node.op[:2] + ((OBS_DATA_KEY, obs_id),) + node.op[3:]
+        )
+        ir2 = ir2.replace_node(new_node)
+    if ir.data is not None:
+        data["__base"] = ir.data
+    return replace(ir2, data=data)
 
 
 def _chi2_sf(stat, dof):
@@ -116,7 +133,10 @@ def ecdf_ks(ranks, L, num_sims=2000, seed=0):
 
 def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
         thin=10, seed=0, ncp=True, num_bins=20, **sampler_opts):
-    """Run SBC for ``ir``'s single-obs model.
+    """Run SBC for ``ir`` (any number of obs/meas_obs nodes; the
+    replication axis rides a dict-valued ``__obs_data`` JIT argument,
+    one entry per obs node — VERDICT r3 item 4a extended the original
+    single-obs harness).
 
     Protocol per replication r (all R in one vmapped device call):
       theta_r ~ prior;  y_r ~ likelihood(theta_r);
@@ -134,7 +154,7 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     histograms (Talts et al. 2018 fig. 2)."""
     from exmc_tpu.nuts.sampler import _init_position, _make_sampler
 
-    obs_id, obs_node = _single_obs_node(ir)
+    obs_nodes = _obs_nodes(ir)
     model0 = compile_logp(ir, ncp=ncp)
     names = [e.id for e in model0.pm.entries]
 
@@ -143,13 +163,22 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     theta_true = {k: jnp.asarray(prior[k]) for k in names}
 
     # 2) y | theta via the posterior-predictive machinery fed a
-    #    prior "trace" of shape (1, R, ...)
+    #    prior "trace" of shape (1, R, ...) — one simulated dataset
+    #    per obs node (meas_obs values get the forward transform)
     prior_trace = {k: np.asarray(prior[k])[None] for k in names}
     y = posterior_predictive(ir, prior_trace, seed=seed + 1, ncp=ncp)
-    y_batch = jnp.asarray(y[obs_id][0])  # (R, *obs_shape)
+    y_batch = {obs_id: jnp.asarray(y[obs_id][0])  # (R, *obs_shape)
+               for obs_id, _ in obs_nodes}
 
     # 3) one compiled sampler over the data-as-argument IR
-    ir2 = _data_arg_ir(ir, obs_id, obs_node)
+    ir2 = _data_arg_ir(ir, obs_nodes)
+    if "__base" in (ir2.data or {}):
+        # the base data is replication-invariant: broadcast it so the
+        # vmap below maps every leaf on axis 0
+        y_batch["__base"] = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                jnp.asarray(a), (num_replications,) + np.asarray(a).shape),
+            ir2.data["__base"])
     sampler = _make_sampler(
         ir2, ncp=ncp, num_warmup=num_warmup, num_samples=num_samples,
         ensemble_rescue=False, pooled_adaptation=False, **sampler_opts)
@@ -186,6 +215,11 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
         C = draws_k.shape[-1]
         r_k = (draws_k < true_k[:, None, :]).sum(axis=1)  # (R, C)
         for c in range(C):
+            if np.ptp(draws_k[:, :, c]) == 0 and np.ptp(true_k[:, c]) == 0:
+                # structurally constant component (e.g. a Cholesky
+                # factor's fixed upper-triangle zeros): rank is
+                # degenerate by construction, not a calibration signal
+                continue
             name = k if C == 1 else f"{k}[{c}]"
             ranks[name] = r_k[:, c]
             chi2[name] = rank_uniformity(r_k[:, c], L, num_bins)

@@ -1,13 +1,25 @@
-"""SBC evidence run on the real chip: calibration of the full NUTS
-pipeline on two model shapes, recorded in SBC_r03.json.
+"""SBC evidence run: calibration of the full NUTS pipeline across the
+model shapes whose Jacobians/reconstruction are riskiest, recorded in
+SBC_r04.json (VERDICT r3 item 4).
 
 Models:
   * normal_loc_scale — the quickstart shape (mu, sigma, 10 obs)
-  * eight_schools_ncp — hierarchical (mu, tau, 8 theta) with automatic
-    NCP, the shape whose Jacobians/reconstruction SBC stresses most.
+  * eight_schools_ncp — hierarchical NCP; run at R=1024 to retire the
+    round-3 theta[7] chi2 p=0.0042 question (order-statistic noise at
+    R=256, or real?)
+  * lkj_mvn — LKJCholesky prior + MvNormal(chol=L) likelihood: the
+    cholesky_corr transform's CPC Jacobian
+  * zsn_anova — ZeroSumNormal effects + intercept: the zero_sum
+    isometry (+ a multi-obs graph: two obs nodes)
+  * ordered_normal — ordered-transform cutpoints: the ordered Jacobian
+    (prior forward-sampled exactly as sorted iid)
+  * meas_obs_affine — a measurable-lifted affine observation: the
+    change-of-measure Jacobian (generator applies the transform
+    forward, compiler inverts it)
 
 Each runs R replications x 1 chain as ONE vmapped device call
-(exmc_tpu/sbc.py). Pass model names as argv to run a subset.
+(exmc_tpu/sbc.py). Pass model names as argv to run a subset; --cpu
+forces the CPU backend (tunnel-down runs); --r N overrides R.
 """
 
 import json
@@ -20,6 +32,9 @@ import numpy as np
 
 from exmc_tpu import Builder, dists
 from exmc_tpu.sbc import sbc
+
+R_DEFAULT = 512
+R_OVERRIDE = {"eight_schools_ncp": 1024}
 
 
 def normal_loc_scale():
@@ -45,25 +60,94 @@ def eight_schools_ncp():
     return Builder.obs(ir, "y_obs", "y", y), {"target_accept": 0.9}
 
 
+def lkj_mvn():
+    d, n = 3, 20
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "L", dists.LKJCholesky, {"eta": 2.0}, shape=(d, d))
+    ir = Builder.rv(ir, "y", dists.MvNormal,
+                    {"mu": np.zeros(d), "chol": "L"}, shape=(n, d))
+    return Builder.obs(ir, "y_obs", "y", np.zeros((n, d))), {}
+
+
+def zsn_anova():
+    K, n = 4, 6
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "intercept", dists.Normal, {"mu": 0.0, "sigma": 2.0})
+    ir = Builder.rv(ir, "eff", dists.ZeroSumNormal, {"sigma": 1.5},
+                    shape=(K,))
+    ir = Builder.det(ir, "eta", "add", ["intercept", "eff"])
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "eta", "sigma": 0.5},
+                    shape=(n, K))
+    ir = Builder.obs(ir, "y_obs", "y", np.zeros((n, K)))
+    # a second observation channel on the intercept alone: exercises
+    # the multi-obs data pytree (two keyed __obs_data entries)
+    ir = Builder.rv(ir, "w", dists.Normal, {"mu": "intercept", "sigma": 1.0},
+                    shape=(5,))
+    return Builder.obs(ir, "w_obs", "w", np.zeros(5)), {}
+
+
+def ordered_normal():
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "c", dists.Normal, {"mu": 0.0, "sigma": 2.0},
+                    shape=(3,), transform="ordered")
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "c", "sigma": 0.5},
+                    shape=(8, 3))
+    return Builder.obs(ir, "y_obs", "y", np.zeros((8, 3))), {}
+
+
+def meas_obs_affine():
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 1.0},
+                    shape=(12,))
+    ir = Builder.det(ir, "yd", "affine", [2.5, -1.0, "x"])
+    return Builder.obs(ir, "y_obs", "yd", np.zeros(12)), {}
+
+
 MODELS = {
     "normal_loc_scale": normal_loc_scale,
     "eight_schools_ncp": eight_schools_ncp,
+    "lkj_mvn": lkj_mvn,
+    "zsn_anova": zsn_anova,
+    "ordered_normal": ordered_normal,
+    "meas_obs_affine": meas_obs_affine,
 }
+
+OUT = "SBC_r04.json"
 
 
 def main():
+    argv = list(sys.argv[1:])
+    r_override = None
+    if "--cpu" in argv:
+        argv.remove("--cpu")
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    if "--r" in argv:
+        i = argv.index("--r")
+        r_override = int(argv[i + 1])
+        del argv[i:i + 2]
+
     import jax
 
-    names = [a for a in sys.argv[1:]] or list(MODELS)
+    names = argv or list(MODELS)
     out = {"platform": jax.devices()[0].platform,
            "device": str(getattr(jax.devices()[0], "device_kind", "")),
-           "protocol": "R=256 replications x 1 chain, 500 warmup + 1000 "
+           "protocol": "R replications x 1 chain, 500 warmup + 1000 "
                        "draws thinned 10 -> L=100 ranks, one vmapped call",
            "models": {}}
+    import os
+
+    if names != list(MODELS) and os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        out["models"] = prev.get("models", {})
     for name in names:
         ir, opts = MODELS[name]()
+        R = r_override or R_OVERRIDE.get(name, R_DEFAULT)
         t0 = time.time()
-        r = sbc(ir, num_replications=256, num_warmup=500, num_samples=1000,
+        r = sbc(ir, num_replications=R, num_warmup=500, num_samples=1000,
                 thin=10, seed=0, **opts)
         wall = time.time() - t0
         row = {
@@ -71,15 +155,20 @@ def main():
             "L": r["L"],
             "num_replications": r["num_replications"],
             "min_p": r["min_p"],
+            "min_ecdf_p": r["min_ecdf_p"],
             "divergence_rate": r["divergence_rate"],
             "chi2": {k: {"stat": round(s, 2), "p": round(p, 4)}
                      for k, (s, p) in r["chi2"].items()},
+            "ecdf": {k: {"stat": round(s, 4), "p": round(p, 4)}
+                     for k, (s, p) in r["ecdf"].items()},
         }
         out["models"][name] = row
-        print(name, json.dumps(row), flush=True)
-    with open("SBC_r03.json", "w") as f:
+        print(name, "min_ecdf_p:", row["min_ecdf_p"],
+              "min_p:", row["min_p"], f"wall {row['wall_s_incl_compile']}s",
+              flush=True)
+    with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote SBC_r03.json", flush=True)
+    print(f"wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":
