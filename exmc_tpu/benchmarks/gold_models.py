@@ -1187,6 +1187,131 @@ def lkj_marginals(seed=37):
     )
 
 
+def kilpisjarvi_real_regression():
+    """REAL-DATA gold (VERDICT r3 item 7): linear trend in the actual
+    Kilpisjärvi summer-temperature record 1952-2013 (62 real
+    observations, exmc_tpu/datasets; the Aalto BDA course's running
+    regression example). Model (BDA course ch. 11 notebook):
+
+        alpha ~ N(10, 10); beta ~ N(0, 1); sigma ~ HalfNormal(5)
+        temp_i ~ N(alpha + beta * (year_i - 1982.5)/10, sigma)
+
+    Target via Laplace-IS on the 3-d unconstrained posterior (float64,
+    IS-ESS >> 10^4). The reference's real-data validation used an
+    external posteriordb checkout; its repo ships no radon/kidiq CSVs
+    (radon_data.exs is synthetic) — this dataset IS shipped and real."""
+    from exmc_tpu.datasets import load_kilpisjarvi
+
+    k = load_kilpisjarvi()
+    x = (k["year"] - 1982.5) / 10.0     # decades, centered
+    y = k["temp_summer"].astype(np.float64)
+    n = len(y)
+
+    def log_post(b):
+        # b: (3,) or (3, m); coords (alpha, beta, log sigma)
+        a, be, v = b[0], b[1], b[2]
+        lp = (-0.5 * ((a - 10.0) / 10.0) ** 2 - 0.5 * be ** 2
+              - 0.5 * np.exp(2 * v) / 25.0 + v)
+        mu = (a + np.outer(x, be)) if b.ndim > 1 else a + x * be
+        yb = y[:, None] if b.ndim > 1 else y
+        return lp + (-0.5 * ((yb - mu) / np.exp(v)) ** 2).sum(axis=0) - n * v
+
+    def grad(b):
+        a, be, v = b
+        s2 = np.exp(2 * v)
+        r = y - a - x * be
+        return np.array([
+            -(a - 10.0) / 100.0 + r.sum() / s2,
+            -be + (x * r).sum() / s2,
+            -np.exp(2 * v) / 25.0 + 1.0 + (r ** 2).sum() / s2 - n,
+        ])
+
+    def hess(b):
+        a, be, v = b
+        s2 = np.exp(2 * v)
+        r = y - a - x * be
+        h = np.zeros((3, 3))
+        h[0, 0] = 1.0 / 100.0 + n / s2
+        h[1, 1] = 1.0 + (x ** 2).sum() / s2
+        h[0, 1] = h[1, 0] = x.sum() / s2
+        h[0, 2] = h[2, 0] = 2.0 * r.sum() / s2
+        h[1, 2] = h[2, 1] = 2.0 * (x * r).sum() / s2
+        h[2, 2] = 2.0 * np.exp(2 * v) / 25.0 + 2.0 * (r ** 2).sum() / s2
+        return h
+
+    def todict(draws):
+        return {"alpha": draws[:, 0], "beta": draws[:, 1],
+                "sigma": np.exp(draws[:, 2])}
+
+    x0 = np.array([y.mean(), 0.0, np.log(y.std())])
+    means, sds, ess = _laplace_is_moments_dict(
+        log_post, grad, hess, x0, todict, seed=7)
+    assert ess > 10_000, f"IS target unreliable (ess={ess:.0f})"
+
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x.astype(np.float32))
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "alpha", dists.Normal, {"mu": 10.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "beta", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 5.0})
+    ir = Builder.det(ir, "mu_t", lambda a, b: a + b * xj, ["alpha", "beta"])
+    ir = Builder.rv(ir, "temp", dists.Normal,
+                    {"mu": "mu_t", "sigma": "sigma"}, shape=(n,))
+    ir = Builder.obs(ir, "temp_obs", "temp", y.astype(np.float32))
+    return GoldStandard("kilpisjarvi_real_regression", ir, means, sds)
+
+
+def diabetes_real_logistic():
+    """REAL-DATA gold (VERDICT r3 item 7): logistic regression on the
+    actual Pima Indians Diabetes dataset (768 patients, 8 predictors,
+    exmc_tpu/datasets; the BDA notebooks' logistic example). Features
+    standardized; alpha, beta ~ N(0, 2.5). Target via Laplace-IS on the
+    9-d unconstrained posterior (analytic f64 grad/Hessian, the
+    stan_logistic_d21 mechanism on real data)."""
+    from exmc_tpu.datasets import load_diabetes
+
+    dd = load_diabetes()
+    Xr = dd["X"].astype(np.float64)
+    Xs = (Xr - Xr.mean(axis=0)) / Xr.std(axis=0)
+    y = dd["y"].astype(np.float64)
+    n, k = Xs.shape
+    X1 = np.concatenate([np.ones((n, 1)), Xs], axis=1)  # intercept first
+    tau = 2.5
+
+    def log_post(b):
+        eta = X1 @ b
+        yb = y if b.ndim == 1 else y[:, None]
+        lik = (yb * eta - np.logaddexp(0.0, eta)).sum(axis=0)
+        return lik - 0.5 * (b ** 2).sum(axis=0) / tau ** 2
+
+    def grad(b):
+        mu = 1.0 / (1.0 + np.exp(-(X1 @ b)))
+        return X1.T @ (y - mu) - b / tau ** 2
+
+    def hess(b):
+        mu = 1.0 / (1.0 + np.exp(-(X1 @ b)))
+        w = mu * (1 - mu)
+        return (X1.T * w) @ X1 + np.eye(k + 1) / tau ** 2
+
+    def todict(draws):
+        return {"alpha": draws[:, 0], "beta": draws[:, 1:]}
+
+    means, sds, ess = _laplace_is_moments_dict(
+        log_post, grad, hess, np.zeros(k + 1), todict, seed=11)
+    assert ess > 10_000, f"IS target unreliable (ess={ess:.0f})"
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "alpha", dists.Normal, {"mu": 0.0, "sigma": 2.5})
+    ir = Builder.rv(ir, "beta", dists.Normal, {"mu": 0.0, "sigma": 2.5},
+                    shape=(k,))
+    ir = Builder.det(ir, "xb", "matmul", [Xs.astype(np.float32), "beta"])
+    ir = Builder.det(ir, "eta", "add", ["xb", "alpha"])
+    ir = Builder.rv(ir, "y", dists.Bernoulli, {"logits": "eta"}, shape=(n,))
+    ir = Builder.obs(ir, "y_obs", "y", y.astype(np.float32))
+    return GoldStandard("diabetes_real_logistic", ir, means, sds)
+
+
 EXTRA_GOLD_STANDARDS = [
     exponential_gamma,
     lognormal_conjugate,
@@ -1224,4 +1349,6 @@ EXTRA_GOLD_STANDARDS = [
     multinomial_dirichlet,
     ordered_normal_orderstats,
     zero_sum_normal_prior,
+    kilpisjarvi_real_regression,
+    diabetes_real_logistic,
 ]
