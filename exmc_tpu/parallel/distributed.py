@@ -142,10 +142,12 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
 
     draws, stats, tuning = launch(q_inits, keys, 0)
 
-    stats = {k: np.asarray(v) for k, v in stats.items()}
-    stats["step_size"] = np.asarray(tuning["step_size"])
-    stats["inv_mass"] = np.asarray(tuning["inv_mass"])
-    stats["recoveries"] = np.asarray(tuning["recoveries"])
+    host = _host_gather(mesh)
+    draws = host(draws)
+    stats = {k: host(v) for k, v in stats.items()}
+    stats["step_size"] = host(tuning["step_size"])
+    stats["inv_mass"] = host(tuning["inv_mass"])
+    stats["recoveries"] = host(tuning["recoveries"])
     stats["divergences"] = stats["diverging"].sum(axis=-1)
     trace = sampler.constrain_trace(draws, data)
     return _redispatch_failed_chains(
@@ -153,6 +155,23 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
         shared_warmup=shared_warmup,
         max_retries=1 if retry_failed else 0,
     )
+
+
+def _host_gather(mesh):
+    """``np.asarray`` that also works when the mesh spans PROCESSES
+    (the real multi-host path, reference distributed.ex:142-165's
+    result collection): chain-sharded outputs are not fully addressable
+    on any one host, so reshard to fully-replicated (one DCN/ICI
+    collective per array) and read the local copy."""
+    if jax.process_count() == 1:
+        return np.asarray
+    replicated = NamedSharding(mesh, P())
+
+    def gather(x):
+        x = jax.jit(lambda a: a, out_shardings=replicated)(jnp.asarray(x))
+        return np.asarray(x.addressable_data(0))
+
+    return gather
 
 
 def _chain_health(stats):

@@ -218,3 +218,78 @@ def test_multihost_initialize_two_process_smoke(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"MHOK {i}" in out
+
+
+def test_multihost_two_process_sampling_smoke(tmp_path):
+    """VERDICT r3 item 6: a real multi-process SAMPLING run — two
+    localhost processes (2 virtual CPU devices each) form a Gloo
+    cluster, build a 4-device dp mesh spanning both, and run
+    ``sample_chains_sharded`` end-to-end (chains split across
+    processes, per-chain adaptation on-device, results gathered to
+    every host via the replication collective in
+    distributed._host_gather). The analogue of the reference's 2-node
+    sample_chains (distributed.ex:56-101)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    worker = tmp_path / "worker_sample.py"
+    worker.write_text(textwrap.dedent("""
+        import os, sys
+        os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, %r)
+        from exmc_tpu.parallel.distributed import initialize_distributed
+        pid = int(sys.argv[1])
+        ok = initialize_distributed("127.0.0.1:47673",
+                                    num_processes=2, process_id=pid)
+        assert ok and jax.process_count() == 2
+        assert len(jax.devices()) == 4
+
+        import numpy as np
+        from exmc_tpu import Builder, dists
+        from exmc_tpu.parallel import make_mesh, sample_chains_sharded
+
+        ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3])
+        ir = Builder.new_ir()
+        ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+        ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+        ir = Builder.obs(ir, "x_obs", "x", ys)
+
+        mesh = make_mesh(4, dp=4, sp=1)
+        trace, stats = sample_chains_sharded(
+            ir, 8, mesh, seed=0, num_warmup=100, num_samples=50,
+            max_tree_depth=6)
+        mu = trace["mu"]
+        assert mu.shape == (8, 50), mu.shape
+        assert np.isfinite(mu).all()
+        assert stats["chain_ok"].all()
+        # every host sees the SAME gathered result
+        assert abs(float(mu.mean()) - 2.1) < 0.3, float(mu.mean())
+        print("MHSAMPLE", pid, round(float(mu.mean()), 6))
+    """ % os.path.join(os.path.dirname(__file__), "..")))
+
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-host sampling smoke timed out: "
+                    + "\n".join(outs))
+    means = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("MHSAMPLE")]
+        assert line, out[-2000:]
+        means.append(line[0].split()[-1])
+    assert means[0] == means[1]  # identical gathered posterior on both hosts
