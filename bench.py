@@ -112,7 +112,7 @@ def main():
         _emit_unavailable(info)
         return
 
-    from exmc_tpu.diagnostics import ess
+    from exmc_tpu.diagnostics import ess, nested_rhat
     from exmc_tpu.nuts.sampler import _make_sampler
 
     num_chains = 1024
@@ -120,16 +120,23 @@ def main():
     sampler = _make_sampler(eight_schools_ir(), num_warmup=warm,
                             num_samples=draws, pooled_adaptation=True)
 
+    # Superchain inits (32 superchains x 32 chains): short per-chain
+    # draw counts are exactly nested R-hat's regime (Margossian 2022),
+    # and the shared-init construction is what gives the diagnostic
+    # power (VERDICT r3 item 10).
+    sc_init = ("superchain", 32)
+
     # Mid-run outages surface as RuntimeError UNAVAILABLE; retry the run
     # itself once with backoff before declaring failure.
     for attempt in range(2):
         try:
             t0 = time.time()
-            sampler.run(num_chains=num_chains, seed=0)  # compile + first run
+            sampler.run(num_chains=num_chains, seed=0, init=sc_init)
             compile_and_first = time.time() - t0
 
             t0 = time.time()
-            trace, stats = sampler.run(num_chains=num_chains, seed=1)
+            trace, stats = sampler.run(num_chains=num_chains, seed=1,
+                                       init=sc_init)
             wall = time.time() - t0
             break
         except RuntimeError as e:
@@ -143,6 +150,8 @@ def main():
     mu = trace["mu"]
     ess_mu = float(ess(mu))
     ess_per_s = ess_mu / wall
+    nrhat_mu = float(nested_rhat(mu, 32))
+    nrhat_tau = float(nested_rhat(trace["tau"], 32))
     baseline_pymc = 5.0  # ESS/s, BASELINE.md eight_schools PyMC
     print(json.dumps({
         "metric": "eight_schools ESS/s (mu), 1024 vmapped NUTS chains, 1 chip",
@@ -156,6 +165,10 @@ def main():
             "ess_mu": round(ess_mu, 0),
             "mu_mean": round(float(np.mean(mu)), 2),
             "tau_mean": round(float(np.mean(trace["tau"])), 2),
+            "nested_rhat_mu_k32": round(nrhat_mu, 4),
+            "nested_rhat_tau_k32": round(nrhat_tau, 4),
+            "init": "superchain K=32 x M=32 (shared-init nested R-hat "
+                    "construction, Margossian 2022)",
             "divergence_rate": round(
                 float(stats["divergences"].sum()) / (num_chains * draws), 5
             ),

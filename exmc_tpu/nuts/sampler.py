@@ -628,7 +628,26 @@ class NUTSSampler:
         """Per-chain unconstrained init positions: a named dict (all
         chains start there), ``"pathfinder"`` (multi-path ELBO-raced
         mode-finding draws — the defence against spurious posterior
-        modes), or None (Stan-style random box, drawn per chain)."""
+        modes), ``("superchain", K)`` (K superchains x M chains where
+        every chain in a superchain SHARES one random init — the
+        construction nested R-hat needs to detect non-stationarity in
+        the many-short-chains regime, Margossian 2022; consecutive
+        grouping matches diagnostics.nested_rhat), or None (Stan-style
+        random box, drawn per chain)."""
+        if (isinstance(init, tuple) and len(init) == 2
+                and init[0] == "superchain"):
+            k = int(init[1])
+            if num_chains % k != 0:
+                raise ValueError(
+                    f"superchain init: num_chains ({num_chains}) not "
+                    f"divisible by num_superchains ({k})"
+                )
+            m = num_chains // k
+            init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(base, 10_000_019), jnp.arange(k)
+            )
+            qs = jax.vmap(lambda kk: _init_position(kk, d, dtype))(init_keys)
+            return jnp.repeat(qs, m, axis=0)
         if isinstance(init, str):
             if init != "pathfinder":
                 raise ValueError(f"unknown init mode {init!r} "

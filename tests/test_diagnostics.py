@@ -155,3 +155,36 @@ def test_nested_rhat_validates_grouping():
         diag.nested_rhat(x, num_superchains=3)
     with pytest.raises(ValueError, match=">= 2 chains"):
         diag.nested_rhat(x, num_superchains=10)
+
+
+def test_superchain_init_wiring():
+    """init=("superchain", K): K random inits, each repeated M times
+    consecutively — the grouping nested_rhat expects (VERDICT r3 #10)."""
+    import jax
+
+    from exmc_tpu import Builder, dists, sample
+    from exmc_tpu.nuts.sampler import _make_sampler
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "x_obs", "x", np.array([0.4, 0.6, 0.5]))
+
+    s = _make_sampler(ir, num_warmup=50, num_samples=40)
+    q = s._resolve_inits(("superchain", 4), 16, jax.random.PRNGKey(0),
+                         s.model.size, np.float32, None)
+    q = np.asarray(q)
+    assert q.shape == (16, s.model.size)
+    for k in range(4):
+        grp = q[4 * k:4 * (k + 1)]
+        assert (grp == grp[0]).all()          # shared within superchain
+    assert not (q[0] == q[4]).all()           # distinct across superchains
+
+    with pytest.raises(ValueError, match="divisible"):
+        s._resolve_inits(("superchain", 5), 16, jax.random.PRNGKey(0),
+                         s.model.size, np.float32, None)
+
+    trace, _ = sample(ir, num_chains=16, seed=0, init=("superchain", 4),
+                      num_warmup=50, num_samples=40)
+    nr = float(diag.nested_rhat(trace["mu"], 4))
+    assert np.isfinite(nr) and nr < 1.2
