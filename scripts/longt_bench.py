@@ -28,7 +28,17 @@ def main():
     parser.add_argument("--samples", type=int, default=500)
     parser.add_argument("--chunk", type=int, default=250)
     parser.add_argument("--out", default="LONGT.json")
+    parser.add_argument("--cases", default=None,
+                        help="comma-separated kind:T filters, e.g. "
+                             "'sv_marginal:5000' (default: all)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (tunnel-down runs)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
 
@@ -54,8 +64,74 @@ def main():
     cases = [
         ("sv", 100), ("sv", 1000), ("sv", 5000),
         ("grw", 1000), ("grw", 5000),
+        ("sv_marginal", 5000),
     ]
+    if args.cases:
+        want = {tuple(c.split(":")) for c in args.cases.split(",")}
+        cases = [(k, t) for k, t in cases if (k, str(t)) in want]
+    # partial runs merge into the existing file instead of clobbering it
+    prior_rows = []
+    if args.cases and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        run_keys = {(k, t) for k, t in cases}
+        prior_rows = [r for r in prior.get("rows", [])
+                      if (r["model"], r["T"]) not in run_keys]
     for kind, t in cases:
+        if kind == "sv_marginal":
+            # VERDICT r3 item 3: the T=5000 SV answer in the measured
+            # record. The latent path is MARGINALIZED by the O(T)
+            # Laplace approximation (marginal.py tridiagonal scans);
+            # NUTS samples only (sigma, nu). Accuracy is asserted
+            # against the INLA grid (same approximation, quadrature
+            # instead of MCMC) — the full-path run at this T needed
+            # 26 min and still had max R-hat 1.68 (row above).
+            from exmc_tpu.marginal import sv_inla, sv_marginal_model
+
+            r = np.asarray(sv_model(t=t).nodes["r_obs"].op[2])
+            inla = sv_inla(r)
+            ir_m = sv_marginal_model(r, newton_iters=12)
+            sampler = _make_sampler(ir_m, ncp=False,
+                                    num_warmup=args.warmup,
+                                    num_samples=args.samples)
+
+            def go_m(seed):
+                return sampler.run(num_chains=args.chains, seed=seed)
+
+            t0 = time.time()
+            go_m(0)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            trace, stats = go_m(1)
+            wall = time.time() - t0
+            ess_vals = [float(ess(trace[k])) for k in ("sigma", "nu")]
+            rhat_vals = [float(rhat(trace[k])) for k in ("sigma", "nu")]
+            sig_mean = float(trace["sigma"].mean())
+            nu_mean = float(trace["nu"].mean())
+            d_sig = abs(sig_mean - inla["sigma_mean"]) / inla["sigma_sd"]
+            d_nu = abs(nu_mean - inla["nu_mean"]) / inla["nu_sd"]
+            row = {
+                "model": kind, "T": t, "d": 2,
+                "chains": args.chains, "wall_s": round(wall, 2),
+                "compile_s": round(compile_s, 2),
+                "min_ess": round(min(ess_vals), 1),
+                "min_ess_per_s": round(min(ess_vals) / wall, 2),
+                "max_rhat": round(max(rhat_vals), 4),
+                "divergence_rate": float(stats["divergences"].sum())
+                / (args.chains * args.samples),
+                "sigma_mean": round(sig_mean, 5),
+                "nu_mean": round(nu_mean, 3),
+                "inla_sigma_mean": round(inla["sigma_mean"], 5),
+                "inla_sigma_sd": round(inla["sigma_sd"], 5),
+                "inla_nu_mean": round(inla["nu_mean"], 3),
+                "inla_nu_sd": round(inla["nu_sd"], 3),
+                "accuracy_z_sigma": round(d_sig, 3),
+                "accuracy_z_nu": round(d_nu, 3),
+                "accuracy_pass": bool(d_sig < 3.0 and d_nu < 3.0),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         ir = sv_model(t=t) if kind == "sv" else grw_model(t)
         ncp = kind == "sv"
         # SV rows run with ASIS interweaving (nuts/interweave.py): the
@@ -108,7 +184,7 @@ def main():
            "device": str(jax.devices()[0]),
            "protocol": f"{args.warmup}+{args.samples}, {args.chains} chains,"
                        f" chunked {args.chunk}",
-           "rows": rows}
+           "rows": prior_rows + rows}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"-> {args.out}")
