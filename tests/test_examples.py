@@ -29,6 +29,14 @@ EXAMPLES = [
     "19_trend_cycle.py",
     "20_dca_business.py",
     "21_correlated_effects.py",
+    "22_bda_beta_binomial.py",
+    "23_bda_normal_bioassay.py",
+    "24_bda_normal_approximation.py",
+    "25_bda_eight_schools.py",
+    "26_bda_posterior_predictive.py",
+    "27_bda_decision_analysis.py",
+    "28_bda_rejection_importance.py",
+    "29_bda_gibbs_metropolis.py",
 ]
 
 
