@@ -238,7 +238,7 @@ def sv_marginal_model(r, newton_iters=25):
     return ir
 
 
-def sv_inla(r, sigma_grid=None, nu_grid=None):
+def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25):
     """Full INLA for the SV model: evaluate the Laplace marginal on a
     (sigma, nu) grid IN ONE VMAPPED CALL, normalize to the joint
     hyperparameter posterior, and mix the conditional latent Gaussians
@@ -254,7 +254,8 @@ def sv_inla(r, sigma_grid=None, nu_grid=None):
         sigma_grid = np.geomspace(0.002, 0.2, 40)
     if nu_grid is None:
         nu_grid = np.geomspace(2.0, 80.0, 40)
-    marginal = make_grw_marginal(_sv_loglik(r), T)
+    marginal = make_grw_marginal(_sv_loglik(r), T,
+                                 newton_iters=newton_iters)
 
     sg, ng = np.meshgrid(sigma_grid, nu_grid, indexing="ij")
     flat_s = jnp.asarray(sg.reshape(-1), default_dtype())

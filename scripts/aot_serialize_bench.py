@@ -15,8 +15,15 @@ Protocol (per model, all timed):
   warm process C:  ordinary jit with persistent cache  <- the control
 
 Usage: python scripts/aot_serialize_bench.py [--cpu] [--child MODE NAME]
-Writes AOT_SERIALIZE.json. CPU mode validates mechanics only; the
-interesting numbers need the real chip (run when the tunnel is up).
+Writes AOT_SERIALIZE.json.
+
+MEASURED (CPU, 2026-08-18): the XLA:CPU client CANNOT serialize these
+executables at all — ``serialize_executable`` raises
+``UNIMPLEMENTED: `LessThan` is not serializable`` on any program with
+comparisons (i.e. every NUTS pipeline). The experiment is therefore
+TPU-only; run it when the tunnel is up. If the axon client raises the
+same UNIMPLEMENTED, that is the D-T negative result: no client-side
+serialization path exists around the service's executable-load leg.
 """
 
 import json
@@ -72,7 +79,7 @@ def child(mode, name):
         t_lower = time.time()
         compiled = lowered.compile()
         t_compile = time.time()
-        out = compiled(*[a for a in args if a is not None])
+        out = compiled(*args)
         jax.block_until_ready(out)
         t_first = time.time()
         from jax.experimental.serialize_executable import serialize
@@ -96,7 +103,7 @@ def child(mode, name):
         t_read = time.time()
         compiled = deserialize_and_load(payload, in_tree, out_tree)
         t_load = time.time()
-        out = compiled(*[a for a in args if a is not None])
+        out = compiled(*args)
         jax.block_until_ready(out)
         t_first = time.time()
         row = {"build_s": round(t_build - t_import, 2),

@@ -33,6 +33,9 @@ def main():
                              "'sv_marginal:5000' (default: all)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (tunnel-down runs)")
+    parser.add_argument("--quick", action="store_true",
+                        help="coarser INLA grid / fewer Newton iters "
+                             "(single-core CPU validation)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -89,7 +92,16 @@ def main():
             from exmc_tpu.marginal import sv_inla, sv_marginal_model
 
             r = np.asarray(sv_model(t=t).nodes["r_obs"].op[2])
-            inla = sv_inla(r)
+            # quick mode (single-core CPU validation): coarser INLA
+            # reference grid + fewer Newton iterations — accuracy
+            # z-scores compare MEANS against the grid's sds, which a
+            # 20x20 geomspace grid resolves fine
+            if args.quick:
+                inla = sv_inla(r, sigma_grid=np.geomspace(0.002, 0.2, 20),
+                               nu_grid=np.geomspace(2.0, 80.0, 20),
+                               newton_iters=12)
+            else:
+                inla = sv_inla(r)
             ir_m = sv_marginal_model(r, newton_iters=12)
             sampler = _make_sampler(ir_m, ncp=False,
                                     num_warmup=args.warmup,

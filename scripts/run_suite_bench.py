@@ -20,12 +20,12 @@ CHAINS = {
     "funnel": 128, "logistic": 128, "sv": 64,
 }
 # After the vectorized U-turn checks all seven models complete 2000
-# iterations in one device call within watchdog limits at ta=0.8;
-# at target_accept 0.95 the centered eight_schools call runs deep
-# trees for minutes and has crashed the tunnel's TPU worker twice —
-# bound it from the start (per-call dispatch overhead is the price,
-# DESIGN D-T15).
-CHUNKED = {"eight_schools": 500}
+# iterations in one device call within watchdog limits at ta=0.8.
+# Round 3 chunked eight_schools because its ta=0.995 recipe ran deep
+# trees for minutes and crashed the tunnel's TPU worker twice; the
+# round-4 gibbs_scales recipe runs depth ~3 trees (see EXTRA_OPTS), so
+# the bound is gone — run_one's error path still retries chunked.
+CHUNKED = {}
 
 # the reference pipeline applies automatic NCP by default; only
 # eight_schools runs centered "deliberately, because the centered
@@ -50,25 +50,20 @@ EXTRA_OPTS = {
     # measured seed collapsed mu (ESS 868, R-hat 1.10); medium without
     # interweave is clean on all 5 seeds.
     "stress": {"target_accept": 0.95, "interweave": True},
-    # centered 8sch: the Gibbs tau|theta interweave move escapes the
-    # funnel neck NUTS alone cannot — measured (64 chains, CPU):
-    # min-ESS 555 -> 3866, R-hat 1.051 -> 1.016, divergences 0.79% at
-    # ta=0.99, moments matching the NCP reference. Still "the harder
-    # test": the PATH stays centered, only tau gets the Gibbs draw.
-    # Round-3 residual study (256 chains, 3-seed medians, on-chip):
-    # the draws budget, not adaptation, closes the R-hat gap —
-    #   1000+1000 ta=.99+iw: R-hat 1.022, div 1.20%, 90 ESS/s
-    #   1000+3000 ta=.99+iw: R-hat 1.011, div 1.61%, 91 ESS/s
-    #   1000+3000 ta=.995+iw: R-hat 1.010, div 1.41%, 114 ESS/s <- kept
-    #   1000+1000 ta=.995+iw: R-hat 1.026, div 1.29%, 67 ESS/s
-    #   2000+1000 ta=.99+iw: R-hat 1.021, div 1.15%, 62 ESS/s
-    #   max_tree_depth 12: crashes the tunnel's TPU worker (env hazard)
-    # Divergence rate sits at ~1.2+-0.3% across every setting measured:
-    # a property of the centered-funnel geometry at 256 lockstep f32
-    # chains (ESS/s is time-normalized, so extra draws do not inflate
-    # the metric; the row is 1000+3000 and footnoted in BENCHMARKS.md).
-    "eight_schools": {"target_accept": 0.995, "interweave": True,
-                      "num_samples": 3000},
+    # centered 8sch, round 4: NUTS-within-Gibbs (VERDICT r3 item 2).
+    # gibbs_scales freezes tau in the trajectory (the conditional given
+    # tau is GAUSSIAN — no funnel), the two ASIS Gibbs legs move tau
+    # (ancillary leg = exact truncated-Gaussian regression draw), and
+    # the analytic conditional metric (1/tau^2 + sum 1/s^2) keeps the
+    # integrator stable at small tau. Measured (64 chains, 500+1000,
+    # CPU, vs 2-d quadrature): divergence rate 1.38% -> 0.0, max R-hat
+    # 1.004, tau ESS 45%/draw (was ~3%), mean depth 3.3, moments exact
+    # (tau 3.268 vs 3.284 quadrature). Replaces round 3's
+    # 1000+3000 ta=.995 recipe (R-hat 1.010, div 1.41%, 242 s/seed —
+    # history in git). Still "the harder test": the PATH stays
+    # centered; tau's Gibbs moves are exact MCMC on the same posterior.
+    "eight_schools": {"target_accept": 0.8, "interweave": True,
+                      "gibbs_scales": True},
     # ASIS interweaving: the innovation scale is eligible and the
     # T=100 low-sigma trap mode (2/5 seeds pre-rescue) dissolves
     "sv": {"interweave": True},
