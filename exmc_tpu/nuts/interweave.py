@@ -52,15 +52,18 @@ from exmc_tpu.dists.base import get as get_dist
 from exmc_tpu.transforms import get as get_transform
 
 
-def _anc_obs_info(ir, latent_id, latent_len):
+def _anc_obs_info(ir, entries, ncp, latent_id, latent_len):
     """Ancillary-leg (Yu & Meng's second ASIS sweep) eligibility for one
     centered-Normal latent theta: every reference to theta (besides its
-    own node) must be an OBSERVED Normal rv y ~ N(theta, s) with non-ref
-    scale and plain obs metadata, and y referenced nowhere else. Returns
-    a list of (y_values, obs_sigma) numpy pairs broadcast against the
-    latent length (possibly empty — a latent with no obs contributes no
-    likelihood term to tau's ancillary conditional), or None when theta
-    has other uses (the Gaussian conditional would be wrong)."""
+    own node) must be an OBSERVED Normal rv y ~ N(theta, s) with plain
+    obs metadata, and y referenced nowhere else. The observation scale
+    s may be a CONSTANT or a scalar FREE RV (unknown noise — the
+    medium/stress/radon multilevel-regression shape); a sampled s is
+    simply conditioned on by the move. Returns a list of
+    (y_values, s_spec) pairs where s_spec is ("const", array) or
+    ("coord", offset, transform); empty-obs latents contribute no
+    likelihood term. None when theta has other uses (the Gaussian
+    conditional would be wrong)."""
     obs_by_rv = {}
     for n in ir.nodes.values():
         if n.op[0] == "obs":
@@ -74,9 +77,21 @@ def _anc_obs_info(ir, latent_id, latent_len):
         if n.op[0] != "rv" or get_dist(n.op[1]).name != "normal":
             return None
         params = n.op[2]
-        if params.get("mu") != latent_id or isinstance(
-                params.get("sigma"), str):
+        if params.get("mu") != latent_id:
             return None
+        sig = params.get("sigma")
+        if isinstance(sig, str):
+            e_s = entries.get(sig)
+            s_node = ir.nodes.get(sig)
+            if (e_s is None or e_s.length != 1 or sig in ncp
+                    or s_node is None or s_node.op[0] != "rv"):
+                return None
+            s_spec = ("coord", e_s.offset, get_transform(e_s.transform))
+            s_shape = ()
+        else:
+            s_arr = np.asarray(sig, np.float64)
+            s_spec = ("const", s_arr)
+            s_shape = s_arr.shape
         obs = obs_by_rv.get(nid, [])
         if len(obs) != 1:
             return None
@@ -101,14 +116,14 @@ def _anc_obs_info(ir, latent_id, latent_len):
             return None
         try:
             y = np.asarray(value, np.float64)
-            s = np.asarray(params["sigma"], np.float64)
-            bshape = np.broadcast_shapes(y.shape, s.shape, (latent_len,))
+            bshape = np.broadcast_shapes(y.shape, s_shape, (latent_len,))
         except ValueError:
             return None
-        if bshape[-1] != latent_len:
+        if latent_len > 1 and bshape[-1] != latent_len:
             return None  # theta must broadcast along the trailing axis
-        out.append((np.broadcast_to(y, bshape).copy(),
-                    np.broadcast_to(s, bshape).copy()))
+        if s_spec[0] == "const":
+            s_spec = ("const", np.broadcast_to(s_spec[1], bshape).copy())
+        out.append((np.broadcast_to(y, bshape).copy(), s_spec))
     return out
 
 
@@ -233,7 +248,7 @@ def eligible_groups(model):
             anc = []
             for nid, _, mu_spec in latents:
                 e = entries[nid]
-                info = _anc_obs_info(ir, nid, e.length)
+                info = _anc_obs_info(ir, entries, ncp, nid, e.length)
                 if info is None:
                     anc = None
                     break
@@ -277,15 +292,25 @@ def build_conditional_metric(model):
     if not groups:
         return None
     ir, ncp = model.ir, model.ncp_info
-    specs = []   # latent overrides: (sig_off, tf, zoff, zlen, w_sum)
+    # latent overrides: (sig_off, tf, zoff, zlen, w_const, coord_obs)
+    #   w_const: precomputed sum of 1/s^2 over constant-noise obs, (L,)
+    #   coord_obs: [(s_off, s_tf, n_per_elem (L,))] for SAMPLED noise —
+    #   contribution n/s^2 resolved from the current point each step
+    specs = []
     mu_specs = {}  # mu overrides: (mu_off, mu_len) -> [prec0, [(sig_off, tf, count)]]
     for g in groups:
         for zoff, zlen, mu_spec, obs_info in g["anc"]:
-            w_sum = np.zeros(zlen, np.float64)
-            for y_arr, s_arr in obs_info:
-                w = 1.0 / np.square(s_arr)
-                w_sum += w.reshape(-1, zlen).sum(axis=0)
-            specs.append((g["offset"], g["transform"], zoff, zlen, w_sum))
+            w_const = np.zeros(zlen, np.float64)
+            coord_obs = []
+            for y_arr, s_spec in obs_info:
+                if s_spec[0] == "const":
+                    w = 1.0 / np.square(s_spec[1])
+                    w_const += w.reshape(-1, zlen).sum(axis=0)
+                else:
+                    n_per = np.ones_like(y_arr).reshape(-1, zlen).sum(axis=0)
+                    coord_obs.append((s_spec[1], s_spec[2], n_per))
+            specs.append((g["offset"], g["transform"], zoff, zlen,
+                          w_const, tuple(coord_obs)))
             if mu_spec is not None and mu_spec[0] == "coord":
                 mkey = (mu_spec[1], mu_spec[2])
                 if mkey not in mu_specs:
@@ -314,10 +339,14 @@ def build_conditional_metric(model):
         return None
 
     def fn(q, inv):
-        for off, tf, zoff, zlen, w_sum in specs:
+        for off, tf, zoff, zlen, w_const, coord_obs in specs:
             tau = tf.forward(q[off])
             prec = 1.0 / jnp.maximum(tau * tau, 1e-20) + jnp.asarray(
-                w_sum, q.dtype)
+                w_const, q.dtype)
+            for s_off, s_tf, n_per in coord_obs:
+                s_val = s_tf.forward(q[s_off])
+                prec = prec + (jnp.asarray(n_per, q.dtype)
+                               / jnp.maximum(s_val * s_val, 1e-20))
             inv = jax.lax.dynamic_update_slice(
                 inv, (1.0 / prec).astype(inv.dtype), (zoff,))
         for (moff, mlen), (prec0, taus) in mu_specs.items():
@@ -438,9 +467,15 @@ def build_interweave(model):
                         mu_v = jax.lax.dynamic_slice(
                             q, (mu_spec[1],), (mu_spec[2],))
                     z = (theta - mu_v) / sigma
-                    for y_arr, s_arr in obs_info:
+                    for y_arr, s_spec in obs_info:
                         yb = jnp.asarray(y_arr, q.dtype)
-                        w = 1.0 / jnp.square(jnp.asarray(s_arr, q.dtype))
+                        if s_spec[0] == "const":
+                            s_val = jnp.asarray(s_spec[1], q.dtype)
+                        else:
+                            # sampled obs noise: conditioned on (read
+                            # from the current point, held fixed)
+                            s_val = s_spec[2].forward(q[s_spec[1]])
+                        w = 1.0 / jnp.square(s_val)
                         prec = prec + jnp.sum(w * z * z
                                               * jnp.ones_like(yb))
                         num = num + jnp.sum(w * z * (yb - mu_v))

@@ -29,8 +29,11 @@ CHUNKED = {}
 
 # the reference pipeline applies automatic NCP by default; only
 # eight_schools runs centered "deliberately, because the centered
-# version is the harder test" (STANDARD_BENCHMARKS.md §II)
-NCP = {name: name != "eight_schools" for name in MODELS}
+# version is the harder test" (STANDARD_BENCHMARKS.md §II). Round 4:
+# the hierarchical trio runs CENTERED + NUTS-within-Gibbs instead —
+# same posteriors, conditional-Gaussian trajectories (see EXTRA_OPTS).
+NCP = {name: name not in ("eight_schools", "medium", "stress")
+       for name in MODELS}
 
 # per-model sampler overrides from the round-2 adaptation-quality study
 # (VERDICT r1 task 6, measured on-chip at 256 chains, 1000+1000):
@@ -40,16 +43,20 @@ NCP = {name: name != "eight_schools" for name in MODELS}
 # ta=0.8 div 2.9% rhat 1.035 -> ta=0.95 div 1.1% rhat 1.025 at equal
 # ESS/s. See BENCHMARKS.md adaptation-study table.
 EXTRA_OPTS = {
-    "medium": {"target_accept": 0.95},
-    # stress: ASIS interweave on the NCP'd tau. Round-3 measurement
-    # (256 chains, on-chip): without it 2/5 seeds trap on tau
-    # (min-ESS 726/340, R-hat 1.11/1.27); with it every measured seed
-    # clears 43k min-ESS at R-hat <= 1.005 and the good seeds improve
-    # ~30% (39.2k -> 51.2k). NOT adopted for medium: with only J=2
-    # groups the scaled-inv-chi^2 proposal is too heavy-tailed and a
-    # measured seed collapsed mu (ESS 868, R-hat 1.10); medium without
-    # interweave is clean on all 5 seeds.
-    "stress": {"target_accept": 0.95, "interweave": True},
+    # medium/stress, round 4: centered + NUTS-within-Gibbs, same
+    # machinery as eight_schools below — tau frozen (conditional given
+    # tau is Gaussian), both ASIS legs move it, analytic conditional
+    # metric with the SAMPLED obs noise read from the current point.
+    # Measured (32 chains, 500+800, 3 seeds each, CPU): divergences 0
+    # on every seed, max R-hat <= 1.006, min-ESS 5.6-8.2k per 25.6k
+    # draws (vs NCP ta=.95 baselines 4.3k/5.4k), warm wall 2-3 s.
+    # Round 3's medium caveat (suff-leg-only interweave collapsed mu on
+    # a seed at J=2) does not recur: the ancillary regression leg
+    # anchors tau to the data, and 3/3 seeds are clean.
+    "medium": {"target_accept": 0.8, "interweave": True,
+               "gibbs_scales": True},
+    "stress": {"target_accept": 0.8, "interweave": True,
+               "gibbs_scales": True},
     # centered 8sch, round 4: NUTS-within-Gibbs (VERDICT r3 item 2).
     # gibbs_scales freezes tau in the trajectory (the conditional given
     # tau is GAUSSIAN — no funnel), the two ASIS Gibbs legs move tau

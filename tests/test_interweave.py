@@ -263,6 +263,27 @@ def test_anc_leg_nonconjugate_prior_exact():
     assert abs(float(trace["tau"].std()) - tau_sd_ex) < 0.2
 
 
+def test_gibbs_scales_sampled_obs_noise():
+    """The ancillary leg and conditional metric also handle SAMPLED
+    observation noise (obs sigma a free scalar RV — the medium/stress/
+    radon multilevel shape): the move conditions on sigma_y, reading it
+    from the current point. Posterior must match the auto-NCP reference
+    and run divergence-free."""
+    from exmc_tpu.benchmarks.suite import medium_model
+
+    ir = medium_model()
+    kw = dict(num_chains=16, num_warmup=400, num_samples=600, seed=2)
+    t_ref, _ = sample(ir, ncp=True, target_accept=0.95, **kw)
+    t_g, s_g = sample(ir, ncp=False, interweave=True, gibbs_scales=True,
+                      **kw)
+    assert int(s_g["divergences"].sum()) == 0
+    for k in ("mu", "tau", "sigma"):
+        a, b = np.asarray(t_ref[k]), np.asarray(t_g[k])
+        tol = 4 * (a.std() + b.std()) / np.sqrt(a.size / 20)
+        assert abs(a.mean() - b.mean()) < max(tol, 0.05), (k, a.mean(),
+                                                           b.mean())
+
+
 def test_gibbs_scales_requires_interweave():
     from exmc_tpu.benchmarks.suite import eight_schools_model
 
