@@ -733,7 +733,162 @@ def compile(code: str, data=None):
             "(give each parameter a prior via '~' — priors stated only "
             "through target += are not yet mapped to RV declarations)"
         )
+    if ast["generated_quantities"]:
+        gq = [dict(row, expr=_expand_expr(row["expr"], user_fns,
+                                          row["line"]))
+              for row in ast["generated_quantities"]] if user_fns else              ast["generated_quantities"]
+        # stash on the IR instance: GQ does not touch the log-density
+        # (ir_signature/compile keys unaffected); stan.sample reads it
+        ir._stan_gq = {"rows": gq, "data": data,
+                       "sizes": {r["name"]: resolve_size(r.get("size"),
+                                                         r.get("line"))
+                                 for r in gq}}
     return ir
+
+
+# ---------------------------------------------------------------------------
+# generated quantities (evaluated per posterior draw, AFTER sampling)
+# ---------------------------------------------------------------------------
+
+_RNG_FNS = {
+    "normal_rng": lambda rng, mu, sigma: rng.normal(mu, np.abs(sigma)),
+    "student_t_rng": lambda rng, nu, mu, sigma:
+        mu + np.abs(sigma) * rng.standard_t(np.broadcast_to(
+            nu, np.broadcast_shapes(np.shape(nu), np.shape(mu),
+                                    np.shape(sigma)))),
+    "lognormal_rng": lambda rng, mu, sigma: rng.lognormal(mu, np.abs(sigma)),
+    "exponential_rng": lambda rng, lam: rng.exponential(1.0 / lam),
+    "gamma_rng": lambda rng, a, b: rng.gamma(a, 1.0 / b),
+    "beta_rng": lambda rng, a, b: rng.beta(a, b),
+    "uniform_rng": lambda rng, lo, hi: rng.uniform(lo, hi),
+    "bernoulli_rng": lambda rng, p: (rng.random(np.shape(p)) < p)
+        .astype(np.float64),
+    "bernoulli_logit_rng": lambda rng, eta:
+        (rng.random(np.shape(eta)) < 1.0 / (1.0 + np.exp(-eta)))
+        .astype(np.float64),
+    "poisson_rng": lambda rng, lam: rng.poisson(lam).astype(np.float64),
+    "binomial_rng": lambda rng, n, p:
+        rng.binomial(np.asarray(n).astype(np.int64), p).astype(np.float64),
+}
+
+
+def _eval_gq(expr, env, rng, line, data_names=frozenset(), size=None):
+    # ``size`` applies only to a TOP-LEVEL *_rng call: the declared
+    # trailing dimension makes each element an INDEPENDENT draw
+    # (post-hoc broadcasting would replicate one draw)
+    """Per-draw generated-quantities evaluator (host numpy, float64).
+
+    env values carry leading (chains, draws) axes for parameters and GQ
+    rows, and plain shapes for data; broadcasting aligns trailing dims.
+    sum/mean reduce the LAST axis (Stan's vector reductions), indexing
+    takes on the last axis (1-based), and a 2-d DATA matrix times a
+    vector lowers to an einsum over the trailing axis."""
+    if isinstance(expr, (int, float)):
+        return float(expr)
+    if isinstance(expr, str):
+        if expr in env:
+            return env[expr]
+        raise StanSyntaxError(
+            f"generated quantities: unknown name {expr!r}", line=line)
+    tag = expr[0]
+    if tag == "binop":
+        left = _eval_gq(expr[2], env, rng, line, data_names)
+        right = _eval_gq(expr[3], env, rng, line, data_names)
+        if (expr[1] == "mul" and isinstance(expr[2], str)
+                and expr[2] in data_names
+                and getattr(left, "ndim", 0) == 2):
+            # data matrix times a (possibly draw-batched) vector
+            return np.einsum("mk,...k->...m", left, right)
+        ops = {"add": np.add, "sub": np.subtract, "mul": np.multiply,
+               "div": np.divide}
+        return ops[expr[1]](left, right)
+    if tag == "neg":
+        return -_eval_gq(expr[1], env, rng, line, data_names)
+    if tag == "call":
+        name = expr[1]
+        vals = [_eval_gq(a, env, rng, line, data_names) for a in expr[2]]
+        if name in _RNG_FNS:
+            arrs = [np.asarray(v, np.float64) for v in vals]
+            if len(arrs) > 1:
+                arrs = list(np.broadcast_arrays(*arrs))
+            if size is not None:
+                shp = arrs[0].shape if arrs else ()
+                if not (shp and shp[-1] == size):
+                    arrs = [np.broadcast_to(a[..., None], shp + (size,))
+                            for a in arrs]
+            return _RNG_FNS[name](rng, *arrs)
+        if name in ("sum", "mean"):
+            v = np.asarray(vals[0])
+            if len(vals) != 1:
+                raise StanSyntaxError(f"{name} expects 1 argument",
+                                      line=line)
+            return (np.sum if name == "sum" else np.mean)(
+                v, axis=-1) if v.ndim else v
+        if name in _NP_FNS:
+            if len(vals) != 1:
+                raise StanSyntaxError(f"{name} expects 1 argument",
+                                      line=line)
+            return _NP_FNS[name](vals[0])
+        raise StanSyntaxError(
+            f"generated quantities: unknown function {name!r} "
+            f"(supported: arithmetic, {sorted(_NP_FNS)}, "
+            f"{sorted(_RNG_FNS)})", line=line)
+    if tag == "index":
+        base = np.asarray(_eval_gq(expr[1], env, rng, line, data_names))
+        idx = _eval_gq(expr[2], env, rng, line, data_names)
+        return np.take(base, int(idx) - 1, axis=-1)  # Stan is 1-based
+    raise StanSyntaxError(f"bad generated-quantities expression {expr!r}",
+                          line=line)
+
+
+def generated_quantities(ir, trace, seed=0):
+    """Evaluate a compiled model's ``generated quantities`` block over a
+    posterior trace (reference has no GQ; Stan evaluates per draw after
+    sampling — here each row evaluates VECTORIZED over the whole
+    (chains, draws) batch in one numpy pass). Returns {name: array
+    with leading (chains, draws)}. Rows may reference data, parameters,
+    transformed parameters present in the trace, and earlier GQ rows;
+    ``*_rng`` calls draw fresh randomness per chain/draw."""
+    gq = getattr(ir, "_stan_gq", None)
+    if not gq:
+        return {}
+    rng = np.random.default_rng(seed)
+    env = {k: np.asarray(v, np.float64) for k, v in gq["data"].items()}
+    data_names = frozenset(env)
+    c = n = None
+    for k, v in trace.items():
+        arr = np.asarray(v, np.float64)
+        env[k] = arr
+        c, n = arr.shape[:2]
+    out = {}
+    for row in gq["rows"]:
+        name, line = row["name"], row.get("line")
+        if name in env:
+            raise StanSyntaxError(
+                f"generated quantity {name!r} shadows an existing name",
+                line=line)
+        size = gq["sizes"].get(name)
+        val = np.asarray(
+            _eval_gq(row["expr"], env, rng, line, data_names, size=size),
+            np.float64)
+        want = (c, n) + ((size,) if size else ())
+        if val.shape != want:
+            if size and val.shape == want[:-1]:
+                # deterministic scalar expression under a vector
+                # declaration: replicate (no randomness involved here —
+                # rng rows were drawn at the declared size above)
+                val = np.broadcast_to(val[..., None], want)
+            else:
+                try:
+                    val = np.broadcast_to(val, want)
+                except ValueError:
+                    raise StanSyntaxError(
+                        f"generated quantity {name!r} has shape "
+                        f"{val.shape}, declared {want}", line=line
+                    ) from None
+        env[name] = val
+        out[name] = val
+    return out
 
 
 def compile_or_error(code, data=None):
@@ -745,8 +900,14 @@ def compile_or_error(code, data=None):
 
 
 def sample(code, data=None, **opts):
-    """Compile-and-sample (reference Stan.sample, stan.ex:77)."""
+    """Compile-and-sample (reference Stan.sample, stan.ex:77). When the
+    program has a ``generated quantities`` block, its rows are
+    evaluated over the posterior and merged into the returned trace."""
     from exmc_tpu.nuts.sampler import sample as nuts_sample
 
     ir = compile(code, data)
-    return nuts_sample(ir, **opts)
+    trace, stats = nuts_sample(ir, **opts)
+    gq = generated_quantities(ir, trace, seed=opts.get("seed", 0))
+    if gq:
+        trace = dict(trace, **gq)
+    return trace, stats

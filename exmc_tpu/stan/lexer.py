@@ -37,6 +37,7 @@ KEYWORDS = {
     "lower", "upper", "transformed", "for", "in", "target", "matrix",
     "functions", "return", "ordered", "positive_ordered",
     "cholesky_factor_corr", "sum_to_zero_vector",
+    "generated", "quantities",
 }
 
 _MASTER = re.compile("|".join(f"(?P<{k}>{v})" for k, v in TOKEN_SPEC))

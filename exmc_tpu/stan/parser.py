@@ -58,7 +58,7 @@ class Parser:
     def parse_program(self):
         ast = {"data": [], "parameters": [], "model": [],
                "transformed_data": [], "transformed_parameters": [],
-               "functions": []}
+               "functions": [], "generated_quantities": []}
         while self.peek()[0] != "EOF":
             kind, _, line = self.peek()
             if kind == "FUNCTIONS":
@@ -83,6 +83,13 @@ class Parser:
             elif kind == "MODEL":
                 self.next()
                 ast["model"] = self.parse_model_block()
+            elif kind == "GENERATED":
+                self.next()
+                sub = self.next()
+                if sub[0] != "QUANTITIES":
+                    self.error("expected 'quantities' after 'generated'",
+                               line=sub[2])
+                ast["generated_quantities"] = self.parse_assign_block()
             else:
                 self.error(f"expected a block keyword, got {self.peek()[1]!r}")
         return ast

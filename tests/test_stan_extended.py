@@ -528,3 +528,61 @@ def test_stan_binomial_and_negbin_likelihoods():
                             num_warmup=300, num_samples=400, num_chains=2,
                             seed=0)
     assert abs(trace2["mu"].mean() - ys2.mean()) < 1.0
+
+
+def test_generated_quantities():
+    """Round-4 extension: ``generated quantities`` evaluated per
+    posterior draw after sampling (deterministic rows, *_rng draws with
+    independent elements at the declared size, reductions, indexing,
+    and rows referencing earlier rows)."""
+    import numpy as np
+
+    from exmc_tpu import stan
+
+    code = """
+    data { int N; vector[N] y; }
+    parameters { real mu; real<lower=0> sigma; }
+    model { mu ~ normal(0, 10); sigma ~ half_normal(2); y ~ normal(mu, sigma); }
+    generated quantities {
+      real mu2 = mu * 2;
+      vector[4] y_rep = normal_rng(mu, sigma);
+      real y_rep_mean = mean(y_rep);
+      real first_y = y[1];
+      real chained = mu2 + y_rep_mean;
+    }
+    """
+    y = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3], np.float32)
+    trace, _ = stan.sample(code, {"N": 6, "y": y}, num_chains=2,
+                           num_warmup=200, num_samples=300, seed=0)
+    assert trace["mu2"].shape == (2, 300)
+    assert np.allclose(trace["mu2"], 2 * trace["mu"])
+    assert trace["y_rep"].shape == (2, 300, 4)
+    # independent element draws, not one draw replicated
+    assert float(np.std(trace["y_rep"], axis=-1).mean()) > 0.01
+    assert np.allclose(trace["y_rep_mean"], trace["y_rep"].mean(-1))
+    assert np.allclose(trace["first_y"], y[0])
+    assert np.allclose(trace["chained"],
+                       trace["mu2"] + trace["y_rep_mean"])
+    # posterior predictive draws center on the posterior mean
+    assert abs(float(trace["y_rep"].mean() - trace["mu"].mean())) < 0.06
+
+
+def test_generated_quantities_errors():
+    import numpy as np
+    import pytest
+
+    from exmc_tpu import stan
+    from exmc_tpu.stan import StanSyntaxError
+
+    base = """
+    data { real y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 10); y ~ normal(mu, 1); }
+    generated quantities { %s }
+    """
+    with pytest.raises(StanSyntaxError, match="unknown function"):
+        stan.sample(base % "real a = frobnicate(mu);", {"y": 1.0},
+                    num_warmup=10, num_samples=10)
+    with pytest.raises(StanSyntaxError, match="shadows"):
+        stan.sample(base % "real mu = mu * 2;", {"y": 1.0},
+                    num_warmup=10, num_samples=10)
