@@ -193,8 +193,65 @@ def eligible_groups(model):
             by_sigma.setdefault(sig, []).append(
                 (nid, "centered_normal", mu_spec))
 
+    # OBSERVATION-NOISE scales: a scalar free RV referenced only as the
+    # sigma of OBSERVED Normal rvs whose mean is a constant or a direct
+    # identity-coordinate ref. sigma_y | mean, y is the same
+    # scaled-inv-chi^2 conditional as the sufficient leg (SSE from the
+    # observed residuals), a pure Gibbs move. Needed for gibbs_scales
+    # correctness with sampled noise: the analytic conditional metric
+    # reads sigma_y, so sigma_y must be FROZEN in the trajectory too
+    # (a metric depending on a moving coordinate would break
+    # reversibility); with this group it is, and it mixes by Gibbs.
+    obs_by_rv = {}
+    for n in ir.nodes.values():
+        if n.op[0] == "obs":
+            obs_by_rv.setdefault(n.op[1], []).append(n)
+    for nid, node in ir.nodes.items():
+        if (node.op[0] != "rv" or nid in entries or nid in ncp
+                or nid not in obs_by_rv):
+            continue
+        if get_dist(node.op[1]).name != "normal":
+            continue
+        sig = node.op[2].get("sigma")
+        if not isinstance(sig, str):
+            continue
+        obs = obs_by_rv[nid]
+        if len(obs) != 1:
+            continue
+        meta = obs[0].op[3]
+        w = meta.get("weight")
+        if not (w is None or (np.isscalar(w) and float(w) == 1.0)):
+            continue
+        if (meta.get("likelihood") not in (None, True)
+                or meta.get("mask") is not None
+                or meta.get("censored") is not None):
+            continue
+        value = obs[0].op[2]
+        if isinstance(value, (dict, str, tuple)):
+            continue
+        mu = node.op[2].get("mu")
+        if isinstance(mu, str):
+            e_mu = entries.get(mu)
+            mu_node = ir.nodes.get(mu)
+            if (e_mu is None or e_mu.transform not in (None, "identity")
+                    or mu in ncp or mu_node is None
+                    or mu_node.op[0] != "rv"):
+                continue
+            mu_spec = ("coord", e_mu.offset, e_mu.length)
+        elif np.isscalar(mu) or np.asarray(mu).ndim == 0:
+            mu_spec = ("const", float(mu))
+        else:
+            continue
+        by_sigma.setdefault(sig, []).append(
+            (nid, "obs_noise", (mu_spec, np.asarray(value, np.float64))))
+
     groups = []
     for sig, latents in by_sigma.items():
+        kinds = {k for _, k, _ in latents}
+        if "obs_noise" in kinds and kinds != {"obs_noise"}:
+            # a scale that is BOTH a latent prior scale and an obs
+            # noise: the combined conditional is not the inv-chi^2 form
+            continue
         e_sig = entries.get(sig)
         if e_sig is None or e_sig.length != 1:
             continue
@@ -226,6 +283,15 @@ def eligible_groups(model):
         zs = []
         ok = True
         for nid, kind, mu_spec in latents:
+            if kind == "obs_noise":
+                mu_s, y_arr = mu_spec
+                if (mu_s[0] == "coord"
+                        and y_arr.shape
+                        and mu_s[2] not in (1, y_arr.shape[-1])):
+                    ok = False  # mean must broadcast against the obs
+                    break
+                zs.append((0, int(y_arr.size), kind, mu_spec))
+                continue
             e = entries.get(nid)
             if e is None:
                 ok = False
@@ -378,6 +444,20 @@ def build_interweave(model):
             v = sigma * sigma
             sse = jnp.zeros((), q.dtype)
             for zoff, zlen, kind, mu_spec in g["zs"]:
+                if kind == "obs_noise":
+                    # sigma is an OBSERVATION noise: SSE from the
+                    # observed residuals y - mean(q); pure Gibbs (the
+                    # y values are data, nothing rescales; zoff/zlen
+                    # describe the DATA, not a q segment)
+                    mu_s, y_arr = mu_spec
+                    if mu_s[0] == "const":
+                        mu_v = mu_s[1]
+                    else:
+                        mu_v = jax.lax.dynamic_slice(
+                            q, (mu_s[1],), (mu_s[2],))
+                    resid = jnp.asarray(y_arr, q.dtype) - mu_v
+                    sse = sse + jnp.sum(resid * resid)
+                    continue
                 zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
                 if kind == "ncp":
                     # SSE contribution sigma^2 |z|^2 (|w| = |z| under

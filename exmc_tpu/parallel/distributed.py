@@ -69,7 +69,8 @@ def sample_chains_sharded(ir, num_chains, mesh=None, *, seed=0, data=None,
 
     known = (
         "num_warmup", "num_samples", "max_tree_depth", "target_accept",
-        "dense_mass", "pooled_adaptation",
+        "dense_mass", "pooled_adaptation", "interweave", "gibbs_scales",
+        "ensemble_rescue", "adapt_mass",
     )
     unknown = set(opts) - set(known)
     if unknown:
@@ -206,6 +207,10 @@ def _redispatch_failed_chains(sampler, mesh, trace, stats, draws, data,
         target_accept=sampler.target_accept,
         dense_mass=sampler.dense_mass,
         pooled_adaptation=sampler.pooled_adaptation,
+        interweave=sampler.interweave,
+        gibbs_scales=sampler.gibbs_scales,
+        ensemble_rescue=sampler.ensemble_rescue,
+        adapt_mass=sampler.adapt_mass,
     )
     healthy = np.flatnonzero(retry_stats["chain_ok"])[: len(bad_idx)]
     # np.asarray views of device arrays are read-only: copy before splicing

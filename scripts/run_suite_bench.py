@@ -47,12 +47,15 @@ EXTRA_OPTS = {
     # machinery as eight_schools below — tau frozen (conditional given
     # tau is Gaussian), both ASIS legs move it, analytic conditional
     # metric with the SAMPLED obs noise read from the current point.
+    # The SAMPLED obs noise sigma_y is frozen too, with its own
+    # scaled-inv-chi^2 Gibbs group (D-T28 correction: the conditional
+    # metric reads sigma_y, so it must not move in the trajectory).
     # Measured (32 chains, 500+800, 3 seeds each, CPU): divergences 0
-    # on every seed, max R-hat <= 1.006, min-ESS 5.6-8.2k per 25.6k
-    # draws (vs NCP ta=.95 baselines 4.3k/5.4k), warm wall 2-3 s.
-    # Round 3's medium caveat (suff-leg-only interweave collapsed mu on
-    # a seed at J=2) does not recur: the ancillary regression leg
-    # anchors tau to the data, and 3/3 seeds are clean.
+    # on every seed, max R-hat <= 1.005, min-ESS 5.3-7.9k per 25.6k
+    # draws (vs NCP ta=.95 baselines 4.3k/5.4k), warm wall 4-5 s on one
+    # CPU core. Round 3's medium caveat (suff-leg-only interweave
+    # collapsed mu on a seed at J=2) does not recur: the ancillary
+    # regression leg anchors tau to the data, and 3/3 seeds are clean.
     "medium": {"target_accept": 0.8, "interweave": True,
                "gibbs_scales": True},
     "stress": {"target_accept": 0.8, "interweave": True,

@@ -284,6 +284,29 @@ def test_gibbs_scales_sampled_obs_noise():
                                                            b.mean())
 
 
+def test_obs_noise_group_and_freeze():
+    """A sampled observation noise must be its own Gibbs group AND be
+    frozen under gibbs_scales: the analytic conditional metric reads
+    sigma_y, and a metric depending on a coordinate that moves during
+    the trajectory would break reversibility (D-T28 correction)."""
+    from exmc_tpu.benchmarks.suite import medium_model
+    from exmc_tpu.nuts.sampler import _make_sampler
+
+    m = compile_logp(medium_model(), ncp=False)
+    gs = {g["sigma_id"]: g for g in eligible_groups(m)}
+    assert set(gs) == {"tau", "sigma"}
+    assert {z[2] for z in gs["sigma"]["zs"]} == {"obs_noise"}
+    assert gs["sigma"]["n"] == 40  # 2 groups x 20 obs
+    assert gs["sigma"]["anc"] is None
+
+    s = _make_sampler(medium_model(), ncp=False, interweave=True,
+                      gibbs_scales=True, num_warmup=10, num_samples=10)
+    mask = s._freeze_mask
+    assert mask[gs["tau"]["offset"]] == 0.0
+    assert mask[gs["sigma"]["offset"]] == 0.0
+    assert mask.sum() == m.size - 2  # everything else stays dynamic
+
+
 def test_gibbs_scales_requires_interweave():
     from exmc_tpu.benchmarks.suite import eight_schools_model
 

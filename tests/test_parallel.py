@@ -293,3 +293,18 @@ def test_multihost_two_process_sampling_smoke(tmp_path):
         assert line, out[-2000:]
         means.append(line[0].split()[-1])
     assert means[0] == means[1]  # identical gathered posterior on both hosts
+
+
+def test_sharded_gibbs_scales():
+    """interweave/gibbs_scales options flow through the multi-chip API
+    (and its failed-chain retry launch): centered eight_schools over
+    the 8-device dp mesh, divergence-free, exact moments."""
+    from exmc_tpu.benchmarks.suite import eight_schools_model
+
+    mesh = make_mesh(8, dp=8, sp=1)
+    trace, stats = sample_chains_sharded(
+        eight_schools_model(), 16, mesh, seed=0, ncp=False,
+        num_warmup=300, num_samples=300, interweave=True,
+        gibbs_scales=True)
+    assert int(stats["divergences"].sum()) == 0
+    assert abs(float(trace["tau"].mean()) - 3.284) < 0.25
