@@ -1267,7 +1267,16 @@ def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
     delta, so ``energy + logp == kinetic >= 0`` holds and E-BFMI reads
     the state the chain actually continues from; VERDICT r3 item 8).
     ``stats['accept_prob']`` still describes the preceding NUTS
-    transition — that is its honest meaning for step-size adaptation."""
+    transition — that is its honest meaning for step-size adaptation.
+
+    NOTE on ``gibbs_scales=True`` (requires ``interweave=True``):
+    NUTS-within-Gibbs — eligible hierarchical scales AND sampled
+    observation noises are FROZEN in the trajectory (inverse-mass 0)
+    and move only via the interweave Gibbs legs, while their group
+    latents get the analytic conditional metric. Centered
+    hierarchical-Normal models sample divergence-free this way
+    (D-T28); posteriors are identical (exact MCMC on the same
+    target)."""
     sampler = _make_sampler(ir, ncp=ncp, **opts)
     if data is None and not isinstance(ir, CompiledModel):
         # a cache-hit sampler may have been compiled from a different IR
