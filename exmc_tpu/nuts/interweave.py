@@ -127,6 +127,73 @@ def _anc_obs_info(ir, entries, ncp, latent_id, latent_len):
     return out
 
 
+class _ExpChainTransform:
+    """sigma = exp(c * y) viewed as the 'constraint transform' of the
+    underlying unconstrained coordinate y (the Neal-funnel chain
+    x ~ N(0, exp(y/2)): c = 1/2)."""
+
+    def __init__(self, c):
+        self.c = c
+
+    def forward(self, u):
+        return jnp.exp(self.c * u)
+
+    def inverse(self, s):
+        return jnp.log(s) / self.c
+
+
+class _ExpChainScaleDist:
+    """Pushforward density of sigma = exp(c*y), y ~ base(params):
+    p_s(s) = p_y(log(s)/c) / (c*s)."""
+
+    def __init__(self, base, c):
+        self.base, self.c = base, c
+
+    def logpdf(self, s, params):
+        yv = jnp.log(s) / self.c
+        return self.base.logpdf(yv, params) - jnp.log(self.c) - jnp.log(s)
+
+    def sample(self, key, params, shape=()):
+        return jnp.exp(self.c * self.base.sample(key, params, shape))
+
+
+def _resolve_exp_chain(ir, entries, ncp, sig):
+    """``sig`` names a det node computing exp(c*y) of a SCALAR free RV y
+    (identity transform, not NCP'd, c > 0): returns (y_id, c, chain)
+    where chain = (exp_id,) or (exp_id, mul_id), else None. Recognized:
+    exp(y), exp(mul(y, c)), exp(mul(c, y)) — the heteroscedastic-scale
+    idiom (Neal's funnel)."""
+    node = ir.nodes.get(sig)
+    if node is None or node.op[0] != "det" or node.op[1] != "exp":
+        return None
+    args = node.op[2]
+    if len(args) != 1 or not isinstance(args[0], str):
+        return None
+    inner = args[0]
+    chain = (sig,)
+    c = 1.0
+    nd = ir.nodes.get(inner)
+    if nd is not None and nd.op[0] == "det" and nd.op[1] == "mul":
+        margs = nd.op[2]
+        if len(margs) != 2:
+            return None
+        refs = [a for a in margs if isinstance(a, str)]
+        consts = [a for a in margs if not isinstance(a, str)]
+        if len(refs) != 1 or len(consts) != 1 or np.ndim(consts[0]) != 0:
+            return None
+        c = float(consts[0])
+        chain = (sig, inner)
+        inner = refs[0]
+        nd = ir.nodes.get(inner)
+    if c <= 0:
+        return None
+    e = entries.get(inner)
+    if (e is None or e.length != 1 or inner in ncp or nd is None
+            or nd.op[0] != "rv" or e.transform not in (None, "identity")):
+        return None
+    return inner, c, chain
+
+
 def _referencing_ids(ir, ncp, target):
     """Node ids referencing ``target`` in the rewritten IR: the builder
     already records param/arg refs in Node.deps, and NCP reconstruction
@@ -253,15 +320,34 @@ def eligible_groups(model):
             # noise: the combined conditional is not the inv-chi^2 form
             continue
         e_sig = entries.get(sig)
-        if e_sig is None or e_sig.length != 1:
-            continue
-        node = ir.nodes.get(sig)
-        if node is None or node.op[0] != "rv":
-            continue
-        if sig in ncp:
-            # an NCP'd scale's flat coordinate is z_sigma, not sigma —
-            # the move's transform/prior bookkeeping would be wrong
-            continue
+        chain = None
+        if e_sig is None:
+            # sigma may be a det exp-chain over a scalar free RV (the
+            # Neal-funnel scale x ~ N(0, exp(y/2))): the move operates
+            # on y through the pushforward transform/density wrappers
+            resolved = _resolve_exp_chain(ir, entries, ncp, sig)
+            if resolved is None:
+                continue
+            scale_rv, c_exp, chain = resolved
+            e_sig = entries[scale_rv]
+            node = ir.nodes[scale_rv]
+            # y and each chain link must feed only the next link
+            # (otherwise moving y shifts terms the MH ratio lacks)
+            if _referencing_ids(ir, ncp, scale_rv) != {chain[-1]}:
+                continue
+            if (len(chain) == 2
+                    and _referencing_ids(ir, ncp, chain[1]) != {chain[0]}):
+                continue
+        else:
+            if e_sig.length != 1:
+                continue
+            node = ir.nodes.get(sig)
+            if node is None or node.op[0] != "rv":
+                continue
+            if sig in ncp:
+                # an NCP'd scale's flat coordinate is z_sigma, not
+                # sigma — the transform/prior bookkeeping would be wrong
+                continue
         prior_params = node.op[2]
         if any(isinstance(v, str) for v in prior_params.values()):
             continue  # prior depends on other coordinates
@@ -319,13 +405,22 @@ def eligible_groups(model):
                     anc = None
                     break
                 anc.append((e.offset, e.length, mu_spec, tuple(info)))
-            if anc is not None and not any(info for *_, info in anc):
-                anc = None  # no observations anywhere: no likelihood leg
+        anc_mode = None
+        if anc is not None:
+            # with observations: truncated-Gaussian regression draw;
+            # without any: the ancillary conditional of the scale given
+            # z IS its prior (nothing else depends on it on the fiber)
+            # — an exact always-accept prior refresh (this is what
+            # makes Neal's funnel mix iid-fast under gibbs_scales)
+            anc_mode = ("regression"
+                        if any(info for *_, info in anc) else "prior")
         groups.append({
             "sigma_id": sig,
             "offset": e_sig.offset,
-            "transform": get_transform(e_sig.transform),
-            "dist": get_dist(node.op[1]),
+            "transform": (_ExpChainTransform(c_exp) if chain
+                          else get_transform(e_sig.transform)),
+            "dist": (_ExpChainScaleDist(get_dist(node.op[1]), c_exp)
+                     if chain else get_dist(node.op[1])),
             # keep f64 numpy; jnp casts per the active precision mode
             # (EXMC_TPU_X64 golden paths stay full-precision)
             "params": {k: np.asarray(v, np.float64)
@@ -334,6 +429,7 @@ def eligible_groups(model):
             "zs": tuple(zs),
             "n": int(sum(ln for _, ln, _, _ in zs)),
             "anc": tuple(anc) if anc is not None else None,
+            "anc_mode": anc_mode,
         })
     return groups
 
@@ -560,21 +656,31 @@ def build_interweave(model):
                                               * jnp.ones_like(yb))
                         num = num + jnp.sum(w * z * (yb - mu_v))
                     lat.append((zoff, theta, mu_v, z))
-                prec = jnp.maximum(prec, jnp.asarray(1e-12, q.dtype))
-                m_lik = num / prec
-                s_lik = 1.0 / jnp.sqrt(prec)
-                # inverse-CDF truncated-normal draw on (0, inf)
-                u_lo = jax.scipy.special.ndtr(-m_lik / s_lik)
-                uu = jax.random.uniform(
-                    kanc, dtype=q.dtype,
-                    minval=jnp.clip(u_lo, 0.0, 1.0 - 1e-6), maxval=1.0)
-                uu = jnp.clip(uu, 1e-7, 1.0 - 1e-7)
-                sigma_anc = m_lik + s_lik * jax.scipy.special.ndtri(uu)
+                if g["anc_mode"] == "prior":
+                    # no observations on the fiber: the ancillary
+                    # conditional of the scale given z IS its prior —
+                    # exact always-accept refresh (the Neal-funnel
+                    # iid mixer)
+                    sigma_anc = g["dist"].sample(
+                        kanc, g["params"]).astype(q.dtype).reshape(())
+                    log_a2 = jnp.zeros((), q.dtype)
+                else:
+                    prec = jnp.maximum(prec, jnp.asarray(1e-12, q.dtype))
+                    m_lik = num / prec
+                    s_lik = 1.0 / jnp.sqrt(prec)
+                    # inverse-CDF truncated-normal draw on (0, inf)
+                    u_lo = jax.scipy.special.ndtr(-m_lik / s_lik)
+                    uu = jax.random.uniform(
+                        kanc, dtype=q.dtype,
+                        minval=jnp.clip(u_lo, 0.0, 1.0 - 1e-6), maxval=1.0)
+                    uu = jnp.clip(uu, 1e-7, 1.0 - 1e-7)
+                    sigma_anc = m_lik + s_lik * jax.scipy.special.ndtri(uu)
 
                 def lp_prior(s_val):
                     return jnp.sum(g["dist"].logpdf(s_val, g["params"]))
 
-                log_a2 = lp_prior(sigma_anc) - lp_prior(sigma)
+                if g["anc_mode"] != "prior":
+                    log_a2 = lp_prior(sigma_anc) - lp_prior(sigma)
                 u_prop2 = tf.inverse(sigma_anc)
                 rt2 = tf.forward(u_prop2)
                 in_dom2 = (jnp.isfinite(u_prop2) & jnp.isfinite(rt2)

@@ -284,6 +284,34 @@ def test_gibbs_scales_sampled_obs_noise():
                                                            b.mean())
 
 
+def test_funnel_exp_chain_gibbs():
+    """Neal's funnel CENTERED under gibbs_scales: the scale is a det
+    exp-chain exp(y/2) over the free coordinate y, resolved by
+    _resolve_exp_chain with pushforward transform/density wrappers.
+    With no observations the ancillary leg is an exact PRIOR refresh of
+    y (anc_mode="prior"), so y mixes essentially iid while NUTS sees
+    only the Gaussian x-conditional: zero divergences and the exact
+    N(0,3) marginal — without reparameterizing the model."""
+    from exmc_tpu.benchmarks.suite import funnel_model
+
+    m = compile_logp(funnel_model(), ncp=False)
+    gs = eligible_groups(m)
+    assert len(gs) == 1 and gs[0]["anc_mode"] == "prior"
+    assert gs[0]["n"] == 9
+
+    trace, stats = sample(funnel_model(), num_chains=16, num_warmup=300,
+                          num_samples=600, seed=0, ncp=False,
+                          interweave=True, gibbs_scales=True)
+    assert int(stats["divergences"].sum()) == 0
+    y = np.asarray(trace["y"])
+    assert abs(float(y.mean())) < 0.15
+    assert abs(float(y.std()) - 3.0) < 0.15
+    assert float(rhat(y)) < 1.01
+    from exmc_tpu.diagnostics import ess
+
+    assert float(ess(y)) > 0.5 * y.size  # near-iid mixing
+
+
 def test_obs_noise_group_and_freeze():
     """A sampled observation noise must be its own Gibbs group AND be
     frozen under gibbs_scales: the analytic conditional metric reads
