@@ -791,6 +791,13 @@ class NUTSSampler:
         pool_axis = "chains" if self.pooled_adaptation else None
         rescue_axis = "chains" if self.ensemble_rescue else None
         if warm_started:
+            if self._freeze_mask is not None:
+                # warm tuning may come from a non-gibbs run whose
+                # inv_mass has nonzero scale entries — re-freeze them
+                # (metric validity requires the frozen coordinates to
+                # stay frozen, D-T28)
+                ws_inv = ws_inv * jnp.asarray(self._freeze_mask,
+                                              ws_inv.dtype)
             metric = make_metric(ws_inv)
             draws, stats, eps, metric, recov, resc = _run_unified(
                 vag_fn, self._ft_schedule, self.num_samples, q0, logp0,

@@ -437,3 +437,20 @@ def test_bounded_scale_guard_no_nan():
     # the guard rejects out-of-domain proposals rather than crashing;
     # with SSE this small nearly everything proposed is below the bound
     assert n_accept < 200
+
+
+def test_gibbs_scales_warm_start_refreezes():
+    """Warm tuning from a NON-gibbs run carries a nonzero inverse mass
+    for the scale coordinates; a gibbs_scales run warm-started from it
+    must re-freeze them (metric validity, D-T28) and still sample the
+    exact posterior divergence-free."""
+    from exmc_tpu.benchmarks.suite import eight_schools_model
+
+    ir = eight_schools_model()
+    _, stats0 = sample(ir, num_chains=4, num_warmup=300, num_samples=100,
+                       seed=0, ncp=False, target_accept=0.9)
+    trace, stats = sample(ir, num_chains=4, num_warmup=0, num_samples=400,
+                          seed=1, ncp=False, interweave=True,
+                          gibbs_scales=True, warm_start=stats0)
+    assert int(stats["divergences"].sum()) == 0
+    assert abs(float(trace["tau"].mean()) - 3.284) < 0.5
