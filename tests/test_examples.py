@@ -37,6 +37,14 @@ EXAMPLES = [
     "27_bda_decision_analysis.py",
     "28_bda_rejection_importance.py",
     "29_bda_gibbs_metropolis.py",
+    "30_cyber_ids_beta_binomial.py",
+    "31_cyber_dns_baseline_bruteforce.py",
+    "32_cyber_laplace_bruteforce.py",
+    "33_cyber_eight_socs.py",
+    "34_cyber_cve_ppc.py",
+    "35_cyber_incident_decision.py",
+    "36_cyber_anomaly_sampling.py",
+    "37_cyber_mcmc_traffic.py",
 ]
 
 
