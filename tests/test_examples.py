@@ -45,6 +45,7 @@ EXAMPLES = [
     "35_cyber_incident_decision.py",
     "36_cyber_anomaly_sampling.py",
     "37_cyber_mcmc_traffic.py",
+    "38_stan_translations.py",
 ]
 
 
