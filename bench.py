@@ -140,7 +140,12 @@ def main():
             wall = time.time() - t0
             break
         except RuntimeError as e:
-            if "UNAVAILABLE" not in str(e) or attempt == 1:
+            if "UNAVAILABLE" not in str(e):
+                # a GENUINE sampler/XLA error must surface as a failure,
+                # not be laundered into an "environmental outage" marker
+                # (code-review r4 finding 5)
+                raise
+            if attempt == 1:
                 _emit_unavailable(str(e).splitlines()[0])
                 return
             print(f"# run attempt {attempt + 1} hit UNAVAILABLE; retrying "

@@ -52,7 +52,46 @@ from exmc_tpu.dists.base import get as get_dist
 from exmc_tpu.transforms import get as get_transform
 
 
-def _anc_obs_info(ir, entries, ncp, latent_id, latent_len):
+def _plain_obs_meta(meta):
+    """True when obs metadata is the normalized PLAIN form the Gaussian
+    conditionals assume: unit weight, default likelihood, no mask, no
+    censoring, and reduce None/"sum" (reduce="mean"/"logsumexp"
+    reweight or transform the terms, so the inv-chi^2 / regression
+    conditionals would be wrong — code-review r4). One shared predicate
+    for both the ancillary-leg and obs-noise eligibility paths (the two
+    hand-copied versions had already drifted)."""
+    w = meta.get("weight")
+    if not (w is None or (np.isscalar(w) and float(w) == 1.0)):
+        return False
+    if meta.get("likelihood") not in (None, True):
+        return False
+    if meta.get("mask") is not None or meta.get("censored") is not None:
+        return False
+    return meta.get("reduce") in (None, "sum")
+
+
+def _obs_index(ir):
+    """{rv_id: [obs nodes]} built once per eligibility scan."""
+    out = {}
+    for n in ir.nodes.values():
+        if n.op[0] == "obs":
+            out.setdefault(n.op[1], []).append(n)
+    return out
+
+
+def _obs_term_shape(node, value, extra=()):
+    """Broadcast shape of the obs LIKELIHOOD terms: the observed rv's
+    declared shape broadcast with the obs value (a scalar value against
+    a vector rv still contributes one term PER ELEMENT — code-review r4:
+    the term count feeds the inv-chi^2 degrees of freedom and the
+    regression precision, so undercounting biases sigma)."""
+    from exmc_tpu.point_map import _infer_shape
+
+    rv_shape = tuple(_infer_shape(node) or ())
+    return np.broadcast_shapes(np.asarray(value).shape, rv_shape, *extra)
+
+
+def _anc_obs_info(ir, entries, ncp, obs_by_rv, latent_id, latent_len):
     """Ancillary-leg (Yu & Meng's second ASIS sweep) eligibility for one
     centered-Normal latent theta: every reference to theta (besides its
     own node) must be an OBSERVED Normal rv y ~ N(theta, s) with plain
@@ -64,10 +103,6 @@ def _anc_obs_info(ir, entries, ncp, latent_id, latent_len):
     ("coord", offset, transform); empty-obs latents contribute no
     likelihood term. None when theta has other uses (the Gaussian
     conditional would be wrong)."""
-    obs_by_rv = {}
-    for n in ir.nodes.values():
-        if n.op[0] == "obs":
-            obs_by_rv.setdefault(n.op[1], []).append(n)
     out = []
     for nid, n in ir.nodes.items():
         if nid == latent_id or latent_id not in n.deps:
@@ -95,28 +130,20 @@ def _anc_obs_info(ir, entries, ncp, latent_id, latent_len):
         obs = obs_by_rv.get(nid, [])
         if len(obs) != 1:
             return None
-        meta = obs[0].op[3]
-        # rewrite passes normalize meta with explicit defaults — only
-        # NON-default values (weighting, masking, censoring, custom
-        # likelihood) break the Gaussian conditional
-        w = meta.get("weight")
-        if not (w is None or (np.isscalar(w) and float(w) == 1.0)):
-            return None
-        lk = meta.get("likelihood")
-        if lk not in (None, True):
-            return None
-        if meta.get("mask") is not None or meta.get("censored") is not None:
+        if not _plain_obs_meta(obs[0].op[3]):
             return None
         value = obs[0].op[2]
-        if isinstance(value, dict):
-            return None  # data-ref obs: values unavailable at build time
+        if isinstance(value, (dict, str, tuple)):
+            return None  # censored / data-ref obs: no build-time values
         # y must feed nothing but its obs node
         if any(nid in m.deps for mid, m in ir.nodes.items()
                if mid != obs[0].id and m.op[0] != "obs"):
             return None
         try:
             y = np.asarray(value, np.float64)
-            bshape = np.broadcast_shapes(y.shape, s_shape, (latent_len,))
+            # broadcast against the OBS RV's declared shape too: a
+            # scalar value on a vector rv is one term per element
+            bshape = _obs_term_shape(n, y, (s_shape, (latent_len,)))
         except ValueError:
             return None
         if latent_len > 1 and bshape[-1] != latent_len:
@@ -269,10 +296,7 @@ def eligible_groups(model):
     # reads sigma_y, so sigma_y must be FROZEN in the trajectory too
     # (a metric depending on a moving coordinate would break
     # reversibility); with this group it is, and it mixes by Gibbs.
-    obs_by_rv = {}
-    for n in ir.nodes.values():
-        if n.op[0] == "obs":
-            obs_by_rv.setdefault(n.op[1], []).append(n)
+    obs_by_rv = _obs_index(ir)
     for nid, node in ir.nodes.items():
         if (node.op[0] != "rv" or nid in entries or nid in ncp
                 or nid not in obs_by_rv):
@@ -285,13 +309,7 @@ def eligible_groups(model):
         obs = obs_by_rv[nid]
         if len(obs) != 1:
             continue
-        meta = obs[0].op[3]
-        w = meta.get("weight")
-        if not (w is None or (np.isscalar(w) and float(w) == 1.0)):
-            continue
-        if (meta.get("likelihood") not in (None, True)
-                or meta.get("mask") is not None
-                or meta.get("censored") is not None):
+        if not _plain_obs_meta(obs[0].op[3]):
             continue
         value = obs[0].op[2]
         if isinstance(value, (dict, str, tuple)):
@@ -309,8 +327,16 @@ def eligible_groups(model):
             mu_spec = ("const", float(mu))
         else:
             continue
+        try:
+            # term count = broadcast of the rv shape, the value, and
+            # the mean — a scalar value on a vector rv is N terms
+            mu_len = (mu_spec[2],) if mu_spec[0] == "coord" else ()
+            bshape = _obs_term_shape(node, value, (mu_len,))
+        except ValueError:
+            continue
+        y_b = np.broadcast_to(np.asarray(value, np.float64), bshape).copy()
         by_sigma.setdefault(sig, []).append(
-            (nid, "obs_noise", (mu_spec, np.asarray(value, np.float64))))
+            (nid, "obs_noise", (mu_spec, y_b)))
 
     groups = []
     for sig, latents in by_sigma.items():
@@ -371,11 +397,9 @@ def eligible_groups(model):
         for nid, kind, mu_spec in latents:
             if kind == "obs_noise":
                 mu_s, y_arr = mu_spec
-                if (mu_s[0] == "coord"
-                        and y_arr.shape
-                        and mu_s[2] not in (1, y_arr.shape[-1])):
-                    ok = False  # mean must broadcast against the obs
-                    break
+                # y_arr is pre-broadcast over (rv shape, value, mean):
+                # its size IS the likelihood term count (the inv-chi^2
+                # degrees of freedom)
                 zs.append((0, int(y_arr.size), kind, mu_spec))
                 continue
             e = entries.get(nid)
@@ -400,7 +424,8 @@ def eligible_groups(model):
             anc = []
             for nid, _, mu_spec in latents:
                 e = entries[nid]
-                info = _anc_obs_info(ir, entries, ncp, nid, e.length)
+                info = _anc_obs_info(ir, entries, ncp, obs_by_rv,
+                                     nid, e.length)
                 if info is None:
                     anc = None
                     break
@@ -434,7 +459,7 @@ def eligible_groups(model):
     return groups
 
 
-def build_conditional_metric(model):
+def build_conditional_metric(model, frozen_offsets=None):
     """For ``gibbs_scales`` (NUTS-within-Gibbs): a function
     ``fn(q, inv) -> inv'`` overriding the inverse-mass entries of each
     group's centered-Normal latents with their ANALYTIC conditional
@@ -449,10 +474,22 @@ def build_conditional_metric(model):
     stable when the Gibbs legs drop tau into the funnel neck — the
     adapted marginal variance over-estimates the conditional one by
     orders of magnitude there. Returns None when no group carries the
-    ancillary obs info this needs."""
+    ancillary obs info this needs.
+
+    ``frozen_offsets``: the flat offsets gibbs_scales actually freezes.
+    A SAMPLED obs-noise coordinate may appear in a group's ancillary
+    info without itself being freezable (e.g. its prior has sampled
+    hyperparameters, so it forms no obs-noise Gibbs group) — a metric
+    reading an UNFROZEN coordinate would be position-dependent and
+    break reversibility (code-review r4 finding 1), so any latent
+    whose conditional precision needs an unfrozen scale keeps its
+    Welford metric instead (correct, merely less preconditioned) and a
+    warning names the coordinate."""
     groups = [g for g in eligible_groups(model) if g.get("anc")]
     if not groups:
         return None
+    if frozen_offsets is None:
+        frozen_offsets = {g["offset"] for g in eligible_groups(model)}
     ir, ncp = model.ir, model.ncp_info
     # latent overrides: (sig_off, tf, zoff, zlen, w_const, coord_obs)
     #   w_const: precomputed sum of 1/s^2 over constant-noise obs, (L,)
@@ -471,6 +508,16 @@ def build_conditional_metric(model):
                 else:
                     n_per = np.ones_like(y_arr).reshape(-1, zlen).sum(axis=0)
                     coord_obs.append((s_spec[1], s_spec[2], n_per))
+            if any(off not in frozen_offsets for off, _, _ in coord_obs):
+                import warnings
+
+                warnings.warn(
+                    "gibbs_scales: an observation scale feeding "
+                    f"group {g['sigma_id']!r}'s conditional metric is "
+                    "not itself freezable (no obs-noise Gibbs group) — "
+                    "its latents keep the adapted metric; expect some "
+                    "divergences at small scales", stacklevel=3)
+                continue
             specs.append((g["offset"], g["transform"], zoff, zlen,
                           w_const, tuple(coord_obs)))
             if mu_spec is not None and mu_spec[0] == "coord":

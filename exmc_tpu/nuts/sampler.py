@@ -579,10 +579,13 @@ class NUTSSampler:
             )
 
             mask = np.ones(self.model.size, np.float64)
+            frozen = set()
             for g in eligible_groups(self.model):
                 mask[g["offset"]] = 0.0
+                frozen.add(g["offset"])
             self._freeze_mask = mask
-            self._cond_metric_fn = build_conditional_metric(self.model)
+            self._cond_metric_fn = build_conditional_metric(
+                self.model, frozen_offsets=frozen)
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
         self._ft_schedule = build_schedule(
             FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,

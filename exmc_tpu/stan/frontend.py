@@ -812,8 +812,17 @@ def _eval_gq(expr, env, rng, line, data_names=frozenset(), size=None):
             if len(arrs) > 1:
                 arrs = list(np.broadcast_arrays(*arrs))
             if size is not None:
+                # expand to the declared trailing axis UNLESS the args
+                # already carry it: draw-batched args are exactly 2-d
+                # (chains, draws) when scalar-per-draw, >= 3-d when the
+                # param axis is present; a bare data vector is 1-d.
+                # Checking shp[-1] == size alone misfired when the
+                # declared size equaled num_samples (code-review r4
+                # finding 4: one draw silently replicated per element).
                 shp = arrs[0].shape if arrs else ()
-                if not (shp and shp[-1] == size):
+                already_sized = ((len(shp) >= 3 and shp[-1] == size)
+                                 or (len(shp) == 1 and shp[0] == size))
+                if not already_sized:
                     arrs = [np.broadcast_to(a[..., None], shp + (size,))
                             for a in arrs]
             return _RNG_FNS[name](rng, *arrs)

@@ -454,3 +454,50 @@ def test_gibbs_scales_warm_start_refreezes():
                           gibbs_scales=True, warm_start=stats0)
     assert int(stats["divergences"].sum()) == 0
     assert abs(float(trace["tau"].mean()) - 3.284) < 0.5
+
+
+def test_reduced_obs_not_eligible():
+    """code-review r4 finding 2: reduce="mean" reweights the likelihood
+    terms, so neither the obs-noise Gibbs group nor the ancillary leg
+    may claim such observations."""
+    y = np.array([1.0, 1.2, 0.8, 1.1], np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "tau", dists.HalfNormal, {"sigma": 2.0})
+    ir = Builder.rv(ir, "theta", dists.Normal, {"mu": "mu", "sigma": "tau"},
+                    shape=(4,))
+    ir = Builder.rv(ir, "s", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "theta", "sigma": "s"},
+                    shape=(4,))
+    ir = Builder.obs(ir, "y_obs", "y", y, reduce="mean")
+    gs = {g["sigma_id"]: g for g in eligible_groups(compile_logp(ir,
+                                                                 ncp=False))}
+    assert "s" not in gs                      # no obs-noise group
+    assert gs["tau"]["anc"] is None           # no ancillary leg either
+
+
+def test_obs_noise_term_count_broadcast():
+    """code-review r4 finding 3: a SCALAR obs value on a vector rv is
+    one likelihood term per element — the inv-chi^2 degrees of freedom
+    and SSE must count the broadcast, not the stored scalar. Pinned by
+    posterior agreement with the explicit-vector formulation."""
+    def make(value):
+        ir = Builder.new_ir()
+        ir = Builder.rv(ir, "m", dists.Normal, {"mu": 0.0, "sigma": 5.0},
+                        shape=(4,))
+        ir = Builder.rv(ir, "s", dists.HalfNormal, {"sigma": 1.0})
+        ir = Builder.rv(ir, "y", dists.Normal, {"mu": "m", "sigma": "s"},
+                        shape=(4,))
+        return Builder.obs(ir, "y_obs", "y", value)
+
+    g_scalar = {g["sigma_id"]: g for g in eligible_groups(
+        compile_logp(make(1.0), ncp=False))}
+    g_vector = {g["sigma_id"]: g for g in eligible_groups(
+        compile_logp(make(np.ones(4, np.float32)), ncp=False))}
+    assert g_scalar["s"]["n"] == g_vector["s"]["n"] == 4
+
+    kw = dict(num_chains=8, num_warmup=300, num_samples=500, seed=0,
+              ncp=False, interweave=True, gibbs_scales=True)
+    t_sc, _ = sample(make(1.0), **kw)
+    t_vec, _ = sample(make(np.ones(4, np.float32)), **kw)
+    assert abs(float(t_sc["s"].mean()) - float(t_vec["s"].mean())) < 0.05

@@ -586,3 +586,26 @@ def test_generated_quantities_errors():
     with pytest.raises(StanSyntaxError, match="shadows"):
         stan.sample(base % "real mu = mu * 2;", {"y": 1.0},
                     num_warmup=10, num_samples=10)
+
+
+def test_generated_quantities_size_equals_draws():
+    """code-review r4 finding 4: a declared GQ vector size equal to
+    num_samples must still produce INDEPENDENT element draws (the old
+    trailing-dim heuristic matched the draws axis and replicated one
+    draw per element)."""
+    import numpy as np
+
+    from exmc_tpu import stan
+
+    code = """
+    data { real y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 10); y ~ normal(mu, 1); }
+    generated quantities { vector[5] y_rep = normal_rng(mu, 1); }
+    """
+    trace, _ = stan.sample(code, {"y": 1.0}, num_chains=1,
+                           num_warmup=100, num_samples=5, seed=0)
+    y_rep = np.asarray(trace["y_rep"])
+    assert y_rep.shape == (1, 5, 5)
+    # independent per element: within-draw spread strictly positive
+    assert float(np.std(y_rep, axis=-1).min()) > 1e-6
