@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from exmc_tpu.compiler import OBS_DATA_KEY
 from exmc_tpu.dists.base import get as get_dist
 from exmc_tpu.transforms import get as get_transform
 
@@ -77,6 +78,44 @@ def _obs_index(ir):
         if n.op[0] == "obs":
             out.setdefault(n.op[1], []).append(n)
     return out
+
+
+def _obs_value_spec(ir, value):
+    """Classify an obs value for the Gibbs legs: ("const", array) for
+    inline values, ("data", key, template) for the runtime data channel
+    (plain "__obs_data" -> key None; keyed ("__obs_data", k) -> k) —
+    shapes are static per D69 so the build-time template array from
+    ``ir.data`` carries them. None when unusable (interval censoring
+    or unresolvable refs)."""
+    if isinstance(value, str):
+        if value != OBS_DATA_KEY or ir.data is None:
+            return None
+        base = ir.data
+        if isinstance(base, dict):
+            base = base.get("__base")
+        if base is None:
+            return None
+        return ("data", None, np.asarray(base, np.float64))
+    if isinstance(value, tuple):
+        if (len(value) == 2 and value[0] == OBS_DATA_KEY
+                and isinstance(ir.data, dict) and value[1] in ir.data):
+            return ("data", value[1], np.asarray(ir.data[value[1]],
+                                                 np.float64))
+        return None
+    if isinstance(value, dict):
+        return None
+    return ("const", np.asarray(value, np.float64))
+
+
+def _y_runtime(y_spec, data, dtype):
+    """Resolve a y spec to its runtime (broadcast) array inside the
+    traced move."""
+    kind = y_spec[0]
+    if kind == "const":
+        return jnp.asarray(y_spec[1], dtype)
+    _, key, bshape = y_spec
+    raw = data if key is None else data[key]
+    return jnp.broadcast_to(jnp.asarray(raw, dtype), bshape)
 
 
 def _obs_term_shape(node, value, extra=()):
@@ -132,25 +171,29 @@ def _anc_obs_info(ir, entries, ncp, obs_by_rv, latent_id, latent_len):
             return None
         if not _plain_obs_meta(obs[0].op[3]):
             return None
-        value = obs[0].op[2]
-        if isinstance(value, (dict, str, tuple)):
-            return None  # censored / data-ref obs: no build-time values
+        y_spec = _obs_value_spec(ir, obs[0].op[2])
+        if y_spec is None:
+            return None
         # y must feed nothing but its obs node
         if any(nid in m.deps for mid, m in ir.nodes.items()
                if mid != obs[0].id and m.op[0] != "obs"):
             return None
         try:
-            y = np.asarray(value, np.float64)
+            y_tmpl = y_spec[-1]
             # broadcast against the OBS RV's declared shape too: a
             # scalar value on a vector rv is one term per element
-            bshape = _obs_term_shape(n, y, (s_shape, (latent_len,)))
+            bshape = _obs_term_shape(n, y_tmpl, (s_shape, (latent_len,)))
         except ValueError:
             return None
         if latent_len > 1 and bshape[-1] != latent_len:
             return None  # theta must broadcast along the trailing axis
         if s_spec[0] == "const":
             s_spec = ("const", np.broadcast_to(s_spec[1], bshape).copy())
-        out.append((np.broadcast_to(y, bshape).copy(), s_spec))
+        if y_spec[0] == "const":
+            y_spec = ("const", np.broadcast_to(y_tmpl, bshape).copy())
+        else:
+            y_spec = ("data", y_spec[1], bshape)
+        out.append((y_spec, s_spec))
     return out
 
 
@@ -311,8 +354,8 @@ def eligible_groups(model):
             continue
         if not _plain_obs_meta(obs[0].op[3]):
             continue
-        value = obs[0].op[2]
-        if isinstance(value, (dict, str, tuple)):
+        y_spec = _obs_value_spec(ir, obs[0].op[2])
+        if y_spec is None:
             continue
         mu = node.op[2].get("mu")
         if isinstance(mu, str):
@@ -331,12 +374,15 @@ def eligible_groups(model):
             # term count = broadcast of the rv shape, the value, and
             # the mean — a scalar value on a vector rv is N terms
             mu_len = (mu_spec[2],) if mu_spec[0] == "coord" else ()
-            bshape = _obs_term_shape(node, value, (mu_len,))
+            bshape = _obs_term_shape(node, y_spec[-1], (mu_len,))
         except ValueError:
             continue
-        y_b = np.broadcast_to(np.asarray(value, np.float64), bshape).copy()
+        if y_spec[0] == "const":
+            y_spec = ("const", np.broadcast_to(y_spec[1], bshape).copy())
+        else:
+            y_spec = ("data", y_spec[1], bshape)
         by_sigma.setdefault(sig, []).append(
-            (nid, "obs_noise", (mu_spec, y_b)))
+            (nid, "obs_noise", (mu_spec, y_spec)))
 
     groups = []
     for sig, latents in by_sigma.items():
@@ -396,11 +442,12 @@ def eligible_groups(model):
         ok = True
         for nid, kind, mu_spec in latents:
             if kind == "obs_noise":
-                mu_s, y_arr = mu_spec
-                # y_arr is pre-broadcast over (rv shape, value, mean):
-                # its size IS the likelihood term count (the inv-chi^2
-                # degrees of freedom)
-                zs.append((0, int(y_arr.size), kind, mu_spec))
+                mu_s, y_spec = mu_spec
+                # the broadcast over (rv shape, value, mean) IS the
+                # likelihood term count (the inv-chi^2 dof)
+                n_terms = (y_spec[1].size if y_spec[0] == "const"
+                           else int(np.prod(y_spec[2], dtype=int)))
+                zs.append((0, n_terms, kind, (mu_s, y_spec)))
                 continue
             e = entries.get(nid)
             if e is None:
@@ -486,10 +533,13 @@ def build_conditional_metric(model, frozen_offsets=None):
     Welford metric instead (correct, merely less preconditioned) and a
     warning names the coordinate."""
     groups = [g for g in eligible_groups(model) if g.get("anc")]
+    if frozen_offsets is None:
+        frozen_offsets = {g["offset"] for g in groups}
+    # the latent/mu overrides read the group's OWN scale too — only
+    # groups whose scale is actually frozen may contribute
+    groups = [g for g in groups if g["offset"] in frozen_offsets]
     if not groups:
         return None
-    if frozen_offsets is None:
-        frozen_offsets = {g["offset"] for g in eligible_groups(model)}
     ir, ncp = model.ir, model.ncp_info
     # latent overrides: (sig_off, tf, zoff, zlen, w_const, coord_obs)
     #   w_const: precomputed sum of 1/s^2 over constant-noise obs, (L,)
@@ -501,12 +551,17 @@ def build_conditional_metric(model, frozen_offsets=None):
         for zoff, zlen, mu_spec, obs_info in g["anc"]:
             w_const = np.zeros(zlen, np.float64)
             coord_obs = []
-            for y_arr, s_spec in obs_info:
+            for y_spec, s_spec in obs_info:
+                # only SHAPES matter here (term counts per latent
+                # element) — data-channel y specs carry them statically
+                y_shape = (y_spec[1].shape if y_spec[0] == "const"
+                           else y_spec[2])
                 if s_spec[0] == "const":
                     w = 1.0 / np.square(s_spec[1])
-                    w_const += w.reshape(-1, zlen).sum(axis=0)
+                    w_const += np.broadcast_to(w, y_shape).reshape(
+                        -1, zlen).sum(axis=0)
                 else:
-                    n_per = np.ones_like(y_arr).reshape(-1, zlen).sum(axis=0)
+                    n_per = np.ones(y_shape).reshape(-1, zlen).sum(axis=0)
                     coord_obs.append((s_spec[1], s_spec[2], n_per))
             if any(off not in frozen_offsets for off, _, _ in coord_obs):
                 import warnings
@@ -577,7 +632,7 @@ def build_interweave(model):
     if not groups:
         return None
 
-    def step(q, key):
+    def step(q, key, data=None):
         accepts = []
         for g in groups:
             key, kchi, kacc = jax.random.split(key, 3)
@@ -590,15 +645,16 @@ def build_interweave(model):
                 if kind == "obs_noise":
                     # sigma is an OBSERVATION noise: SSE from the
                     # observed residuals y - mean(q); pure Gibbs (the
-                    # y values are data, nothing rescales; zoff/zlen
-                    # describe the DATA, not a q segment)
-                    mu_s, y_arr = mu_spec
+                    # y values are data — inline or the runtime data
+                    # channel — nothing rescales; zoff/zlen describe
+                    # the DATA, not a q segment)
+                    mu_s, y_spec = mu_spec
                     if mu_s[0] == "const":
                         mu_v = mu_s[1]
                     else:
                         mu_v = jax.lax.dynamic_slice(
                             q, (mu_s[1],), (mu_s[2],))
-                    resid = jnp.asarray(y_arr, q.dtype) - mu_v
+                    resid = _y_runtime(y_spec, data, q.dtype) - mu_v
                     sse = sse + jnp.sum(resid * resid)
                     continue
                 zseg = jax.lax.dynamic_slice(q, (zoff,), (zlen,))
@@ -690,8 +746,8 @@ def build_interweave(model):
                         mu_v = jax.lax.dynamic_slice(
                             q, (mu_spec[1],), (mu_spec[2],))
                     z = (theta - mu_v) / sigma
-                    for y_arr, s_spec in obs_info:
-                        yb = jnp.asarray(y_arr, q.dtype)
+                    for y_spec, s_spec in obs_info:
+                        yb = _y_runtime(y_spec, data, q.dtype)
                         if s_spec[0] == "const":
                             s_val = jnp.asarray(s_spec[1], q.dtype)
                         else:

@@ -581,11 +581,26 @@ class NUTSSampler:
             mask = np.ones(self.model.size, np.float64)
             frozen = set()
             for g in eligible_groups(self.model):
+                kinds = {z[2] for z in g["zs"]}
+                # freeze ONLY scales with a sound Gibbs path: an
+                # ancillary leg (full ASIS pair) or a pure obs-noise
+                # conditional. A sufficient-leg-only group frozen
+                # without the conditional metric was measured badly
+                # miscalibrated (SBC: tau ECDF p=0.0, 8.7% divergences)
+                # — leave such scales in the NUTS dynamics instead.
+                if g.get("anc_mode") is None and kinds != {"obs_noise"}:
+                    warnings.warn(
+                        f"gibbs_scales: scale {g['sigma_id']!r} has no "
+                        "ancillary Gibbs leg (observations unavailable "
+                        "or non-Normal) — leaving it UNFROZEN; it keeps "
+                        "mixing via NUTS + the sufficient interweave "
+                        "move", stacklevel=2)
+                    continue
                 mask[g["offset"]] = 0.0
                 frozen.add(g["offset"])
-            self._freeze_mask = mask
+            self._freeze_mask = mask if frozen else None
             self._cond_metric_fn = build_conditional_metric(
-                self.model, frozen_offsets=frozen)
+                self.model, frozen_offsets=frozen) if frozen else None
         self._schedule = build_schedule(self.num_warmup, self.max_tree_depth)
         self._ft_schedule = build_schedule(
             FINE_TUNE_ITERS, self.max_tree_depth, init_buffer=FINE_TUNE_ITERS,
@@ -596,6 +611,15 @@ class NUTSSampler:
         )
 
     # ---- traced pipeline ----
+
+    def _iw_bound(self, data):
+        """The interweave step with the runtime data channel bound:
+        obs values riding the __obs_data JIT argument (D69) resolve
+        inside the Gibbs legs from THIS run's data pytree."""
+        if self._iw_fn is None:
+            return None
+        fn = self._iw_fn
+        return lambda q, k: fn(q, k, data)
 
     def _vag(self, data):
         if self.vag_builder is not None:
@@ -749,7 +773,7 @@ class NUTSSampler:
             return _pipeline_segment(
                 vag_fn, c, x_blk, self.target_accept, self.max_tree_depth,
                 self.adapt_mass, d, dtype, dense, pool_axis=pool_axis,
-                interweave_fn=self._iw_fn, rescue_axis=rescue_axis,
+                interweave_fn=self._iw_bound(data), rescue_axis=rescue_axis,
                 freeze_mask=self._freeze_mask,
                 cond_metric_fn=self._cond_metric_fn,
             )
@@ -805,7 +829,8 @@ class NUTSSampler:
             draws, stats, eps, metric, recov, resc = _run_unified(
                 vag_fn, self._ft_schedule, self.num_samples, q0, logp0,
                 grad0, key, metric, self.target_accept, self.max_tree_depth,
-                eps0=ws_eps, adapt_mass=False, interweave_fn=self._iw_fn,
+                eps0=ws_eps, adapt_mass=False,
+                interweave_fn=self._iw_bound(data),
                 freeze_mask=self._freeze_mask,
                 cond_metric_fn=self._cond_metric_fn,
             )
@@ -814,7 +839,7 @@ class NUTSSampler:
             draws, stats, eps, metric, recov, resc = _run_unified(
                 vag_fn, self._schedule, self.num_samples, q0, logp0, grad0,
                 key, metric, self.target_accept, self.max_tree_depth,
-                pool_axis=pool_axis, interweave_fn=self._iw_fn,
+                pool_axis=pool_axis, interweave_fn=self._iw_bound(data),
                 rescue_axis=rescue_axis, adapt_mass=self.adapt_mass,
                 freeze_mask=self._freeze_mask,
                 cond_metric_fn=self._cond_metric_fn,
@@ -996,7 +1021,7 @@ class NUTSSampler:
             return _pipeline_segment(
                 vag_fn, carry, xs, self.target_accept, self.max_tree_depth,
                 self.adapt_mass, d, dtype, dense, pool_axis=pool_axis,
-                interweave_fn=self._iw_fn,
+                interweave_fn=self._iw_bound(data),
                 rescue_axis="chains" if self.ensemble_rescue else None,
                 freeze_mask=self._freeze_mask,
                 cond_metric_fn=self._cond_metric_fn,

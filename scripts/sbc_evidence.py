@@ -60,6 +60,24 @@ def eight_schools_ncp():
     return Builder.obs(ir, "y_obs", "y", y), {"target_accept": 0.9}
 
 
+def eight_schools_centered_gibbs():
+    """The round-4 NUTS-within-Gibbs kernel under SBC: CENTERED
+    hierarchical Normal sampled with frozen tau + both ASIS legs +
+    conditional metric. Rank uniformity across the whole prior is the
+    definitive calibration check for the new kernel (the quadrature
+    test pins one dataset; SBC pins the pipeline)."""
+    J = 8
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "tau", dists.HalfNormal, {"sigma": 5.0})
+    ir = Builder.rv(ir, "theta", dists.Normal, {"mu": "mu", "sigma": "tau"},
+                    shape=(J,))
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "theta", "sigma": 12.5},
+                    shape=(J,))
+    return (Builder.obs(ir, "y_obs", "y", np.zeros(J)),
+            {"ncp": False, "interweave": True, "gibbs_scales": True})
+
+
 def lkj_mvn():
     d, n = 3, 20
     ir = Builder.new_ir()
@@ -107,6 +125,7 @@ def meas_obs_affine():
 MODELS = {
     "normal_loc_scale": normal_loc_scale,
     "eight_schools_ncp": eight_schools_ncp,
+    "eight_schools_centered_gibbs": eight_schools_centered_gibbs,
     "lkj_mvn": lkj_mvn,
     "zsn_anova": zsn_anova,
     "ordered_normal": ordered_normal,

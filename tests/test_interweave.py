@@ -360,7 +360,7 @@ def test_energy_recorded_post_interweave(monkeypatch):
     from exmc_tpu.nuts.sampler import clear_sampler_cache
 
     def fake_build(model):
-        def step(q, key):
+        def step(q, key, data=None):
             return q + 5.0, jnp.asarray(1.0, q.dtype)
 
         return step
