@@ -162,6 +162,8 @@ def main():
         with open(OUT) as f:
             prev = json.load(f)
         out["models"] = prev.get("models", {})
+        if "notes" in prev:
+            out["notes"] = prev["notes"]  # partial runs keep annotations
     for name in names:
         ir, opts = MODELS[name]()
         R = r_override or R_OVERRIDE.get(name, R_DEFAULT)
