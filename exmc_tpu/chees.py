@@ -1,0 +1,356 @@
+"""ChEES-HMC: adaptive-trajectory-length HMC for many vmapped chains.
+
+Hoffman, Radul & Sountsov, "An Adaptive MCMC Scheme for Setting
+Trajectory Lengths in Hamiltonian Monte Carlo" (AISTATS 2021) — the
+sampler TFP ships as its accelerator default. This has NO reference
+counterpart (the reference is single/multi-process NUTS only,
+nuts/sampler.ex) — it exists because it is the natively TPU-shaped
+transition: every chain runs the SAME jittered number of leapfrog steps
+per iteration, so a thousand vmapped chains stay in perfect lockstep on
+the MXU instead of paying NUTS's per-chain variable tree depth (under
+vmap all chains wait for the deepest tree; here the integration loop
+sits ABOVE the chain batch, one `lax.while_loop` per iteration with a
+batched leapfrog body).
+
+Cross-chain machinery, per the paper:
+
+* trajectory length T adapted by Adam on the ChEES criterion gradient
+  d/dlogT (1/4)E[(||q'-E q'||^2 - ||q-E q||^2)^2], estimated from the
+  chain batch via the endpoint-velocity identity dq'/dt = v'
+  (accept-prob-weighted, halton-jittered);
+* step size by dual averaging (shared nuts/step_size.py machinery) on
+  the HARMONIC-mean cross-chain accept prob (paper §3: the harmonic
+  mean punishes stragglers, mean accept alone lets a few chains stall);
+* diagonal metric by pooled cross-chain Welford over the same 3-phase
+  window schedule as NUTS (nuts/warmup.py; pooling = Chan merge across
+  the batch, the TPU-native trick from welford_merge_across).
+
+Jitter: one shared van-der-Corput (base-2 Halton) number per iteration
+scales the trajectory, t_i = u_i * T — required both for ergodicity at
+fixed T and to decorrelate the ChEES gradient estimates.
+
+API mirrors sample(): ``sample_chees(ir, num_chains=..., ...)`` returns
+(trace, stats) with constrained draws shaped (chains, samples, ...).
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
+from exmc_tpu.config import default_dtype
+from exmc_tpu.nuts.leapfrog import (
+    Metric,
+    kinetic_energy,
+    leapfrog,
+    sample_momentum,
+)
+from exmc_tpu.nuts.mass_matrix import (
+    WelfordState,
+    welford_finalize,
+    welford_init,
+    welford_update,
+)
+from exmc_tpu.nuts.sampler import _find_valid_init
+from exmc_tpu.nuts.step_size import (
+    da_finalize,
+    da_init,
+    da_update,
+    find_reasonable_epsilon,
+)
+from exmc_tpu.nuts.warmup import build_schedule
+
+# Adam hyperparameters for the log-trajectory-length update (paper
+# Algorithm 1 uses Adam with a small constant learning rate).
+ADAM_LR = 0.025
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
+def _halton_base2(n):
+    """First n van-der-Corput base-2 numbers in (0, 1), u_i = bitrev(i+1).
+
+    Precomputed host-side (the iteration count is static), consumed as a
+    scan input. 30 bits of reversal is plenty for <2^30 iterations."""
+    i = np.arange(1, n + 1, dtype=np.uint64)
+    u = np.zeros(n, dtype=np.float64)
+    f = 0.5
+    while i.any():
+        u += f * (i & 1)
+        i >>= 1
+        f *= 0.5
+    return u
+
+
+def _merge_welford_batch(state: WelfordState) -> WelfordState:
+    """Chan-merge a batch of per-chain Welford states (leading chain
+    axis) into one pooled state — welford_merge_across's psum logic with
+    plain batch reductions (the chain axis here is a scan-carry batch
+    dimension, not a vmap axis name)."""
+    n_tot = jnp.sum(state.n)
+    safe = jnp.maximum(n_tot, 1.0)
+    mean_tot = jnp.sum(state.n[:, None] * state.mean, axis=0) / safe
+    delta = state.mean - mean_tot[None, :]
+    corr = state.n[:, None] * delta * delta
+    m2_tot = jnp.sum(state.m2 + corr, axis=0)
+    return WelfordState(n=n_tot, mean=mean_tot, m2=m2_tot)
+
+
+def _chees_grad(q0, q1, v1, accept, tlen):
+    """Accept-weighted ChEES gradient estimate wrt log T.
+
+    Per chain m: Delta_m = ||q1-mean(q1)||^2 - ||q0-mean(q0)||^2 and
+    d||q1-mean||^2/dt = 2 <q1-mean, v1>; with t = u*T the log-T chain
+    rule contributes a factor t. The 1/4 criterion scale folds into
+    Adam's normalization."""
+    c0 = q0 - jnp.mean(q0, axis=0, keepdims=True)
+    c1 = q1 - jnp.mean(q1, axis=0, keepdims=True)
+    delta = jnp.sum(c1 * c1, axis=-1) - jnp.sum(c0 * c0, axis=-1)
+    dirn = jnp.sum(c1 * v1, axis=-1)
+    per_chain = delta * dirn * tlen
+    w = jnp.where(jnp.isfinite(per_chain), accept, 0.0)
+    per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
+    g = jnp.sum(w * per_chain) / jnp.maximum(jnp.sum(w), 1e-6)
+    # normalize by the criterion magnitude so Adam sees an O(1) signal
+    # regardless of posterior scale (TFP does the same)
+    scale = jnp.sum(w * jnp.abs(delta)) / jnp.maximum(jnp.sum(w), 1e-6)
+    return g / jnp.maximum(scale, 1e-10)
+
+
+def _harmonic_accept(accept):
+    """Harmonic-mean cross-chain accept probability (paper §3)."""
+    a = jnp.clip(accept, 1e-10, 1.0)
+    return accept.shape[0] / jnp.sum(1.0 / a)
+
+
+def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
+                 seed=0, init=None, data=None, ncp=True,
+                 target_accept=0.651, max_num_steps=1024,
+                 return_unconstrained=False):
+    """Many-chain ChEES-HMC. Returns (trace, stats) like sample().
+
+    ``target_accept`` defaults to the paper's 0.651 (optimal for HMC
+    with long trajectories, not NUTS's 0.8). ``max_num_steps`` caps the
+    per-iteration leapfrog count (guards the early-warmup regime where
+    eps is tiny and T still large).
+
+    stats: accept_prob/logp/energy/diverging are (chains, samples);
+    step_size, trajectory_length, inv_mass, num_steps_mean are the
+    frozen post-warmup tuning.
+    """
+    if num_chains < 2:
+        raise ValueError("ChEES adaptation needs >= 2 chains for the "
+                         "cross-chain criterion (use sample() for 1)")
+    model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
+    if data is None:
+        data = model.data if isinstance(ir, CompiledModel) else ir.data
+    d = model.size
+    if d == 0:
+        return {}, {"note": "model has no free parameters"}
+    dtype = default_dtype()
+
+    vag = model.value_and_grad
+
+    def vag_fn(q):
+        return vag(q, data)
+
+    total = num_warmup + num_samples
+    schedule = build_schedule(num_warmup, max_depth=10)
+    halton = _halton_base2(total)
+
+    xs = {
+        "u": jnp.asarray(halton, dtype),
+        "warmup": jnp.arange(total) < num_warmup,
+        "update_mass": jnp.concatenate([
+            jnp.asarray(schedule.update_mass),
+            jnp.zeros(num_samples, bool)]),
+        "window_end": jnp.concatenate([
+            jnp.asarray(schedule.window_end),
+            jnp.zeros(num_samples, bool)]),
+        "i": jnp.arange(total),
+    }
+
+    base = jax.random.PRNGKey(seed)
+
+    def _one_init(k, qi):
+        return _find_valid_init(vag_fn, k, d, dtype, qi)
+
+    init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains))
+    if init is not None:
+        flat0 = model.unconstrain(init).astype(dtype)
+        q_inits = jnp.broadcast_to(flat0, (num_chains, d))
+    else:
+        q_inits = None
+
+    @partial(jax.jit, static_argnames=())
+    def run(q_inits, init_keys):
+        if q_inits is None:
+            q0, logp0, grad0, keys = jax.vmap(
+                lambda k: _find_valid_init(vag_fn, k, d, dtype))(init_keys)
+        else:
+            q0, logp0, grad0, keys = jax.vmap(_one_init)(init_keys, q_inits)
+
+        inv0 = jnp.ones((d,), dtype)
+        metric0 = Metric(inv=inv0, chol_inv=jnp.sqrt(inv0))
+        eps0 = find_reasonable_epsilon(
+            vag_fn, q0[0], logp0[0], grad0[0],
+            jax.random.fold_in(base, 424_243), metric0)
+        da0 = da_init(eps0)
+        # start T at one reasonable-eps trajectory of ~8 steps
+        logT0 = jnp.log(8.0 * eps0)
+
+        carry = dict(
+            q=q0, logp=logp0, grad=grad0, keys=keys,
+            da=da0, logT=logT0, logT_bar=logT0,
+            adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
+            adam_t=jnp.zeros((), dtype),
+            inv=inv0,
+            wf=jax.vmap(lambda _: welford_init(d, dtype=dtype))(
+                jnp.arange(num_chains)),
+        )
+
+        def step(carry, x):
+            metric = Metric(inv=carry["inv"], chol_inv=jnp.sqrt(carry["inv"]))
+            in_warmup = x["warmup"]
+            eps = jnp.where(in_warmup, jnp.exp(carry["da"].log_eps),
+                            da_finalize(carry["da"]))
+            T = jnp.where(in_warmup, jnp.exp(carry["logT"]),
+                          jnp.exp(carry["logT_bar"]))
+            tlen = x["u"] * T
+            L = jnp.clip(jnp.ceil(tlen / eps).astype(jnp.int32),
+                         1, max_num_steps)
+            tlen = L.astype(dtype) * eps  # the length actually integrated
+
+            keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, x["i"]))(carry["keys"])
+            mom_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+            acc_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+
+            p0 = jax.vmap(lambda k: sample_momentum(k, metric, d))(mom_keys)
+            ke0 = jax.vmap(lambda p: kinetic_energy(metric, p))(p0)
+            joint0 = carry["logp"] - ke0
+
+            lf = jax.vmap(
+                lambda q, p, g: leapfrog(vag_fn, q, p, g, eps, metric))
+
+            def lf_cond(s):
+                return s[0] < L
+
+            def lf_body(s):
+                i, q, p, logp, grad = s
+                q, p, logp, grad = lf(q, p, grad)
+                return i + 1, q, p, logp, grad
+
+            _, q1, p1, logp1, grad1 = jax.lax.while_loop(
+                lf_cond, lf_body,
+                (jnp.zeros((), jnp.int32), carry["q"], p0,
+                 carry["logp"], carry["grad"]))
+
+            ke1 = jax.vmap(lambda p: kinetic_energy(metric, p))(p1)
+            joint1 = logp1 - ke1
+            delta = joint1 - joint0
+            delta = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
+            accept_prob = jnp.exp(jnp.minimum(delta, 0.0))
+            diverging = delta < -1000.0
+
+            un = jax.vmap(lambda k: jax.random.uniform(k))(acc_keys)
+            take = un < accept_prob
+            q_new = jnp.where(take[:, None], q1, carry["q"])
+            logp_new = jnp.where(take, logp1, carry["logp"])
+            grad_new = jnp.where(take[:, None], grad1, carry["grad"])
+            energy = -jnp.where(take, joint1, joint0)
+
+            # --- trajectory-length adaptation (warmup only) ---
+            v1 = jax.vmap(lambda p: metric.inv * p)(p1)
+            g = _chees_grad(carry["q"], q1, v1, accept_prob, tlen)
+            t_adam = carry["adam_t"] + 1.0
+            m = ADAM_B1 * carry["adam_m"] + (1 - ADAM_B1) * g
+            v = ADAM_B2 * carry["adam_v"] + (1 - ADAM_B2) * g * g
+            m_hat = m / (1 - ADAM_B1 ** t_adam)
+            v_hat = v / (1 - ADAM_B2 ** t_adam)
+            logT_prop = carry["logT"] + ADAM_LR * m_hat / (
+                jnp.sqrt(v_hat) + ADAM_EPS)
+            logT_prop = jnp.clip(
+                logT_prop, jnp.log(eps),
+                jnp.log(eps * (max_num_steps - 1)))
+            logT = jnp.where(in_warmup, logT_prop, carry["logT"])
+            eta = (t_adam + 10.0) ** -0.75  # DA-style iterate averaging
+            logT_bar = jnp.where(
+                in_warmup,
+                eta * logT + (1 - eta) * carry["logT_bar"],
+                carry["logT_bar"])
+
+            # --- step-size adaptation (warmup only) ---
+            da_new = da_update(carry["da"], _harmonic_accept(accept_prob),
+                               target_accept)
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_warmup, b, a), carry["da"], da_new)
+
+            # --- pooled metric adaptation at window ends ---
+            wf = jax.vmap(
+                lambda s, qq, en: welford_update(s, qq, enabled=en)
+            )(carry["wf"], q_new, jnp.broadcast_to(
+                x["update_mass"], (num_chains,)) & ~diverging)
+            pooled = _merge_welford_batch(wf)
+            inv_f = welford_finalize(pooled, carry["inv"])
+            inv = jnp.where(x["window_end"], inv_f, carry["inv"])
+            wf = jax.tree_util.tree_map(
+                lambda fresh, cur: jnp.where(x["window_end"], fresh, cur),
+                jax.vmap(lambda _: welford_init(d, dtype=dtype))(
+                    jnp.arange(num_chains)),
+                wf)
+
+            new_carry = dict(
+                q=q_new, logp=logp_new, grad=grad_new, keys=carry["keys"],
+                da=da, logT=logT, logT_bar=logT_bar,
+                adam_m=jnp.where(in_warmup, m, carry["adam_m"]),
+                adam_v=jnp.where(in_warmup, v, carry["adam_v"]),
+                adam_t=jnp.where(in_warmup, t_adam, carry["adam_t"]),
+                inv=inv, wf=wf,
+            )
+            out = dict(q=q_new, logp=logp_new, accept_prob=accept_prob,
+                       diverging=diverging, energy=energy,
+                       num_steps=L)
+            return new_carry, out
+
+        carry, outs = jax.lax.scan(step, carry, xs)
+        tuning = dict(step_size=da_finalize(carry["da"]),
+                      trajectory_length=jnp.exp(carry["logT_bar"]),
+                      inv_mass=carry["inv"])
+        return outs, tuning
+
+    outs, tuning = run(q_inits, init_keys)
+
+    # scan outputs are (iters, chains, ...); keep post-warmup, chains-first
+    def post(a):
+        return np.moveaxis(np.asarray(a[num_warmup:]), 0, 1)
+
+    draws = post(outs["q"])
+    stats = {
+        "logp": post(outs["logp"]),
+        "accept_prob": post(outs["accept_prob"]),
+        "diverging": post(outs["diverging"]),
+        "energy": post(outs["energy"]),
+        "step_size": np.asarray(tuning["step_size"]),
+        "trajectory_length": np.asarray(tuning["trajectory_length"]),
+        "inv_mass": np.asarray(tuning["inv_mass"]),
+        "num_steps_mean": float(np.asarray(
+            outs["num_steps"][num_warmup:]).mean()),
+    }
+    stats["divergences"] = stats["diverging"].sum(axis=-1)
+
+    if return_unconstrained:
+        return draws, stats
+    flat = draws.reshape(-1, d)
+    named = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(
+        jnp.asarray(flat, dtype))
+    trace = {
+        k: np.asarray(v).reshape((num_chains, num_samples) + v.shape[1:])
+        for k, v in named.items()
+    }
+    return trace, stats
