@@ -1,0 +1,102 @@
+"""ChEES vs NUTS at scale: the lockstep dividend, measured (D-T29).
+
+Two models, each sampled by 4-chain-style NUTS (vmap, pooled
+adaptation) and by ChEES at rising chain counts:
+
+* ``scaled32``  — 32-dim Gaussian, sds 1..10: trajectory length
+  matters, tree depth is homogeneous (NUTS's best case);
+* ``eight_schools`` (NCP) — the capacity-bench model: tree depth is
+  heterogeneous across chains, which is exactly where vmapped NUTS
+  pays the deepest-tree straggler and ChEES does not.
+
+Writes CHEES_BENCH.json. Run on-chip via scripts/onchip_rerun.py;
+runs on CPU too (any backend jax selects).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from exmc_tpu import Model, dists
+from exmc_tpu.chees import sample_chees
+from exmc_tpu.diagnostics import ess, rhat
+from exmc_tpu.nuts.sampler import sample
+
+
+def scaled32_ir():
+    sds = np.linspace(1.0, 10.0, 32)
+    with Model() as m:
+        m.rv("x", dists.Normal, {"mu": np.zeros(32), "sigma": sds},
+             shape=(32,))
+    return m.ir
+
+
+def eight_schools_ir():
+    from bench import eight_schools_ir as f
+
+    return f()
+
+
+def _min_ess_max_rhat(trace):
+    es, rs = [], []
+    for v in trace.values():
+        a = np.asarray(v)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        for i in range(a.shape[-1]):
+            es.append(float(ess(a[:, :, i])))
+            rs.append(float(rhat(a[:, :, i])))
+    return min(es), max(rs)
+
+
+def run_one(name, ir, chains, warm, draws):
+    rows = []
+    for engine in ("nuts", "chees"):
+        for c in chains:
+            if engine == "nuts":
+                fn = lambda seed: sample(
+                    ir, num_chains=c, num_warmup=warm, num_samples=draws,
+                    seed=seed, pooled_adaptation=True)
+            else:
+                fn = lambda seed: sample_chees(
+                    ir, num_chains=c, num_warmup=warm, num_samples=draws,
+                    seed=seed)
+            fn(0)  # compile
+            t0 = time.time()
+            trace, stats = fn(1)
+            wall = time.time() - t0
+            min_ess, max_rhat = _min_ess_max_rhat(trace)
+            row = {
+                "model": name, "engine": engine, "chains": c,
+                "platform": jax.default_backend(),
+                "wall_s": round(wall, 2),
+                "draws_per_s": round(c * draws / wall, 0),
+                "min_ess": round(min_ess, 0),
+                "min_ess_per_s": round(min_ess / wall, 0),
+                "max_rhat": round(max_rhat, 4),
+                "div": int(np.asarray(stats["diverging"]).sum()),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    return rows
+
+
+def main():
+    chains = [int(c) for c in sys.argv[1:]] or [64, 256, 1024]
+    out = []
+    out += run_one("scaled32", scaled32_ir(), chains, 500, 500)
+    out += run_one("eight_schools", eight_schools_ir(), chains, 500, 500)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CHEES_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote CHEES_BENCH.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

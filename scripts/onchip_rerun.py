@@ -29,6 +29,8 @@ JOBS = [
      [sys.executable, "scripts/sbc_evidence.py"], 10800),
     ("AOT executable serialization probe",
      [sys.executable, "scripts/aot_serialize_bench.py"], 3600),
+    ("ChEES vs NUTS lockstep dividend (D-T29)",
+     [sys.executable, "scripts/chees_bench.py"], 7200),
     ("validation battery (44 golds)",
      [sys.executable, "scripts/run_validation.py"], 7200),
 ]

@@ -46,6 +46,7 @@ EXAMPLES = [
     "36_cyber_anomaly_sampling.py",
     "37_cyber_mcmc_traffic.py",
     "38_stan_translations.py",
+    "39_chees_many_chains.py",
 ]
 
 
