@@ -129,7 +129,7 @@ def _harmonic_accept(accept):
 
 def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
                  seed=0, init=None, data=None, ncp=True,
-                 target_accept=0.651, max_num_steps=1024,
+                 target_accept=0.651, max_num_steps=1024, mesh=None,
                  return_unconstrained=False):
     """Many-chain ChEES-HMC. Returns (trace, stats) like sample().
 
@@ -137,6 +137,15 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
     with long trajectories, not NUTS's 0.8). ``max_num_steps`` caps the
     per-iteration leapfrog count (guards the early-warmup regime where
     eps is tiny and T still large).
+
+    ``mesh``: a jax Mesh with a "dp" axis — the chain batch shards
+    across it (GSPMD: the init arrays are placed with
+    ``P("dp")`` and XLA propagates the sharding through the scan,
+    turning the cross-chain reductions — ChEES-criterion means,
+    harmonic accept, pooled-Welford merge — into ICI collectives).
+    Every chain still runs the same leapfrog count per iteration, so
+    the lockstep property survives sharding: this is the multichip
+    many-chain path (cf. parallel.sample_chains_sharded for NUTS).
 
     stats: accept_prob/logp/energy/diverging are (chains, samples);
     step_size, trajectory_length, inv_mass, num_steps_mean are the
@@ -186,6 +195,18 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
         q_inits = jnp.broadcast_to(flat0, (num_chains, d))
     else:
         q_inits = None
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        if num_chains % dp != 0:
+            raise ValueError(
+                f"num_chains={num_chains} not divisible by dp={dp}")
+        chain_sharded = NamedSharding(mesh, P("dp"))
+        init_keys = jax.device_put(init_keys, chain_sharded)
+        if q_inits is not None:
+            q_inits = jax.device_put(q_inits, chain_sharded)
 
     @partial(jax.jit, static_argnames=())
     def run(q_inits, init_keys):

@@ -78,6 +78,30 @@ def test_chees_adapts_trajectory_on_wide_scales(rng):
     )
 
 
+def test_chees_sharded_over_dp_mesh():
+    # chain batch sharded over the 8-device virtual mesh: GSPMD turns
+    # the cross-chain reductions (ChEES grad, harmonic accept, pooled
+    # Welford) into collectives. Tuning is not bit-identical to the
+    # unsharded run (f32 reduction order feeds back through Adam), but
+    # posterior correctness must hold.
+    from exmc_tpu.parallel import make_mesh
+
+    sds = np.linspace(1.0, 8.0, 8)
+    with Model() as m:
+        m.rv("x", dists.Normal, {"mu": np.zeros(8), "sigma": sds}, shape=(8,))
+    mesh = make_mesh(8)
+    trace, stats = sample_chees(
+        m.ir, num_chains=32, num_warmup=300, num_samples=300, seed=2,
+        mesh=mesh,
+    )
+    x = trace["x"]
+    assert max(rhat(x[:, :, i]) for i in range(8)) < 1.01
+    assert stats["divergences"].sum() == 0
+    np.testing.assert_allclose(x.reshape(-1, 8).std(axis=0), sds, rtol=0.2)
+    with pytest.raises(ValueError, match="divisible"):
+        sample_chees(m.ir, num_chains=12, mesh=mesh)
+
+
 def test_chees_needs_two_chains():
     with Model() as m:
         m.rv("x", dists.Normal, {"mu": 0.0, "sigma": 1.0})
