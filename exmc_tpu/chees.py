@@ -33,9 +33,6 @@ API mirrors sample(): ``sample_chees(ir, num_chains=..., ...)`` returns
 (trace, stats) with constrained draws shaped (chains, samples, ...).
 """
 
-import math
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -162,31 +159,11 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
         return {}, {"note": "model has no free parameters"}
     dtype = default_dtype()
 
-    vag = model.value_and_grad
-
-    def vag_fn(q):
-        return vag(q, data)
-
-    total = num_warmup + num_samples
-    schedule = build_schedule(num_warmup, max_depth=10)
-    halton = _halton_base2(total)
-
-    xs = {
-        "u": jnp.asarray(halton, dtype),
-        "warmup": jnp.arange(total) < num_warmup,
-        "update_mass": jnp.concatenate([
-            jnp.asarray(schedule.update_mass),
-            jnp.zeros(num_samples, bool)]),
-        "window_end": jnp.concatenate([
-            jnp.asarray(schedule.window_end),
-            jnp.zeros(num_samples, bool)]),
-        "i": jnp.arange(total),
-    }
+    run = _build_kernel(model, num_chains, num_warmup, num_samples,
+                        target_accept, max_num_steps)
 
     base = jax.random.PRNGKey(seed)
-
-    def _one_init(k, qi):
-        return _find_valid_init(vag_fn, k, d, dtype, qi)
+    eps_key = jax.random.fold_in(base, 424_243)
 
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.fold_in(base, 10_000_019), jnp.arange(num_chains))
@@ -208,19 +185,81 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
         if q_inits is not None:
             q_inits = jax.device_put(q_inits, chain_sharded)
 
-    @partial(jax.jit, static_argnames=())
-    def run(q_inits, init_keys):
+    outs, tuning = jax.jit(run)(q_inits, init_keys, data, eps_key)
+
+    # scan outputs are (iters, chains, ...); keep post-warmup, chains-first
+    def post(a):
+        return np.moveaxis(np.asarray(a[num_warmup:]), 0, 1)
+
+    draws = post(outs["q"])
+    stats = {
+        "logp": post(outs["logp"]),
+        "accept_prob": post(outs["accept_prob"]),
+        "diverging": post(outs["diverging"]),
+        "energy": post(outs["energy"]),
+        "step_size": np.asarray(tuning["step_size"]),
+        "trajectory_length": np.asarray(tuning["trajectory_length"]),
+        "inv_mass": np.asarray(tuning["inv_mass"]),
+        "num_steps_mean": float(np.asarray(
+            outs["num_steps"][num_warmup:]).mean()),
+    }
+    stats["divergences"] = stats["diverging"].sum(axis=-1)
+
+    if return_unconstrained:
+        return draws, stats
+    flat = draws.reshape(-1, d)
+    named = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(
+        jnp.asarray(flat, dtype))
+    trace = {
+        k: np.asarray(v).reshape((num_chains, num_samples) + v.shape[1:])
+        for k, v in named.items()
+    }
+    return trace, stats
+
+
+def _build_kernel(model, num_chains, num_warmup, num_samples,
+                  target_accept, max_num_steps):
+    """Build the traceable ChEES kernel:
+    ``run(q_inits, init_keys, data, eps_key) -> (outs, tuning)``.
+
+    Pure (no jit inside) so callers compose it: ``sample_chees`` jits
+    it directly; ``sbc(engine="chees")`` vmaps it over replications,
+    each with its own synthetic dataset riding the ``data`` argument
+    (the data-as-JIT-argument channel, D69/D-T27)."""
+    d = model.size
+    dtype = default_dtype()
+    vag = model.value_and_grad
+    total = num_warmup + num_samples
+    schedule = build_schedule(num_warmup, max_depth=10)
+    halton = _halton_base2(total)
+    xs = {
+        "u": jnp.asarray(halton, dtype),
+        "warmup": jnp.arange(total) < num_warmup,
+        "update_mass": jnp.concatenate([
+            jnp.asarray(schedule.update_mass),
+            jnp.zeros(num_samples, bool)]),
+        "window_end": jnp.concatenate([
+            jnp.asarray(schedule.window_end),
+            jnp.zeros(num_samples, bool)]),
+        "i": jnp.arange(total),
+    }
+
+    def run(q_inits, init_keys, data, eps_key):
+        def vag_fn(q):
+            return vag(q, data)
+
         if q_inits is None:
             q0, logp0, grad0, keys = jax.vmap(
                 lambda k: _find_valid_init(vag_fn, k, d, dtype))(init_keys)
         else:
-            q0, logp0, grad0, keys = jax.vmap(_one_init)(init_keys, q_inits)
+            q0, logp0, grad0, keys = jax.vmap(
+                lambda k, qi: _find_valid_init(vag_fn, k, d, dtype, qi)
+            )(init_keys, q_inits)
 
         inv0 = jnp.ones((d,), dtype)
         metric0 = Metric(inv=inv0, chol_inv=jnp.sqrt(inv0))
         eps0 = find_reasonable_epsilon(
-            vag_fn, q0[0], logp0[0], grad0[0],
-            jax.random.fold_in(base, 424_243), metric0)
+            vag_fn, q0[0], logp0[0], grad0[0], eps_key, metric0)
         da0 = da_init(eps0)
         # start T at one reasonable-eps trajectory of ~8 steps
         logT0 = jnp.log(8.0 * eps0)
@@ -345,33 +384,4 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
                       inv_mass=carry["inv"])
         return outs, tuning
 
-    outs, tuning = run(q_inits, init_keys)
-
-    # scan outputs are (iters, chains, ...); keep post-warmup, chains-first
-    def post(a):
-        return np.moveaxis(np.asarray(a[num_warmup:]), 0, 1)
-
-    draws = post(outs["q"])
-    stats = {
-        "logp": post(outs["logp"]),
-        "accept_prob": post(outs["accept_prob"]),
-        "diverging": post(outs["diverging"]),
-        "energy": post(outs["energy"]),
-        "step_size": np.asarray(tuning["step_size"]),
-        "trajectory_length": np.asarray(tuning["trajectory_length"]),
-        "inv_mass": np.asarray(tuning["inv_mass"]),
-        "num_steps_mean": float(np.asarray(
-            outs["num_steps"][num_warmup:]).mean()),
-    }
-    stats["divergences"] = stats["diverging"].sum(axis=-1)
-
-    if return_unconstrained:
-        return draws, stats
-    flat = draws.reshape(-1, d)
-    named = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(
-        jnp.asarray(flat, dtype))
-    trace = {
-        k: np.asarray(v).reshape((num_chains, num_samples) + v.shape[1:])
-        for k, v in named.items()
-    }
-    return trace, stats
+    return run

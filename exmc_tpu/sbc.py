@@ -132,7 +132,8 @@ def ecdf_ks(ranks, L, num_sims=2000, seed=0):
 
 
 def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
-        thin=10, seed=0, ncp=True, num_bins=20, **sampler_opts):
+        thin=10, seed=0, ncp=True, num_bins=20, engine="nuts",
+        chees_chains=8, **sampler_opts):
     """Run SBC for ``ir`` (any number of obs/meas_obs nodes; the
     replication axis rides a dict-valued ``__obs_data`` JIT argument,
     one entry per obs node — VERDICT r3 item 4a extended the original
@@ -151,7 +152,13 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
 
     A healthy pipeline gives min_p comfortably above a Bonferroni-style
     threshold; systematic bias shows as U/∩-shaped or shifted rank
-    histograms (Talts et al. 2018 fig. 2)."""
+    histograms (Talts et al. 2018 fig. 2).
+
+    ``engine="chees"`` calibrates the ChEES-HMC kernel (D-T29) instead:
+    each replication runs its own ``chees_chains``-chain batch (the
+    cross-chain adaptation needs >= 2 chains), vmapped over
+    replications; ranks pool the thinned draws across the batch, so
+    L = chees_chains * num_samples/thin."""
     from exmc_tpu.nuts.sampler import _init_position, _make_sampler
 
     obs_nodes = _obs_nodes(ir)
@@ -179,32 +186,67 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             lambda a: jnp.broadcast_to(
                 jnp.asarray(a), (num_replications,) + np.asarray(a).shape),
             ir2.data["__base"])
-    sampler = _make_sampler(
-        ir2, ncp=ncp, num_warmup=num_warmup, num_samples=num_samples,
-        ensemble_rescue=False, pooled_adaptation=False, **sampler_opts)
-    rw_ir, pm = sampler.model.ir, sampler.model.pm
-    d = sampler.model.size
-    dtype = default_dtype()
-
-    base = jax.random.PRNGKey(seed + 2)
-    keys = jax.random.split(base, num_replications)
-    q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(keys)
-    keys = jax.vmap(lambda k: jax.random.fold_in(k, 7919))(keys)
-
-    ws_eps = jnp.ones((), dtype)
-    ws_inv = jnp.ones((d,), dtype)
-
     thinned = slice(thin - 1, None, thin)
+    draws_per_rep = num_samples
 
-    def one(data_r, qi, key):
-        draws, stats, _ = sampler._one_chain(
-            data_r, qi, key, False, ws_eps, ws_inv)
-        sub = draws[thinned]  # (L, d)
-        named = jax.vmap(
-            lambda f: constrain_flat(rw_ir, pm, f, data_r))(sub)
-        return named, stats["diverging"].sum()
+    if engine == "nuts":
+        sampler = _make_sampler(
+            ir2, ncp=ncp, num_warmup=num_warmup, num_samples=num_samples,
+            ensemble_rescue=False, pooled_adaptation=False, **sampler_opts)
+        rw_ir, pm = sampler.model.ir, sampler.model.pm
+        d = sampler.model.size
+        dtype = default_dtype()
 
-    named, div = jax.jit(jax.vmap(one))(y_batch, q_inits, keys)
+        base = jax.random.PRNGKey(seed + 2)
+        keys = jax.random.split(base, num_replications)
+        q_inits = jax.vmap(lambda k: _init_position(k, d, dtype))(keys)
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 7919))(keys)
+
+        ws_eps = jnp.ones((), dtype)
+        ws_inv = jnp.ones((d,), dtype)
+
+        def one(data_r, qi, key):
+            draws, stats, _ = sampler._one_chain(
+                data_r, qi, key, False, ws_eps, ws_inv)
+            sub = draws[thinned]  # (L, d)
+            named = jax.vmap(
+                lambda f: constrain_flat(rw_ir, pm, f, data_r))(sub)
+            return named, stats["diverging"].sum()
+
+        named, div = jax.jit(jax.vmap(one))(y_batch, q_inits, keys)
+    elif engine == "chees":
+        from exmc_tpu.chees import _build_kernel
+
+        if sampler_opts:
+            raise TypeError(
+                f"engine='chees' takes no sampler options, got "
+                f"{sorted(sampler_opts)}")
+        model2 = compile_logp(ir2, ncp=ncp)
+        kernel = _build_kernel(
+            model2, chees_chains, num_warmup, num_samples,
+            target_accept=0.651, max_num_steps=1024)
+        rw_ir, pm = model2.ir, model2.pm
+        d = model2.size
+        draws_per_rep = num_samples * chees_chains
+
+        base = jax.random.PRNGKey(seed + 2)
+        rep_keys = jax.random.split(base, num_replications)
+        init_keys = jax.vmap(
+            lambda k: jax.random.split(k, chees_chains))(rep_keys)
+        eps_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 424_243))(rep_keys)
+
+        def one(data_r, ik, ek):
+            outs, _ = kernel(None, ik, data_r, ek)
+            sub = outs["q"][num_warmup:][thinned]  # (L/M, M, d)
+            named = jax.vmap(
+                lambda f: constrain_flat(rw_ir, pm, f, data_r)
+            )(sub.reshape(-1, d))
+            return named, outs["diverging"][num_warmup:].sum()
+
+        named, div = jax.jit(jax.vmap(one))(y_batch, init_keys, eps_keys)
+    else:
+        raise ValueError(f"unknown engine {engine!r} (nuts|chees)")
     L = int(np.asarray(named[names[0]]).shape[1])
 
     ranks, chi2, ecdf = {}, {}, {}
@@ -234,5 +276,5 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
         "min_p": min(p for _, p in chi2.values()),
         "min_ecdf_p": min(p for _, p in ecdf.values()),
         "divergence_rate": float(np.asarray(div).sum())
-        / (num_replications * num_samples),
+        / (num_replications * draws_per_rep),
     }

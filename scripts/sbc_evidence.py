@@ -122,6 +122,18 @@ def meas_obs_affine():
     return Builder.obs(ir, "y_obs", "yd", np.zeros(12)), {}
 
 
+def chees_normal_loc_scale():
+    """ChEES-HMC kernel (D-T29) under SBC: 4 chains per replication,
+    ranks pooled across the batch (L = 4 x 100)."""
+    ir, _ = normal_loc_scale()
+    return ir, {"engine": "chees", "chees_chains": 4}
+
+
+def chees_eight_schools_ncp():
+    ir, _ = eight_schools_ncp()
+    return ir, {"engine": "chees", "chees_chains": 4}
+
+
 MODELS = {
     "normal_loc_scale": normal_loc_scale,
     "eight_schools_ncp": eight_schools_ncp,
@@ -130,7 +142,16 @@ MODELS = {
     "zsn_anova": zsn_anova,
     "ordered_normal": ordered_normal,
     "meas_obs_affine": meas_obs_affine,
+    "chees_normal_loc_scale": chees_normal_loc_scale,
+    "chees_eight_schools_ncp": chees_eight_schools_ncp,
 }
+
+R_OVERRIDE.update({
+    # 4 chains/replication: R=256 already gives 1024 chain runs and
+    # L=400 rank support per replication
+    "chees_normal_loc_scale": 256,
+    "chees_eight_schools_ncp": 256,
+})
 
 OUT = "SBC_r04.json"
 
@@ -172,6 +193,7 @@ def main():
                 thin=10, seed=0, **opts)
         wall = time.time() - t0
         row = {
+            "engine": opts.get("engine", "nuts"),
             "wall_s_incl_compile": round(wall, 1),
             "L": r["L"],
             "num_replications": r["num_replications"],

@@ -102,6 +102,29 @@ def test_chees_sharded_over_dp_mesh():
         sample_chees(m.ir, num_chains=12, mesh=mesh)
 
 
+def test_chees_sbc_calibrated(rng):
+    # Talts rank-uniformity on the ChEES kernel at smoke scale (the
+    # full R=256 evidence lives in SBC_r04.json via sbc_evidence.py):
+    # a biased trajectory-length/step-size/metric scheme shifts ranks.
+    from exmc_tpu.sbc import sbc as run_sbc
+
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 2.0})
+        m.rv("sigma", dists.HalfNormal, {"sigma": 1.5})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+        m.obs("y_obs", "y", np.zeros(20))
+    res = run_sbc(m.ir, num_replications=64, num_warmup=200,
+                  num_samples=200, thin=10, seed=0, engine="chees",
+                  chees_chains=4)
+    assert res["L"] == 80  # 4 chains x 20 thinned draws
+    assert res["min_ecdf_p"] > 0.01
+    assert res["divergence_rate"] < 0.001
+    with pytest.raises(TypeError, match="no sampler options"):
+        run_sbc(m.ir, engine="chees", target_accept=0.9)
+    with pytest.raises(ValueError, match="unknown engine"):
+        run_sbc(m.ir, engine="hmc")
+
+
 def test_chees_needs_two_chains():
     with Model() as m:
         m.rv("x", dists.Normal, {"mu": 0.0, "sigma": 1.0})
