@@ -33,6 +33,8 @@ API mirrors sample(): ``sample_chees(ir, num_chains=..., ...)`` returns
 (trace, stats) with constrained draws shaped (chains, samples, ...).
 """
 
+from collections import OrderedDict
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,6 +46,7 @@ from exmc_tpu.nuts.leapfrog import (
     kinetic_energy,
     leapfrog,
     sample_momentum,
+    velocity,
 )
 from exmc_tpu.nuts.mass_matrix import (
     WelfordState,
@@ -51,7 +54,6 @@ from exmc_tpu.nuts.mass_matrix import (
     welford_init,
     welford_update,
 )
-from exmc_tpu.nuts.sampler import _find_valid_init
 from exmc_tpu.nuts.step_size import (
     da_finalize,
     da_init,
@@ -103,24 +105,40 @@ def _chees_grad(q0, q1, v1, accept, tlen):
     Per chain m: Delta_m = ||q1-mean(q1)||^2 - ||q0-mean(q0)||^2 and
     d||q1-mean||^2/dt = 2 <q1-mean, v1>; with t = u*T the log-T chain
     rule contributes a factor t. The 1/4 criterion scale folds into
-    Adam's normalization."""
-    c0 = q0 - jnp.mean(q0, axis=0, keepdims=True)
-    c1 = q1 - jnp.mean(q1, axis=0, keepdims=True)
+    Adam's normalization.
+
+    The centering means are accept-prob-WEIGHTED with non-finite
+    endpoints masked out (TFP does the same): one diverged chain's
+    inf/huge q1 must not corrupt the mean — and hence the gradient —
+    for every other chain that iteration. Weighted centering also
+    keeps the accept-weighted estimator consistent (the mean-velocity
+    cross-term cancels under the same weights)."""
+    finite = (jnp.isfinite(q1).all(axis=-1)
+              & jnp.isfinite(v1).all(axis=-1)
+              & jnp.isfinite(accept))
+    w = jnp.where(finite, accept, 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    q1z = jnp.where(finite[:, None], q1, 0.0)
+    v1z = jnp.where(finite[:, None], v1, 0.0)
+    m1 = jnp.sum(w[:, None] * q1z, axis=0) / wsum
+    m0 = jnp.sum(w[:, None] * q0, axis=0) / wsum
+    c0 = q0 - m0[None, :]
+    c1 = q1z - m1[None, :]
     delta = jnp.sum(c1 * c1, axis=-1) - jnp.sum(c0 * c0, axis=-1)
-    dirn = jnp.sum(c1 * v1, axis=-1)
+    dirn = jnp.sum(c1 * v1z, axis=-1)
     per_chain = delta * dirn * tlen
-    w = jnp.where(jnp.isfinite(per_chain), accept, 0.0)
-    per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
-    g = jnp.sum(w * per_chain) / jnp.maximum(jnp.sum(w), 1e-6)
+    g = jnp.sum(w * per_chain) / wsum
     # normalize by the criterion magnitude so Adam sees an O(1) signal
     # regardless of posterior scale (TFP does the same)
-    scale = jnp.sum(w * jnp.abs(delta)) / jnp.maximum(jnp.sum(w), 1e-6)
+    scale = jnp.sum(w * jnp.abs(delta)) / wsum
     return g / jnp.maximum(scale, 1e-10)
 
 
 def _harmonic_accept(accept):
-    """Harmonic-mean cross-chain accept probability (paper §3)."""
-    a = jnp.clip(accept, 1e-10, 1.0)
+    """Harmonic-mean cross-chain accept probability (paper §3).
+    Non-finite accepts (diverged trajectories) count as ~0."""
+    a = jnp.where(jnp.isfinite(accept), accept, 0.0)
+    a = jnp.clip(a, 1e-10, 1.0)
     return accept.shape[0] / jnp.sum(1.0 / a)
 
 
@@ -159,8 +177,9 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
         return {}, {"note": "model has no free parameters"}
     dtype = default_dtype()
 
-    run = _build_kernel(model, num_chains, num_warmup, num_samples,
-                        target_accept, max_num_steps)
+    model, run = _cached_kernel(
+        ir, model, ncp, num_chains, num_warmup, num_samples,
+        target_accept, max_num_steps)
 
     base = jax.random.PRNGKey(seed)
     eps_key = jax.random.fold_in(base, 424_243)
@@ -185,11 +204,11 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
         if q_inits is not None:
             q_inits = jax.device_put(q_inits, chain_sharded)
 
-    outs, tuning = jax.jit(run)(q_inits, init_keys, data, eps_key)
+    outs, tuning = run(q_inits, init_keys, data, eps_key)
 
-    # scan outputs are (iters, chains, ...); keep post-warmup, chains-first
+    # sampling-scan outputs are (samples, chains, ...); chains-first
     def post(a):
-        return np.moveaxis(np.asarray(a[num_warmup:]), 0, 1)
+        return np.moveaxis(np.asarray(a), 0, 1)
 
     draws = post(outs["q"])
     stats = {
@@ -200,8 +219,7 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
         "step_size": np.asarray(tuning["step_size"]),
         "trajectory_length": np.asarray(tuning["trajectory_length"]),
         "inv_mass": np.asarray(tuning["inv_mass"]),
-        "num_steps_mean": float(np.asarray(
-            outs["num_steps"][num_warmup:]).mean()),
+        "num_steps_mean": float(np.asarray(outs["num_steps"]).mean()),
     }
     stats["divergences"] = stats["diverging"].sum(axis=-1)
 
@@ -217,36 +235,81 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
     return trace, stats
 
 
+_KERNEL_CACHE = OrderedDict()
+_KERNEL_CACHE_MAX = 8
+
+
+def clear_kernel_cache():
+    _KERNEL_CACHE.clear()
+
+
+def _cached_kernel(ir, model, ncp, num_chains, num_warmup, num_samples,
+                   target_accept, max_num_steps):
+    """(model, jitted run) keyed like the NUTS sampler cache: without
+    this every ``sample_chees`` call re-traces the whole kernel (the
+    jit wraps a fresh closure per call — measured ~0.5 s/call retrace
+    on CPU, which skewed the first committed CHEES_BENCH against
+    ChEES while NUTS rode its sampler cache)."""
+    from exmc_tpu.nuts.sampler import ir_signature
+
+    if isinstance(ir, CompiledModel):
+        sig = ("model-id", id(ir))
+    else:
+        sig = ("ir", ir_signature(ir), bool(ncp))
+    key = (sig, num_chains, num_warmup, num_samples,
+           float(target_accept), int(max_num_steps),
+           np.dtype(default_dtype()).name)
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        _KERNEL_CACHE.move_to_end(key)
+        return hit
+    run = jax.jit(_build_kernel(
+        model, num_chains, num_warmup, num_samples,
+        target_accept, max_num_steps))
+    _KERNEL_CACHE[key] = (model, run)
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+        _KERNEL_CACHE.popitem(last=False)
+    return model, run
+
+
 def _build_kernel(model, num_chains, num_warmup, num_samples,
                   target_accept, max_num_steps):
     """Build the traceable ChEES kernel:
     ``run(q_inits, init_keys, data, eps_key) -> (outs, tuning)``.
 
     Pure (no jit inside) so callers compose it: ``sample_chees`` jits
-    it directly; ``sbc(engine="chees")`` vmaps it over replications,
-    each with its own synthetic dataset riding the ``data`` argument
-    (the data-as-JIT-argument channel, D69/D-T27)."""
+    it (via _cached_kernel); ``sbc(engine="chees")`` vmaps it over
+    replications, each with its own synthetic dataset riding the
+    ``data`` argument (the data-as-JIT-argument channel, D69/D-T27).
+
+    Two scans: the warmup scan carries adaptation state and emits NO
+    per-iteration outputs (at 1024 chains x large d, materializing
+    warmup draws just to slice them off costs ~warmup/samples extra
+    peak HBM); the sampling scan runs the frozen transition and emits
+    the draws. ``outs`` arrays are therefore post-warmup only,
+    (num_samples, chains, ...)."""
     d = model.size
     dtype = default_dtype()
     vag = model.value_and_grad
     total = num_warmup + num_samples
     schedule = build_schedule(num_warmup, max_depth=10)
     halton = _halton_base2(total)
-    xs = {
-        "u": jnp.asarray(halton, dtype),
-        "warmup": jnp.arange(total) < num_warmup,
-        "update_mass": jnp.concatenate([
-            jnp.asarray(schedule.update_mass),
-            jnp.zeros(num_samples, bool)]),
-        "window_end": jnp.concatenate([
-            jnp.asarray(schedule.window_end),
-            jnp.zeros(num_samples, bool)]),
-        "i": jnp.arange(total),
+    xs_warm = {
+        "u": jnp.asarray(halton[:num_warmup], dtype),
+        "update_mass": jnp.asarray(schedule.update_mass),
+        "window_end": jnp.asarray(schedule.window_end),
+        "i": jnp.arange(num_warmup),
+    }
+    xs_samp = {
+        "u": jnp.asarray(halton[num_warmup:], dtype),
+        "i": jnp.arange(num_warmup, total),
     }
 
     def run(q_inits, init_keys, data, eps_key):
         def vag_fn(q):
             return vag(q, data)
+
+        from exmc_tpu.nuts.sampler import _find_valid_init
 
         if q_inits is None:
             q0, logp0, grad0, keys = jax.vmap(
@@ -274,13 +337,9 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
                 jnp.arange(num_chains)),
         )
 
-        def step(carry, x):
+        def transition(carry, x, eps, T):
+            """One jittered-trajectory HMC move for the whole batch."""
             metric = Metric(inv=carry["inv"], chol_inv=jnp.sqrt(carry["inv"]))
-            in_warmup = x["warmup"]
-            eps = jnp.where(in_warmup, jnp.exp(carry["da"].log_eps),
-                            da_finalize(carry["da"]))
-            T = jnp.where(in_warmup, jnp.exp(carry["logT"]),
-                          jnp.exp(carry["logT_bar"]))
             tlen = x["u"] * T
             L = jnp.clip(jnp.ceil(tlen / eps).astype(jnp.int32),
                          1, max_num_steps)
@@ -325,37 +384,42 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
             grad_new = jnp.where(take[:, None], grad1, carry["grad"])
             energy = -jnp.where(take, joint1, joint0)
 
-            # --- trajectory-length adaptation (warmup only) ---
-            v1 = jax.vmap(lambda p: metric.inv * p)(p1)
-            g = _chees_grad(carry["q"], q1, v1, accept_prob, tlen)
+            move = dict(q=q_new, logp=logp_new, grad=grad_new,
+                        accept_prob=accept_prob, diverging=diverging,
+                        energy=energy, num_steps=L, metric=metric,
+                        q1=q1, p1=p1, tlen=tlen)
+            return move
+
+        def warm_step(carry, x):
+            eps = jnp.exp(carry["da"].log_eps)
+            T = jnp.exp(carry["logT"])
+            mv = transition(carry, x, eps, T)
+
+            # --- trajectory-length adaptation ---
+            v1 = jax.vmap(lambda p: velocity(mv["metric"], p))(mv["p1"])
+            g = _chees_grad(carry["q"], mv["q1"], v1, mv["accept_prob"],
+                            mv["tlen"])
             t_adam = carry["adam_t"] + 1.0
             m = ADAM_B1 * carry["adam_m"] + (1 - ADAM_B1) * g
             v = ADAM_B2 * carry["adam_v"] + (1 - ADAM_B2) * g * g
             m_hat = m / (1 - ADAM_B1 ** t_adam)
             v_hat = v / (1 - ADAM_B2 ** t_adam)
-            logT_prop = carry["logT"] + ADAM_LR * m_hat / (
+            logT = carry["logT"] + ADAM_LR * m_hat / (
                 jnp.sqrt(v_hat) + ADAM_EPS)
-            logT_prop = jnp.clip(
-                logT_prop, jnp.log(eps),
-                jnp.log(eps * (max_num_steps - 1)))
-            logT = jnp.where(in_warmup, logT_prop, carry["logT"])
+            logT = jnp.clip(
+                logT, jnp.log(eps), jnp.log(eps * (max_num_steps - 1)))
             eta = (t_adam + 10.0) ** -0.75  # DA-style iterate averaging
-            logT_bar = jnp.where(
-                in_warmup,
-                eta * logT + (1 - eta) * carry["logT_bar"],
-                carry["logT_bar"])
+            logT_bar = eta * logT + (1 - eta) * carry["logT_bar"]
 
-            # --- step-size adaptation (warmup only) ---
-            da_new = da_update(carry["da"], _harmonic_accept(accept_prob),
-                               target_accept)
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_warmup, b, a), carry["da"], da_new)
+            # --- step-size adaptation ---
+            da = da_update(carry["da"], _harmonic_accept(mv["accept_prob"]),
+                           target_accept)
 
             # --- pooled metric adaptation at window ends ---
             wf = jax.vmap(
                 lambda s, qq, en: welford_update(s, qq, enabled=en)
-            )(carry["wf"], q_new, jnp.broadcast_to(
-                x["update_mass"], (num_chains,)) & ~diverging)
+            )(carry["wf"], mv["q"], jnp.broadcast_to(
+                x["update_mass"], (num_chains,)) & ~mv["diverging"])
             pooled = _merge_welford_batch(wf)
             inv_f = welford_finalize(pooled, carry["inv"])
             inv = jnp.where(x["window_end"], inv_f, carry["inv"])
@@ -366,19 +430,26 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
                 wf)
 
             new_carry = dict(
-                q=q_new, logp=logp_new, grad=grad_new, keys=carry["keys"],
-                da=da, logT=logT, logT_bar=logT_bar,
-                adam_m=jnp.where(in_warmup, m, carry["adam_m"]),
-                adam_v=jnp.where(in_warmup, v, carry["adam_v"]),
-                adam_t=jnp.where(in_warmup, t_adam, carry["adam_t"]),
-                inv=inv, wf=wf,
+                q=mv["q"], logp=mv["logp"], grad=mv["grad"],
+                keys=carry["keys"], da=da, logT=logT, logT_bar=logT_bar,
+                adam_m=m, adam_v=v, adam_t=t_adam, inv=inv, wf=wf,
             )
-            out = dict(q=q_new, logp=logp_new, accept_prob=accept_prob,
-                       diverging=diverging, energy=energy,
-                       num_steps=L)
+            return new_carry, None
+
+        def samp_step(carry, x):
+            eps = da_finalize(carry["da"])
+            T = jnp.exp(carry["logT_bar"])
+            mv = transition(carry, x, eps, T)
+            new_carry = dict(carry, q=mv["q"], logp=mv["logp"],
+                             grad=mv["grad"])
+            out = dict(q=mv["q"], logp=mv["logp"],
+                       accept_prob=mv["accept_prob"],
+                       diverging=mv["diverging"], energy=mv["energy"],
+                       num_steps=mv["num_steps"])
             return new_carry, out
 
-        carry, outs = jax.lax.scan(step, carry, xs)
+        carry, _ = jax.lax.scan(warm_step, carry, xs_warm)
+        carry, outs = jax.lax.scan(samp_step, carry, xs_samp)
         tuning = dict(step_size=da_finalize(carry["da"]),
                       trajectory_length=jnp.exp(carry["logT_bar"]),
                       inv_mass=carry["inv"])

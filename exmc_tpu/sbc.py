@@ -161,6 +161,19 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     L = chees_chains * num_samples/thin."""
     from exmc_tpu.nuts.sampler import _init_position, _make_sampler
 
+    # cheap argument validation BEFORE the prior-simulation pipeline
+    if engine not in ("nuts", "chees"):
+        raise ValueError(f"unknown engine {engine!r} (nuts|chees)")
+    if engine == "chees":
+        if sampler_opts:
+            raise TypeError(
+                f"engine='chees' takes no sampler options, got "
+                f"{sorted(sampler_opts)}")
+        if chees_chains < 2:
+            raise ValueError(
+                "chees_chains must be >= 2 (the ChEES criterion is "
+                "cross-chain; 1 chain degenerates to fixed-T HMC)")
+
     obs_nodes = _obs_nodes(ir)
     model0 = compile_logp(ir, ncp=ncp)
     names = [e.id for e in model0.pm.entries]
@@ -217,10 +230,6 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     elif engine == "chees":
         from exmc_tpu.chees import _build_kernel
 
-        if sampler_opts:
-            raise TypeError(
-                f"engine='chees' takes no sampler options, got "
-                f"{sorted(sampler_opts)}")
         model2 = compile_logp(ir2, ncp=ncp)
         kernel = _build_kernel(
             model2, chees_chains, num_warmup, num_samples,
@@ -237,16 +246,14 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             lambda k: jax.random.fold_in(k, 424_243))(rep_keys)
 
         def one(data_r, ik, ek):
-            outs, _ = kernel(None, ik, data_r, ek)
-            sub = outs["q"][num_warmup:][thinned]  # (L/M, M, d)
+            outs, _ = kernel(None, ik, data_r, ek)  # post-warmup only
+            sub = outs["q"][thinned]  # (L/M, M, d)
             named = jax.vmap(
                 lambda f: constrain_flat(rw_ir, pm, f, data_r)
             )(sub.reshape(-1, d))
-            return named, outs["diverging"][num_warmup:].sum()
+            return named, outs["diverging"].sum()
 
         named, div = jax.jit(jax.vmap(one))(y_batch, init_keys, eps_keys)
-    else:
-        raise ValueError(f"unknown engine {engine!r} (nuts|chees)")
     L = int(np.asarray(named[names[0]]).shape[1])
 
     ranks, chi2, ecdf = {}, {}, {}

@@ -175,7 +175,9 @@ def main():
     out = {"platform": jax.devices()[0].platform,
            "device": str(getattr(jax.devices()[0], "device_kind", "")),
            "protocol": "R replications x 1 chain, 500 warmup + 1000 "
-                       "draws thinned 10 -> L=100 ranks, one vmapped call",
+                       "draws thinned 10 -> L=100 ranks, one vmapped call; "
+                       "chees_* rows (engine field) run 4 ChEES chains per "
+                       "replication, ranks pooled across the batch -> L=400",
            "models": {}}
     import os
 
