@@ -35,6 +35,7 @@ from exmc_tpu.compiler import compile_logp, compile_for_sampling, compile_pointw
 from exmc_tpu.point_map import PointMap
 from exmc_tpu.nuts import sample, sample_chains, sample_stream
 from exmc_tpu.chees import sample_chees
+from exmc_tpu.meads import sample_meads
 from exmc_tpu.advi import advi_fit
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
@@ -60,6 +61,7 @@ __all__ = [
     "sample",
     "sample_chains",
     "sample_chees",
+    "sample_meads",
     "sample_stream",
     "advi_fit",
     "smc_sample",

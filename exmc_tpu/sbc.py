@@ -158,21 +158,36 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     each replication runs its own ``chees_chains``-chain batch (the
     cross-chain adaptation needs >= 2 chains), vmapped over
     replications; ranks pool the thinned draws across the batch, so
-    L = chees_chains * num_samples/thin."""
+    L = chees_chains * num_samples/thin.
+
+    ``engine="meads"`` calibrates the MEADS GHMC kernel (D-T30):
+    ``ensemble_chains`` chains in ``ensemble_folds`` folds per
+    replication, the ensemble initialized at the replication's TRUE
+    theta (+ jitter) — a posterior-typical point, so the self-tuning
+    transient starts in-regime (init never affects invariance)."""
     from exmc_tpu.nuts.sampler import _init_position, _make_sampler
 
+    ensemble_chains = chees_chains  # shared knob for chees/meads
+    ensemble_folds = 4
+
     # cheap argument validation BEFORE the prior-simulation pipeline
-    if engine not in ("nuts", "chees"):
-        raise ValueError(f"unknown engine {engine!r} (nuts|chees)")
-    if engine == "chees":
+    if engine not in ("nuts", "chees", "meads"):
+        raise ValueError(f"unknown engine {engine!r} (nuts|chees|meads)")
+    if engine in ("chees", "meads"):
         if sampler_opts:
             raise TypeError(
-                f"engine='chees' takes no sampler options, got "
+                f"engine={engine!r} takes no sampler options, got "
                 f"{sorted(sampler_opts)}")
         if chees_chains < 2:
             raise ValueError(
                 "chees_chains must be >= 2 (the ChEES criterion is "
                 "cross-chain; 1 chain degenerates to fixed-T HMC)")
+    if engine == "meads" and (chees_chains % ensemble_folds != 0
+                              or chees_chains // ensemble_folds < 2):
+        raise ValueError(
+            f"engine='meads' needs chees_chains divisible by "
+            f"{ensemble_folds} folds with >= 2 chains per fold "
+            f"(got {chees_chains})")
 
     obs_nodes = _obs_nodes(ir)
     model0 = compile_logp(ir, ncp=ncp)
@@ -254,6 +269,42 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             return named, outs["diverging"].sum()
 
         named, div = jax.jit(jax.vmap(one))(y_batch, init_keys, eps_keys)
+    elif engine == "meads":
+        from exmc_tpu.meads import _build_kernel as _meads_kernel
+
+        model2 = compile_logp(ir2, ncp=ncp)
+        kernel = _meads_kernel(
+            model2, ensemble_chains, ensemble_folds, num_warmup,
+            num_samples, step_size_scale=1.0, max_step_size=None)
+        rw_ir, pm = model2.ir, model2.pm
+        d = model2.size
+        dtype = default_dtype()
+        draws_per_rep = num_samples * ensemble_chains
+
+        base = jax.random.PRNGKey(seed + 2)
+        rep_keys = jax.random.split(base, num_replications)
+        init_keys = jax.vmap(
+            lambda k: jax.random.split(k, ensemble_chains))(rep_keys)
+        noise_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 77_377))(rep_keys)
+
+        def one(data_r, theta_r, ik, nk):
+            # init the ensemble at the replication's generating theta —
+            # posterior-typical by construction, so the MEADS transient
+            # starts in-regime (module docstring of exmc_tpu.meads)
+            flat0 = model2.unconstrain(theta_r).astype(dtype)
+            jit_n = jax.random.normal(
+                jax.random.fold_in(nk, 5), (ensemble_chains, d), dtype)
+            qi = flat0[None, :] + 0.01 * jit_n
+            outs, _ = kernel(qi, ik, data_r, nk)  # post-burn-in only
+            sub = outs["q"][thinned]  # (L/M, M, d)
+            named = jax.vmap(
+                lambda f: constrain_flat(rw_ir, pm, f, data_r)
+            )(sub.reshape(-1, d))
+            return named, outs["diverging"].sum()
+
+        named, div = jax.jit(jax.vmap(one))(
+            y_batch, theta_true, init_keys, noise_keys)
     L = int(np.asarray(named[names[0]]).shape[1])
 
     ranks, chi2, ecdf = {}, {}, {}

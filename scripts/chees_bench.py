@@ -1,7 +1,8 @@
-"""ChEES vs NUTS at scale: the lockstep dividend, measured (D-T29).
+"""ChEES/MEADS vs NUTS at scale: the lockstep dividend, measured
+(D-T29/D-T30).
 
-Two models, each sampled by 4-chain-style NUTS (vmap, pooled
-adaptation) and by ChEES at rising chain counts:
+Two models, each sampled by NUTS (vmap, pooled adaptation), ChEES,
+and MEADS at rising chain counts:
 
 * ``scaled32``  — 32-dim Gaussian, sds 1..10: trajectory length
   matters, tree depth is homogeneous (NUTS's best case);
@@ -26,6 +27,7 @@ import numpy as np
 from exmc_tpu import Model, dists
 from exmc_tpu.chees import sample_chees
 from exmc_tpu.diagnostics import ess, rhat
+from exmc_tpu.meads import sample_meads
 from exmc_tpu.nuts.sampler import sample
 
 
@@ -57,14 +59,27 @@ def _min_ess_max_rhat(trace):
 
 def run_one(name, ir, chains, warm, draws):
     rows = []
-    for engine in ("nuts", "chees"):
+    for engine in ("nuts", "chees", "meads"):
         for c in chains:
+            if engine == "meads" and c < 32:
+                # out of regime: 4 folds need >= 8 chains each for
+                # usable eigenvalue estimates (measured at 8-16 chains:
+                # min-ESS single digits, R-hat up to 7.6 — an ensemble
+                # method run without an ensemble)
+                print(json.dumps({"model": name, "engine": engine,
+                                  "chains": c, "skipped": "chains<32"}),
+                      flush=True)
+                continue
             if engine == "nuts":
                 fn = lambda seed: sample(
                     ir, num_chains=c, num_warmup=warm, num_samples=draws,
                     seed=seed, pooled_adaptation=True)
-            else:
+            elif engine == "chees":
                 fn = lambda seed: sample_chees(
+                    ir, num_chains=c, num_warmup=warm, num_samples=draws,
+                    seed=seed)
+            else:
+                fn = lambda seed: sample_meads(
                     ir, num_chains=c, num_warmup=warm, num_samples=draws,
                     seed=seed)
             fn(0)  # compile

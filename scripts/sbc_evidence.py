@@ -134,6 +134,18 @@ def chees_eight_schools_ncp():
     return ir, {"engine": "chees", "chees_chains": 4}
 
 
+def meads_normal_loc_scale():
+    """MEADS GHMC kernel (D-T30) under SBC: 16 chains / 4 folds per
+    replication, ensemble initialized at the generating theta."""
+    ir, _ = normal_loc_scale()
+    return ir, {"engine": "meads", "chees_chains": 16}
+
+
+def meads_eight_schools_ncp():
+    ir, _ = eight_schools_ncp()
+    return ir, {"engine": "meads", "chees_chains": 16}
+
+
 MODELS = {
     "normal_loc_scale": normal_loc_scale,
     "eight_schools_ncp": eight_schools_ncp,
@@ -144,6 +156,8 @@ MODELS = {
     "meas_obs_affine": meas_obs_affine,
     "chees_normal_loc_scale": chees_normal_loc_scale,
     "chees_eight_schools_ncp": chees_eight_schools_ncp,
+    "meads_normal_loc_scale": meads_normal_loc_scale,
+    "meads_eight_schools_ncp": meads_eight_schools_ncp,
 }
 
 R_OVERRIDE.update({
@@ -151,6 +165,9 @@ R_OVERRIDE.update({
     # L=400 rank support per replication
     "chees_normal_loc_scale": 256,
     "chees_eight_schools_ncp": 256,
+    # 16 chains (4 folds) per replication: L=1600 at R=256
+    "meads_normal_loc_scale": 256,
+    "meads_eight_schools_ncp": 256,
 })
 
 OUT = "SBC_r04.json"
