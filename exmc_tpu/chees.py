@@ -33,14 +33,13 @@ API mirrors sample(): ``sample_chees(ir, num_chains=..., ...)`` returns
 (trace, stats) with constrained draws shaped (chains, samples, ...).
 """
 
-from collections import OrderedDict
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
+from exmc_tpu.compiler import CompiledModel, compile_logp
 from exmc_tpu.config import default_dtype
+from exmc_tpu.engines_common import KernelCache, postprocess_ensemble
 from exmc_tpu.nuts.leapfrog import (
     Metric,
     kinetic_energy,
@@ -206,37 +205,17 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
 
     outs, tuning = run(q_inits, init_keys, data, eps_key)
 
-    # sampling-scan outputs are (samples, chains, ...); chains-first
-    def post(a):
-        return np.moveaxis(np.asarray(a), 0, 1)
-
-    draws = post(outs["q"])
-    stats = {
-        "logp": post(outs["logp"]),
-        "accept_prob": post(outs["accept_prob"]),
-        "diverging": post(outs["diverging"]),
-        "energy": post(outs["energy"]),
-        "step_size": np.asarray(tuning["step_size"]),
-        "trajectory_length": np.asarray(tuning["trajectory_length"]),
-        "inv_mass": np.asarray(tuning["inv_mass"]),
-        "num_steps_mean": float(np.asarray(outs["num_steps"]).mean()),
-    }
-    stats["divergences"] = stats["diverging"].sum(axis=-1)
-
-    if return_unconstrained:
-        return draws, stats
-    flat = draws.reshape(-1, d)
-    named = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(
-        jnp.asarray(flat, dtype))
-    trace = {
-        k: np.asarray(v).reshape((num_chains, num_samples) + v.shape[1:])
-        for k, v in named.items()
-    }
-    return trace, stats
+    return postprocess_ensemble(
+        outs, model, data, num_chains, num_samples, return_unconstrained,
+        extra_stats={
+            "step_size": np.asarray(tuning["step_size"]),
+            "trajectory_length": np.asarray(tuning["trajectory_length"]),
+            "inv_mass": np.asarray(tuning["inv_mass"]),
+            "num_steps_mean": float(np.asarray(outs["num_steps"]).mean()),
+        })
 
 
-_KERNEL_CACHE = OrderedDict()
-_KERNEL_CACHE_MAX = 8
+_KERNEL_CACHE = KernelCache()
 
 
 def clear_kernel_cache():
@@ -245,31 +224,12 @@ def clear_kernel_cache():
 
 def _cached_kernel(ir, model, ncp, num_chains, num_warmup, num_samples,
                    target_accept, max_num_steps):
-    """(model, jitted run) keyed like the NUTS sampler cache: without
-    this every ``sample_chees`` call re-traces the whole kernel (the
-    jit wraps a fresh closure per call — measured ~0.5 s/call retrace
-    on CPU, which skewed the first committed CHEES_BENCH against
-    ChEES while NUTS rode its sampler cache)."""
-    from exmc_tpu.nuts.sampler import ir_signature
-
-    if isinstance(ir, CompiledModel):
-        sig = ("model-id", id(ir))
-    else:
-        sig = ("ir", ir_signature(ir), bool(ncp))
-    key = (sig, num_chains, num_warmup, num_samples,
-           float(target_accept), int(max_num_steps),
-           np.dtype(default_dtype()).name)
-    hit = _KERNEL_CACHE.get(key)
-    if hit is not None:
-        _KERNEL_CACHE.move_to_end(key)
-        return hit
-    run = jax.jit(_build_kernel(
-        model, num_chains, num_warmup, num_samples,
-        target_accept, max_num_steps))
-    _KERNEL_CACHE[key] = (model, run)
-    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
-        _KERNEL_CACHE.popitem(last=False)
-    return model, run
+    key = (KernelCache.model_sig(ir, ncp), num_chains, num_warmup,
+           num_samples, float(target_accept), int(max_num_steps))
+    return _KERNEL_CACHE.get_or_build(
+        key, model,
+        lambda: _build_kernel(model, num_chains, num_warmup, num_samples,
+                              target_accept, max_num_steps))
 
 
 def _build_kernel(model, num_chains, num_warmup, num_samples,
@@ -373,7 +333,13 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
             ke1 = jax.vmap(lambda p: kinetic_energy(metric, p))(p1)
             joint1 = logp1 - ke1
             delta = joint1 - joint0
-            delta = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
+            # reject non-finite gradients even when the energy is
+            # finite: grad is only refreshed on accept, and an accepted
+            # NaN grad poisons every later trajectory start (same
+            # review finding as meads.py)
+            grad_ok = jnp.all(jnp.isfinite(grad1), axis=-1)
+            delta = jnp.where(jnp.isfinite(delta) & grad_ok,
+                              delta, -jnp.inf)
             accept_prob = jnp.exp(jnp.minimum(delta, 0.0))
             diverging = delta < -1000.0
 

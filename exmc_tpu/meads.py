@@ -62,14 +62,15 @@ start in their happy regime), falling back to overdispersed draws if
 the fit fails.
 """
 
-from collections import OrderedDict
+import warnings
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from exmc_tpu.compiler import CompiledModel, compile_logp, constrain_flat
+from exmc_tpu.compiler import CompiledModel, compile_logp
 from exmc_tpu.config import default_dtype
+from exmc_tpu.engines_common import KernelCache, postprocess_ensemble
 
 _EPS_FLOOR = 1e-8
 
@@ -77,11 +78,22 @@ _EPS_FLOOR = 1e-8
 def _gram_lambda_max(z):
     """trace(S^2)/trace(S) for S = (1/M) Z Z^T-style covariance of the
     (M, d) centered rows z — the peaked-spectrum largest-eigenvalue
-    estimate, via the M x M Gram matrix (one matmul)."""
-    g = z @ z.T  # (M, M)
+    estimate, via the M x M Gram matrix (one matmul).
+
+    Rows are pre-scaled by their max magnitude before the Gram product
+    (lam(z) = s^2 lam(z/s)): unscaled, entries ~3e9 keep tr(G) finite
+    in f32 but overflow sum(G*G) to inf, driving lam -> inf/NaN and
+    eps -> 0/NaN — a silent permanent ensemble freeze (review finding,
+    round 4). Scaled, every intermediate is O(M d) and the residual
+    non-finite guard is belt-and-braces."""
+    s = jnp.max(jnp.abs(z))
+    s = jnp.where(jnp.isfinite(s) & (s > 0), s, 1.0)
+    zs = z / s
+    g = zs @ zs.T  # (M, M)
     tr_s = jnp.trace(g)
     tr_s2 = jnp.sum(g * g)
-    return tr_s2 / jnp.maximum(tr_s, _EPS_FLOOR)  # trace ratio; M cancels
+    lam = tr_s2 / jnp.maximum(tr_s, _EPS_FLOOR) * (s * s)
+    return jnp.where(jnp.isfinite(lam), lam, 1.0 / _EPS_FLOOR)
 
 
 def _fold_tuning(q, grad, dtype):
@@ -178,30 +190,10 @@ def sample_meads(ir, *, num_chains=128, num_folds=4, num_warmup=500,
     outs, tuning = run(q_inits, init_keys, data,
                        jax.random.fold_in(base, 77_377))
 
-    def post(a):  # (samples, chains, ...) -> chains-first
-        return np.moveaxis(np.asarray(a), 0, 1)
-
-    draws = post(outs["q"])
-    stats = {
-        "logp": post(outs["logp"]),
-        "accept_prob": post(outs["accept_prob"]),
-        "diverging": post(outs["diverging"]),
-        "energy": post(outs["energy"]),
-        "step_size": np.asarray(tuning["eps"]),
-        "damping": np.asarray(tuning["gamma"]),
-    }
-    stats["divergences"] = stats["diverging"].sum(axis=-1)
-
-    if return_unconstrained:
-        return draws, stats
-    flat = draws.reshape(-1, d)
-    named = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(
-        jnp.asarray(flat, dtype))
-    trace = {
-        k: np.asarray(v).reshape((num_chains, num_samples) + v.shape[1:])
-        for k, v in named.items()
-    }
-    return trace, stats
+    return postprocess_ensemble(
+        outs, model, data, num_chains, num_samples, return_unconstrained,
+        extra_stats={"step_size": np.asarray(tuning["eps"]),
+                     "damping": np.asarray(tuning["gamma"])})
 
 
 def _pathfinder_ensemble(ir, model, data, ncp, num_chains, seed, dtype, key):
@@ -215,11 +207,19 @@ def _pathfinder_ensemble(ir, model, data, ncp, num_chains, seed, dtype, key):
         fit = pathfinder_fit(ir, num_iters=100, num_draws=2,
                              num_elbo_draws=10, seed=seed + 89,
                              data=data, ncp=ncp)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — any fit failure downgrades init
+        warnings.warn(
+            f"MEADS init='pathfinder' fit failed ({type(e).__name__}: {e}); "
+            "falling back to overdispersed inits — expect a slower "
+            "self-tuning transient on concentrated posteriors",
+            stacklevel=3)
         return None
     mu, sigma = np.asarray(fit["mu"]), np.asarray(fit["sigma"])
     if not (np.all(np.isfinite(mu)) and np.all(np.isfinite(sigma))
             and np.all(sigma > 0)):
+        warnings.warn(
+            "MEADS init='pathfinder' fit returned non-finite moments; "
+            "falling back to overdispersed inits", stacklevel=3)
         return None
     # cap the spread at O(1) per unconstrained coordinate: the fitted
     # MODE is usually sound even when the diag fit's sigma blows up
@@ -230,8 +230,7 @@ def _pathfinder_ensemble(ir, model, data, ncp, num_chains, seed, dtype, key):
     return jnp.asarray(mu, dtype)[None, :] + jnp.asarray(sigma, dtype) * z
 
 
-_KERNEL_CACHE = OrderedDict()
-_KERNEL_CACHE_MAX = 8
+_KERNEL_CACHE = KernelCache()
 
 
 def clear_kernel_cache():
@@ -240,24 +239,12 @@ def clear_kernel_cache():
 
 def _cached_kernel(ir, model, ncp, num_chains, num_folds, num_warmup,
                    num_samples, step_size_scale, max_step_size):
-    from exmc_tpu.nuts.sampler import ir_signature
-
-    if isinstance(ir, CompiledModel):
-        sig = ("model-id", id(ir))
-    else:
-        sig = ("ir", ir_signature(ir), bool(ncp))
-    key = (sig, num_chains, num_folds, num_warmup, num_samples,
-           step_size_scale, max_step_size, np.dtype(default_dtype()).name)
-    hit = _KERNEL_CACHE.get(key)
-    if hit is not None:
-        _KERNEL_CACHE.move_to_end(key)
-        return hit
-    run = jax.jit(_build_kernel(model, num_chains, num_folds, num_warmup,
-                                num_samples, step_size_scale, max_step_size))
-    _KERNEL_CACHE[key] = (model, run)
-    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
-        _KERNEL_CACHE.popitem(last=False)
-    return model, run
+    key = (KernelCache.model_sig(ir, ncp), num_chains, num_folds,
+           num_warmup, num_samples, step_size_scale, max_step_size)
+    return _KERNEL_CACHE.get_or_build(
+        key, model,
+        lambda: _build_kernel(model, num_chains, num_folds, num_warmup,
+                              num_samples, step_size_scale, max_step_size))
 
 
 def _build_kernel(model, num_chains, num_folds, num_warmup, num_samples,
@@ -349,7 +336,14 @@ def _build_kernel(model, num_chains, num_folds, num_warmup, num_samples,
 
                 joint1 = logp1 - 0.5 * jnp.sum(u1 * u1, axis=-1)
                 delta = joint1 - joint0
-                delta = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
+                # a finite-logp endpoint with a non-finite gradient must
+                # be REJECTED, not just survive the energy check: the
+                # accepted grad is carried into every later leapfrog and
+                # a NaN there freezes the chain permanently (grad is only
+                # refreshed on accept — review finding, round 4)
+                grad_ok = jnp.all(jnp.isfinite(grad1), axis=-1)
+                delta = jnp.where(jnp.isfinite(delta) & grad_ok,
+                                  delta, -jnp.inf)
                 accept_prob = jnp.exp(jnp.minimum(delta, 0.0))
                 diverging = delta < -1000.0
 

@@ -123,3 +123,36 @@ def test_meads_sbc_calibrated(rng):
     assert res["divergence_rate"] < 0.001
     with pytest.raises(ValueError, match="folds"):
         run_sbc(m.ir, engine="meads", chees_chains=6)
+
+
+def test_gram_lambda_max_f32_overflow_guard():
+    # Rows with entries ~3e9 keep tr(G) finite in f32 but overflow
+    # sum(G*G) without the pre-scaling: lam must stay finite and match
+    # the scale-invariant identity lam(z) = s^2 lam(z/s).
+    import jax.numpy as jnp
+
+    from exmc_tpu.meads import _fold_tuning, _gram_lambda_max
+
+    z_small = np.array([[1.0, 0.5], [-0.7, 1.2], [0.3, -0.9]], np.float32)
+    s = np.float32(3e9)
+    lam_small = float(_gram_lambda_max(jnp.asarray(z_small)))
+    lam_big = float(_gram_lambda_max(jnp.asarray(z_small * s)))
+    assert np.isfinite(lam_big)
+    assert lam_big == pytest.approx(lam_small * float(s) ** 2, rel=1e-3)
+
+    # downstream: the fold tuning must produce a finite, positive eps
+    # even from a huge-gradient fold state (this froze silently with
+    # eps=0 before the guard)
+    q = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, -1.0], [3.0, 0.5]],
+                 np.float32)
+    grad = (np.float32(3e9)
+            * np.array([[1.0, -1.0], [0.9, -1.1], [1.1, -0.8],
+                        [1.05, -0.95]], np.float32))
+    sigma, eps, gamma = _fold_tuning(jnp.asarray(q), jnp.asarray(grad),
+                                     np.float32)
+    # the failure mode was eps == exactly 0 (sum(G*G) -> inf) or NaN
+    # (tr -> inf too); a tiny-but-positive eps is the CORRECT response
+    # to huge gradients
+    assert np.all(np.isfinite(np.asarray(sigma)))
+    assert np.isfinite(float(eps)) and float(eps) > 0.0
+    assert np.isfinite(float(gamma))
