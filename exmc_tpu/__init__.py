@@ -34,7 +34,7 @@ from exmc_tpu.dsl import Model
 from exmc_tpu.compiler import compile_logp, compile_for_sampling, compile_pointwise
 from exmc_tpu.point_map import PointMap
 from exmc_tpu.nuts import sample, sample_chains, sample_stream
-from exmc_tpu.chees import sample_chees
+from exmc_tpu.chees import sample_chees, sample_snaper
 from exmc_tpu.meads import sample_meads
 from exmc_tpu.advi import advi_fit
 from exmc_tpu.smc import smc_sample
@@ -61,6 +61,7 @@ __all__ = [
     "sample",
     "sample_chains",
     "sample_chees",
+    "sample_snaper",
     "sample_meads",
     "sample_stream",
     "advi_fit",

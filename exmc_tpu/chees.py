@@ -141,10 +141,65 @@ def _harmonic_accept(accept):
     return accept.shape[0] / jnp.sum(1.0 / a)
 
 
+def _snaper_grad(q0, q1, v1, accept, tlen, pc, inv):
+    """Accept-weighted SNAPER criterion gradient wrt log T (Sountsov &
+    Hoffman 2022): ChEES's squared-norm change is replaced by the
+    squared PROJECTION onto the estimated principal component of the
+    PRECONDITIONED posterior — maximizing ESS along the slowest
+    direction instead of the isotropic average, which is what matters
+    on anisotropic/correlated targets where the diag metric cannot
+    whiten. Same masking/weighting discipline as _chees_grad."""
+    s = jnp.sqrt(inv)
+    finite = (jnp.isfinite(q1).all(axis=-1)
+              & jnp.isfinite(v1).all(axis=-1)
+              & jnp.isfinite(accept))
+    w = jnp.where(finite, accept, 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    q1z = jnp.where(finite[:, None], q1, 0.0)
+    v1z = jnp.where(finite[:, None], v1, 0.0)
+    m1 = jnp.sum(w[:, None] * q1z, axis=0) / wsum
+    m0 = jnp.sum(w[:, None] * q0, axis=0) / wsum
+    # preconditioned projections: dynamics (and hence the trajectory
+    # length being tuned) live in y = q / sqrt(inv) space
+    a0 = ((q0 - m0[None, :]) / s[None, :]) @ pc
+    a1 = ((q1z - m1[None, :]) / s[None, :]) @ pc
+    dv = (v1z / s[None, :]) @ pc
+    delta = a1 * a1 - a0 * a0
+    dirn = a1 * dv  # (1/2) d(a1^2)/dt; the 2 folds into normalization
+    per_chain = delta * dirn * tlen
+    g = jnp.sum(w * per_chain) / wsum
+    scale = jnp.sum(w * jnp.abs(delta)) / wsum
+    return g / jnp.maximum(scale, 1e-10)
+
+
+def _oja_update(pc, q, inv, enabled, t):
+    """Damped power-iteration update of the principal-component
+    estimate from the current chain batch, in preconditioned
+    coordinates. g = mean_m[z (z . pc)] is one application of the
+    empirical covariance to pc (two matvecs, no d x d matrix); the
+    iterate is blended with a decaying weight and renormalized. Sign
+    is stable (pc . Sigma pc >= 0), divergent/disabled chains are
+    masked out exactly like the Welford metric update."""
+    s = jnp.sqrt(inv)
+    w = enabled.astype(q.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mean_q = jnp.sum(w[:, None] * q, axis=0) / wsum
+    z = jnp.where(enabled[:, None], (q - mean_q[None, :]) / s[None, :], 0.0)
+    g = (z.T @ (z @ pc)) / wsum
+    gn = jnp.sqrt(jnp.sum(g * g))
+    g_hat = jnp.where(gn > 1e-12, g / jnp.maximum(gn, 1e-12), pc)
+    beta = (t + 9.0) ** -0.75
+    new = (1.0 - beta) * pc + beta * g_hat
+    new = new / jnp.sqrt(jnp.maximum(jnp.sum(new * new), 1e-12))
+    # a fully-masked iteration (all chains diverged / adaptation off)
+    # must leave the estimate untouched
+    return jnp.where(jnp.sum(w) > 0.5, new, pc)
+
+
 def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
                  seed=0, init=None, data=None, ncp=True,
                  target_accept=0.651, max_num_steps=1024, mesh=None,
-                 return_unconstrained=False):
+                 return_unconstrained=False, criterion="chees"):
     """Many-chain ChEES-HMC. Returns (trace, stats) like sample().
 
     ``target_accept`` defaults to the paper's 0.651 (optimal for HMC
@@ -165,6 +220,8 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
     step_size, trajectory_length, inv_mass, num_steps_mean are the
     frozen post-warmup tuning.
     """
+    if criterion not in ("chees", "snaper"):
+        raise ValueError(f"unknown criterion {criterion!r} (chees|snaper)")
     if num_chains < 2:
         raise ValueError("ChEES adaptation needs >= 2 chains for the "
                          "cross-chain criterion (use sample() for 1)")
@@ -178,7 +235,7 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
 
     model, run = _cached_kernel(
         ir, model, ncp, num_chains, num_warmup, num_samples,
-        target_accept, max_num_steps)
+        target_accept, max_num_steps, criterion)
 
     base = jax.random.PRNGKey(seed)
     eps_key = jax.random.fold_in(base, 424_243)
@@ -205,14 +262,40 @@ def sample_chees(ir, *, num_chains=64, num_warmup=500, num_samples=1000,
 
     outs, tuning = run(q_inits, init_keys, data, eps_key)
 
+    extra = {
+        "step_size": np.asarray(tuning["step_size"]),
+        "trajectory_length": np.asarray(tuning["trajectory_length"]),
+        "inv_mass": np.asarray(tuning["inv_mass"]),
+        "num_steps_mean": float(np.asarray(outs["num_steps"]).mean()),
+    }
+    if criterion == "snaper":
+        extra["principal_component"] = np.asarray(
+            tuning["principal_component"])
     return postprocess_ensemble(
         outs, model, data, num_chains, num_samples, return_unconstrained,
-        extra_stats={
-            "step_size": np.asarray(tuning["step_size"]),
-            "trajectory_length": np.asarray(tuning["trajectory_length"]),
-            "inv_mass": np.asarray(tuning["inv_mass"]),
-            "num_steps_mean": float(np.asarray(outs["num_steps"]).mean()),
-        })
+        extra_stats=extra)
+
+
+def sample_snaper(ir, **kwargs):
+    """SNAPER-HMC (Sountsov & Hoffman, "Focusing on Difficult Directions
+    for Learning HMC Trajectory Lengths", 2022): the ChEES kernel with
+    the trajectory-length criterion projected onto an online estimate of
+    the posterior's principal component in PRECONDITIONED space (damped
+    power iteration over the chain batch — two matvecs per warmup
+    iteration, no d x d covariance).
+
+    Same lockstep many-chain TPU shape as ChEES; wins when the diag
+    metric cannot whiten the target (correlated posteriors): ChEES's
+    isotropic squared-norm criterion is dominated by the fast
+    directions and under-lengthens trajectories, SNAPER tunes against
+    the slowest direction directly. Accepts every ``sample_chees``
+    keyword; stats additionally carry the learned
+    ``principal_component``. No reference counterpart (reference is
+    NUTS-only, nuts/sampler.ex)."""
+    if kwargs.pop("criterion", "snaper") != "snaper":
+        raise ValueError("sample_snaper is the criterion='snaper' entry "
+                         "point; call sample_chees for criterion='chees'")
+    return sample_chees(ir, criterion="snaper", **kwargs)
 
 
 _KERNEL_CACHE = KernelCache()
@@ -223,17 +306,19 @@ def clear_kernel_cache():
 
 
 def _cached_kernel(ir, model, ncp, num_chains, num_warmup, num_samples,
-                   target_accept, max_num_steps):
+                   target_accept, max_num_steps, criterion="chees"):
     key = (KernelCache.model_sig(ir, ncp), num_chains, num_warmup,
-           num_samples, float(target_accept), int(max_num_steps))
+           num_samples, float(target_accept), int(max_num_steps),
+           criterion)
     return _KERNEL_CACHE.get_or_build(
         key, model,
         lambda: _build_kernel(model, num_chains, num_warmup, num_samples,
-                              target_accept, max_num_steps))
+                              target_accept, max_num_steps,
+                              criterion=criterion))
 
 
 def _build_kernel(model, num_chains, num_warmup, num_samples,
-                  target_accept, max_num_steps):
+                  target_accept, max_num_steps, criterion="chees"):
     """Build the traceable ChEES kernel:
     ``run(q_inits, init_keys, data, eps_key) -> (outs, tuning)``.
 
@@ -296,6 +381,8 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
             wf=jax.vmap(lambda _: welford_init(d, dtype=dtype))(
                 jnp.arange(num_chains)),
         )
+        if criterion == "snaper":
+            carry["pc"] = jnp.full((d,), 1.0 / np.sqrt(d), dtype)
 
         def transition(carry, x, eps, T):
             """One jittered-trajectory HMC move for the whole batch."""
@@ -363,8 +450,13 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
 
             # --- trajectory-length adaptation ---
             v1 = jax.vmap(lambda p: velocity(mv["metric"], p))(mv["p1"])
-            g = _chees_grad(carry["q"], mv["q1"], v1, mv["accept_prob"],
-                            mv["tlen"])
+            if criterion == "snaper":
+                g = _snaper_grad(carry["q"], mv["q1"], v1,
+                                 mv["accept_prob"], mv["tlen"],
+                                 carry["pc"], carry["inv"])
+            else:
+                g = _chees_grad(carry["q"], mv["q1"], v1,
+                                mv["accept_prob"], mv["tlen"])
             t_adam = carry["adam_t"] + 1.0
             m = ADAM_B1 * carry["adam_m"] + (1 - ADAM_B1) * g
             v = ADAM_B2 * carry["adam_v"] + (1 - ADAM_B2) * g * g
@@ -400,6 +492,12 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
                 keys=carry["keys"], da=da, logT=logT, logT_bar=logT_bar,
                 adam_m=m, adam_v=v, adam_t=t_adam, inv=inv, wf=wf,
             )
+            if criterion == "snaper":
+                enabled = (jnp.broadcast_to(x["update_mass"], (num_chains,))
+                           & ~mv["diverging"])
+                new_carry["pc"] = _oja_update(
+                    carry["pc"], mv["q"], carry["inv"], enabled,
+                    x["i"].astype(dtype))
             return new_carry, None
 
         def samp_step(carry, x):
@@ -419,6 +517,8 @@ def _build_kernel(model, num_chains, num_warmup, num_samples,
         tuning = dict(step_size=da_finalize(carry["da"]),
                       trajectory_length=jnp.exp(carry["logT_bar"]),
                       inv_mass=carry["inv"])
+        if criterion == "snaper":
+            tuning["principal_component"] = carry["pc"]
         return outs, tuning
 
     return run

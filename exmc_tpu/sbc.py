@@ -160,6 +160,9 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     replications; ranks pool the thinned draws across the batch, so
     L = chees_chains * num_samples/thin.
 
+    ``engine="snaper"`` calibrates the SNAPER-HMC variant (same
+    kernel, principal-component trajectory criterion).
+
     ``engine="meads"`` calibrates the MEADS GHMC kernel (D-T30):
     ``ensemble_chains`` chains in ``ensemble_folds`` folds per
     replication, the ensemble initialized at the replication's TRUE
@@ -171,9 +174,10 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
     ensemble_folds = 4
 
     # cheap argument validation BEFORE the prior-simulation pipeline
-    if engine not in ("nuts", "chees", "meads"):
-        raise ValueError(f"unknown engine {engine!r} (nuts|chees|meads)")
-    if engine in ("chees", "meads"):
+    if engine not in ("nuts", "chees", "snaper", "meads"):
+        raise ValueError(
+            f"unknown engine {engine!r} (nuts|chees|snaper|meads)")
+    if engine in ("chees", "snaper", "meads"):
         if sampler_opts:
             raise TypeError(
                 f"engine={engine!r} takes no sampler options, got "
@@ -242,13 +246,13 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             return named, stats["diverging"].sum()
 
         named, div = jax.jit(jax.vmap(one))(y_batch, q_inits, keys)
-    elif engine == "chees":
+    elif engine in ("chees", "snaper"):
         from exmc_tpu.chees import _build_kernel
 
         model2 = compile_logp(ir2, ncp=ncp)
         kernel = _build_kernel(
             model2, chees_chains, num_warmup, num_samples,
-            target_accept=0.651, max_num_steps=1024)
+            target_accept=0.651, max_num_steps=1024, criterion=engine)
         rw_ir, pm = model2.ir, model2.pm
         d = model2.size
         draws_per_rep = num_samples * chees_chains

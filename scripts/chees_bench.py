@@ -1,11 +1,13 @@
-"""ChEES/MEADS vs NUTS at scale: the lockstep dividend, measured
-(D-T29/D-T30).
+"""ChEES/SNAPER/MEADS vs NUTS at scale: the lockstep dividend, measured
+(D-T29/D-T30/D-T31).
 
-Two models, each sampled by NUTS (vmap, pooled adaptation), ChEES,
-and MEADS at rising chain counts:
+Three models, each sampled by NUTS (vmap, pooled adaptation), ChEES,
+SNAPER, and MEADS at rising chain counts:
 
 * ``scaled32``  — 32-dim Gaussian, sds 1..10: trajectory length
   matters, tree depth is homogeneous (NUTS's best case);
+* ``corrblock128`` — a correlated block hidden in iid dims: the
+  SNAPER-vs-ChEES separator (see corrblock128_ir);
 * ``eight_schools`` (NCP) — the capacity-bench model: tree depth is
   heterogeneous across chains, which is exactly where vmapped NUTS
   pays the deepest-tree straggler and ChEES does not.
@@ -39,6 +41,24 @@ def scaled32_ir():
     return m.ir
 
 
+def corrblock128_ir():
+    # 128-dim: one 8-dim rho=0.97 correlated block (slow eigenvalue
+    # ~7.8, scale ~2.8x the rest) buried in 120 iid unit dims. The slow
+    # direction is only ~6% of the trace, so ChEES's isotropic
+    # squared-norm criterion barely sees it and under-lengthens; this
+    # is the regime SNAPER's principal-component projection exists for.
+    # (NOTE: on an EQUIcorrelated Gaussian the slow direction dominates
+    # the trace and the two criteria tie — measured before choosing
+    # this shape.)
+    from exmc_tpu import Builder
+
+    d, k, rho = 128, 8, 0.97
+    cov = np.eye(d)
+    cov[:k, :k] = np.full((k, k), rho) + (1.0 - rho) * np.eye(k)
+    return Builder.rv(Builder.new_ir(), "x", dists.MvNormal,
+                      {"mu": np.zeros(d), "cov": cov})
+
+
 def eight_schools_ir():
     from bench import eight_schools_ir as f
 
@@ -59,7 +79,7 @@ def _min_ess_max_rhat(trace):
 
 def run_one(name, ir, chains, warm, draws):
     rows = []
-    for engine in ("nuts", "chees", "meads"):
+    for engine in ("nuts", "chees", "snaper", "meads"):
         for c in chains:
             if engine == "meads" and c < 32:
                 # out of regime: 4 folds need >= 8 chains each for
@@ -74,10 +94,10 @@ def run_one(name, ir, chains, warm, draws):
                 fn = lambda seed: sample(
                     ir, num_chains=c, num_warmup=warm, num_samples=draws,
                     seed=seed, pooled_adaptation=True)
-            elif engine == "chees":
-                fn = lambda seed: sample_chees(
+            elif engine in ("chees", "snaper"):
+                fn = lambda seed, e=engine: sample_chees(
                     ir, num_chains=c, num_warmup=warm, num_samples=draws,
-                    seed=seed)
+                    seed=seed, criterion=e)
             else:
                 fn = lambda seed: sample_meads(
                     ir, num_chains=c, num_warmup=warm, num_samples=draws,
@@ -106,6 +126,7 @@ def main():
     chains = [int(c) for c in sys.argv[1:]] or [64, 256, 1024]
     out = []
     out += run_one("scaled32", scaled32_ir(), chains, 500, 500)
+    out += run_one("corrblock128", corrblock128_ir(), chains, 500, 500)
     out += run_one("eight_schools", eight_schools_ir(), chains, 500, 500)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "CHEES_BENCH.json"), "w") as f:
