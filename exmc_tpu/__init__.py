@@ -37,6 +37,7 @@ from exmc_tpu.nuts import sample, sample_chains, sample_stream
 from exmc_tpu.chees import sample_chees, sample_snaper
 from exmc_tpu.meads import sample_meads
 from exmc_tpu.advi import advi_fit
+from exmc_tpu.flows import flow_fit, sample_neutra
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
 from exmc_tpu import diagnostics
@@ -65,6 +66,8 @@ __all__ = [
     "sample_meads",
     "sample_stream",
     "advi_fit",
+    "flow_fit",
+    "sample_neutra",
     "smc_sample",
     "pathfinder_fit",
     "dists",

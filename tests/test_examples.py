@@ -47,6 +47,7 @@ EXAMPLES = [
     "37_cyber_mcmc_traffic.py",
     "38_stan_translations.py",
     "39_chees_many_chains.py",
+    "40_flow_neutra_funnel.py",
 ]
 
 
