@@ -397,7 +397,15 @@ def _meas_obs_term(node, ir, resolve, data):
     return _apply_obs_meta(lp, meta) + meas_jac
 
 
-def _make_logp(ir: IR, pm: PointMap, pointwise: bool = False):
+def _make_logp(ir: IR, pm: PointMap, pointwise: bool = False,
+               part: str = "all"):
+    """``part``: "all" (default), "prior" (rv terms only — a NORMALIZED
+    density in unconstrained space, since each rv term is a normalized
+    pdf plus its transform Jacobian), or "likelihood" (obs/meas_obs
+    terms only). prior + likelihood == all, term by term — the split
+    likelihood-tempering SMC evidence estimation needs (smc.py)."""
+    if part not in ("all", "prior", "likelihood"):
+        raise ValueError(f"part must be all|prior|likelihood, got {part!r}")
     free_ids = {e.id for e in pm.entries}
     entry_by_id = {e.id: e for e in pm.entries}
     node_ids = sorted(ir.nodes)  # deterministic term order
@@ -410,12 +418,15 @@ def _make_logp(ir: IR, pm: PointMap, pointwise: bool = False):
         for nid in node_ids:
             node = ir.nodes[nid]
             tag = node.op[0]
-            if tag in ("obs", "meas_obs") and node.op[-1].get(
-                "likelihood", True
-            ) is False:
+            if tag in ("obs", "meas_obs") and (
+                part == "prior"
+                or node.op[-1].get("likelihood", True) is False
+            ):
                 # likelihood=False obs are excluded from the sampled
                 # log-density (reference compiler.ex:244-246); they exist
                 # for bookkeeping (e.g. held-out data) only
+                continue
+            if tag == "rv" and part == "likelihood":
                 continue
             if tag == "rv" and nid in free_ids:
                 terms[nid] = _rv_prior_term(node, entry_by_id[nid], zmap, resolve, ir)
@@ -462,6 +473,14 @@ def compile_logp(ir: IR, *, ncp: bool = True, rewritten: bool = False) -> Compil
         value_and_grad=vag,
         data=rw.data,
     )
+
+
+def partial_logp(model: CompiledModel, part: str) -> Callable:
+    """Prior-only or likelihood-only log-density on the SAME PointMap
+    (and rewritten IR) as ``model.logp``, so the two parts sum to the
+    full log-density at every flat point. Used by likelihood-tempering
+    SMC (smc.py) for evidence estimation."""
+    return _make_logp(model.ir, model.pm, part=part)
 
 
 # The reference returns a 5-tuple with separate jitted step functions

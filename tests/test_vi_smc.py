@@ -188,3 +188,63 @@ def test_advi_adam_path():
     assert abs(float(mu_draws.std()) - post_sd) < 0.15
     with pytest.raises(ValueError, match="optimizer"):
         advi_fit(ir, num_steps=10, optimizer="rmsprop")
+
+
+def test_smc_likelihood_tempering_evidence():
+    """tempering='likelihood' telescopes to the marginal likelihood:
+    validated against the CLOSED-FORM conjugate evidence (y jointly
+    N(0, I + tau^2 11^T)) and cross-checked against the flow ELBO
+    lower bound. The full-logp mode (reference parity) has no proper
+    base measure and must not report one."""
+    import numpy as np
+    from exmc_tpu import Model, dists
+    from exmc_tpu.smc import smc_sample
+
+    rng = np.random.default_rng(5)
+    y = rng.normal(2.0, 1.0, 30)
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+        m.obs("y_obs", "y", y)
+    n = len(y)
+    cov = np.eye(n) + 9.0 * np.ones((n, n))
+    _, logdet = np.linalg.slogdet(cov)
+    log_z = -0.5 * (n * np.log(2 * np.pi) + logdet
+                    + y @ np.linalg.solve(cov, y))
+
+    trace, info = smc_sample(m.ir, num_particles=2000, seed=1,
+                             tempering="likelihood")
+    assert info["converged"]
+    assert info["log_evidence"] == pytest.approx(log_z, abs=0.3)
+    # posterior unchanged by the tempering path
+    prec = 1.0 / 9.0 + n
+    assert trace["mu"][0].mean() == pytest.approx(y.sum() / prec, abs=0.1)
+
+    _, info_full = smc_sample(m.ir, num_particles=500, seed=0)
+    assert "log_evidence" not in info_full
+
+    with pytest.raises(ValueError, match="tempering"):
+        smc_sample(m.ir, tempering="prior")
+
+
+def test_partial_logp_split_sums_to_full():
+    import jax.numpy as jnp
+    import numpy as np
+    from exmc_tpu import Model, dists
+    from exmc_tpu.compiler import compile_logp, partial_logp
+
+    y = np.linspace(-1, 2, 12)
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+        m.rv("sigma", dists.HalfNormal, {"sigma": 2.0})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+        m.obs("y_obs", "y", y)
+    model = compile_logp(m.ir, ncp=True)
+    lp_p = partial_logp(model, "prior")
+    lp_l = partial_logp(model, "likelihood")
+    for z in ([0.0, 0.0], [1.3, -0.7], [-2.0, 0.4]):
+        z = jnp.asarray(z)
+        assert float(model.logp(z)) == pytest.approx(
+            float(lp_p(z) + lp_l(z)), rel=1e-6)
+    with pytest.raises(ValueError, match="part"):
+        partial_logp(model, "posterior")
