@@ -212,3 +212,59 @@ def compare(models, data=None, criterion="waic"):
                 float(math.sqrt(n * np.var(d, ddof=1))) if n > 1 else 0.0
             )
     return rows
+
+
+def log_marginal_likelihood(ir, *, method="smc", data=None, ncp=True,
+                            seed=0, **kwargs):
+    """Estimate log p(y) (the model evidence) for Bayes-factor model
+    comparison. Beyond the reference (model_comparison.ex is
+    WAIC/LOO-only).
+
+    ``method``:
+      * ``"smc"`` — likelihood-tempering SMC telescoping estimator
+        (smc.py, tempering="likelihood"): consistent, the default.
+        kwargs forward to :func:`smc_sample` (num_particles, ...).
+      * ``"flow"`` — the flow-VI ELBO (flows.py): a strict LOWER
+        bound, tight when the fitted Pareto k is small; cheap when a
+        FlowFit already exists (pass ``flow=fit``). kwargs forward to
+        :func:`flow_fit`.
+
+    Returns a dict: ``log_evidence``, ``method``, plus method detail
+    (SMC: stages/betas; flow: pareto_k and the bound caveat).
+    """
+    if method == "smc":
+        from exmc_tpu.smc import smc_sample
+
+        _, info = smc_sample(ir, data=data, ncp=ncp, seed=seed,
+                             tempering="likelihood", **kwargs)
+        if not info["converged"]:
+            raise RuntimeError(
+                "SMC beta ladder did not reach 1.0; no evidence "
+                "estimate (raise max_stages)")
+        return {"log_evidence": info["log_evidence"], "method": "smc",
+                "num_stages": info["num_stages"], "betas": info["betas"]}
+    if method == "flow":
+        from exmc_tpu.flows import flow_fit
+
+        fit = kwargs.pop("flow", None)
+        if fit is None:
+            fit = flow_fit(ir, data=data, ncp=ncp, seed=seed, **kwargs)
+        elbo = float(np.mean(fit.elbo_history[-100:]))
+        return {"log_evidence": elbo, "method": "flow",
+                "lower_bound": True,
+                "pareto_k": fit.psis_diagnostic(seed=seed + 1)}
+    raise ValueError(f"method must be 'smc' or 'flow', got {method!r}")
+
+
+def bayes_factor(ir_a, ir_b, *, method="smc", data=None, ncp=True, seed=0,
+                 **kwargs):
+    """log10 Bayes factor of model A over model B (both evidences via
+    :func:`log_marginal_likelihood` with the same settings). Jeffreys'
+    reading: >1 strong for A, <-1 strong for B, in between
+    inconclusive."""
+    za = log_marginal_likelihood(ir_a, method=method, data=data, ncp=ncp,
+                                 seed=seed, **kwargs)
+    zb = log_marginal_likelihood(ir_b, method=method, data=data, ncp=ncp,
+                                 seed=seed, **kwargs)
+    log10_bf = (za["log_evidence"] - zb["log_evidence"]) / math.log(10.0)
+    return {"log10_bf": log10_bf, "evidence_a": za, "evidence_b": zb}

@@ -248,3 +248,48 @@ def test_partial_logp_split_sums_to_full():
             float(lp_p(z) + lp_l(z)), rel=1e-6)
     with pytest.raises(ValueError, match="part"):
         partial_logp(model, "posterior")
+
+
+def test_log_marginal_likelihood_and_bayes_factor():
+    """Evidence API: SMC estimate matches the closed form, the flow
+    ELBO sits at-or-below it (lower bound), and the Bayes factor
+    strongly favors the model whose prior covers the data."""
+    import numpy as np
+    from exmc_tpu import Model, dists
+    from exmc_tpu.model_comparison import (
+        bayes_factor,
+        log_marginal_likelihood,
+    )
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(2.0, 1.0, 40)
+
+    def make(mu0):
+        with Model() as m:
+            m.rv("mu", dists.Normal, {"mu": mu0, "sigma": 1.0})
+            m.rv("y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+            m.obs("y_obs", "y", y)
+        return m.ir
+
+    n = len(y)
+    cov = np.eye(n) + np.ones((n, n))  # prior sd 1 on mu
+    _, logdet = np.linalg.slogdet(cov)
+    log_z = -0.5 * (n * np.log(2 * np.pi) + logdet
+                    + (y - 2.0) @ np.linalg.solve(cov, y - 2.0))
+
+    smc = log_marginal_likelihood(make(2.0), method="smc",
+                                  num_particles=2000, seed=0)
+    assert smc["log_evidence"] == pytest.approx(log_z, abs=0.4)
+
+    flow = log_marginal_likelihood(make(2.0), method="flow",
+                                   num_iters=1200, seed=0)
+    assert flow["lower_bound"]
+    assert flow["log_evidence"] < log_z + 0.2      # bound (MC slack)
+    assert flow["log_evidence"] > log_z - 1.0      # and reasonably tight
+    assert flow["pareto_k"] < 0.7
+
+    bf = bayes_factor(make(2.0), make(-3.0), num_particles=1000, seed=0)
+    assert bf["log10_bf"] > 2.0  # decisive for the well-centered prior
+
+    with pytest.raises(ValueError, match="method"):
+        log_marginal_likelihood(make(2.0), method="bridge")
