@@ -38,6 +38,7 @@ from exmc_tpu.chees import sample_chees, sample_snaper
 from exmc_tpu.meads import sample_meads
 from exmc_tpu.advi import advi_fit
 from exmc_tpu.flows import flow_fit, sample_neutra
+from exmc_tpu import gp
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
 from exmc_tpu import diagnostics
@@ -67,6 +68,7 @@ __all__ = [
     "sample_stream",
     "advi_fit",
     "flow_fit",
+    "gp",
     "sample_neutra",
     "smc_sample",
     "pathfinder_fit",

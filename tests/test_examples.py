@@ -48,6 +48,7 @@ EXAMPLES = [
     "38_stan_translations.py",
     "39_chees_many_chains.py",
     "40_flow_neutra_funnel.py",
+    "41_gp_regression.py",
 ]
 
 
