@@ -344,3 +344,54 @@ LOGNORMAL = register(LogNormal())
 LAPLACE = register(Laplace())
 TRUNCATED_NORMAL = register(TruncatedNormal())
 WEIBULL = register(Weibull())
+
+
+class InverseGamma(Distribution):
+    """InverseGamma(alpha, beta): x > 0, the conjugate prior for a
+    Normal variance — beyond the reference (standard Stan/PyMC
+    surface). p(x) = beta^alpha / Gamma(alpha) x^-(alpha+1) e^(-beta/x).
+    """
+
+    name = "inverse_gamma"
+
+    def logpdf(self, x, params):
+        alpha = params["alpha"]
+        beta = xm.floor_scale(params["beta"])
+        return (
+            alpha * jnp.log(beta)
+            - xm.lgamma(alpha)
+            - (alpha + 1.0) * jnp.log(x)
+            - beta / x
+        )
+
+    def support(self, params):
+        return "positive"
+
+    def default_transform(self, params):
+        return "log"
+
+    def sample(self, key, params, shape=()):
+        return jnp.asarray(params["beta"]) / jax.random.gamma(
+            key, params["alpha"], shape)
+
+
+class Gumbel(Distribution):
+    """Gumbel(loc, scale) extreme-value type-I — beyond the reference
+    (standard Stan surface). logpdf = -log(s) - z - exp(-z)."""
+
+    name = "gumbel"
+
+    def logpdf(self, x, params):
+        loc = params.get("loc", 0.0)
+        scale = xm.floor_scale(params.get("scale", 1.0))
+        z = (x - loc) / scale
+        return -jnp.log(scale) - z - jnp.exp(-z)
+
+    def sample(self, key, params, shape=()):
+        loc = params.get("loc", 0.0)
+        scale = params.get("scale", 1.0)
+        return loc + scale * jax.random.gumbel(key, shape)
+
+
+INVERSE_GAMMA = register(InverseGamma())
+GUMBEL = register(Gumbel())

@@ -172,3 +172,80 @@ class Categorical(Distribution):
 BINOMIAL = register(Binomial())
 NEGATIVE_BINOMIAL = register(NegativeBinomial())
 CATEGORICAL = register(Categorical())
+
+
+class BetaBinomial(Distribution):
+    """BetaBinomial(n, alpha, beta): Binomial with a Beta-marginalized
+    success probability — beyond the reference (standard Stan surface
+    for overdispersed counts). pmf = C(n,k) B(k+a, n-k+b) / B(a,b)."""
+
+    name = "beta_binomial"
+
+    def logpdf(self, y, params):
+        n = jnp.asarray(params["n"])
+        a = xm.floor_scale(params["alpha"])
+        b = xm.floor_scale(params["beta"])
+
+        def lbeta(p, q):
+            return xm.lgamma(p) + xm.lgamma(q) - xm.lgamma(p + q)
+
+        comb = xm.lgamma(n + 1.0) - xm.lgamma(y + 1.0) - xm.lgamma(
+            n - y + 1.0)
+        return comb + lbeta(y + a, n - y + b) - lbeta(a, b)
+
+    def sample(self, key, params, shape=()):
+        k1, k2 = jax.random.split(key)
+        p = jax.random.beta(k1, params["alpha"], params["beta"], shape)
+        n = jnp.asarray(params["n"])
+        # sum of n Bernoullis, vectorized (n static for sampling)
+        u = jax.random.uniform(k2, shape + (int(n),))
+        return jnp.sum(u < p[..., None], axis=-1).astype(jnp.float32)
+
+
+class OrderedLogistic(Distribution):
+    """OrderedLogistic(eta, cutpoints): ordinal outcome y in 0..K-1
+    (NOTE: 0-indexed here; the Stan frontend shifts its 1-indexed data)
+    with K-1 ORDERED cutpoints — pair with the ordered transform for
+    sampled cutpoints. Beyond the reference (standard Stan surface).
+
+    P(y = k) = sigmoid(eta - c_k) - sigmoid(eta - c_{k+1}) with the
+    cutpoint vector padded by -inf/+inf; computed in log space via
+    log-sigmoid differences (f32-stable at extreme eta - c)."""
+
+    name = "ordered_logistic"
+
+    def logpdf(self, y, params):
+        eta = jnp.asarray(params["eta"])
+        c = jnp.asarray(params["cutpoints"])
+        y = jnp.asarray(y).astype(jnp.int32)
+        eta = jnp.broadcast_to(eta, y.shape)  # scalar eta, vector y
+        # log sigmoid(eta - c_k) for the padded cutpoint ladder:
+        # k=0 -> 0 (sigmoid of +inf), k=K -> -inf-ish handled by gather
+        la_all = -jnp.logaddexp(0.0, -(eta[..., None] - c))  # (..., K-1)
+        pad_lo = jnp.zeros(la_all.shape[:-1] + (1,), la_all.dtype)
+        la = jnp.concatenate([pad_lo, la_all], axis=-1)  # log sig, k=0..K-1
+        # log(sig_k - sig_{k+1}) = la_k + log1p(-exp(la_{k+1} - la_k));
+        # the ladder is strictly decreasing so the diff is positive
+        K = la.shape[-1]
+        lb = jnp.concatenate(
+            [la_all, jnp.full(la_all.shape[:-1] + (1,), -jnp.inf,
+                              la_all.dtype)], axis=-1)
+        log_p = la + jnp.log1p(
+            -jnp.exp(jnp.minimum(lb - la, -1e-7)))
+        return jnp.take_along_axis(log_p, y[..., None], axis=-1)[..., 0]
+
+    def sample(self, key, params, shape=()):
+        eta = jnp.asarray(params["eta"])
+        c = jnp.asarray(params["cutpoints"])
+        probs_hi = jax.nn.sigmoid(eta[..., None] - c)
+        sig = jnp.concatenate(
+            [jnp.ones_like(probs_hi[..., :1]), probs_hi,
+             jnp.zeros_like(probs_hi[..., :1])], axis=-1)
+        p = sig[..., :-1] - sig[..., 1:]
+        logits = jnp.log(jnp.clip(p, 1e-30, 1.0))
+        out = jax.random.categorical(key, logits, shape=shape or None)
+        return out.astype(jnp.float32)
+
+
+BETA_BINOMIAL = register(BetaBinomial())
+ORDERED_LOGISTIC = register(OrderedLogistic())

@@ -80,6 +80,10 @@ DIST_MAP = {
     # reference's Uniform01, general constant bounds use the interval
     # transform (ADVICE r1)
     "uniform": (dists.Uniform, ["lower", "upper"]),
+    "inv_gamma": (dists.InverseGamma, ["alpha", "beta"]),
+    "gumbel": (dists.Gumbel, ["loc", "scale"]),
+    "beta_binomial": (dists.BetaBinomial, ["n", "alpha", "beta"]),
+    "ordered_logistic": (dists.OrderedLogistic, ["eta", "cutpoints"]),
 }
 
 _FNS = {"sqrt", "exp", "log", "abs", "softplus", "sigmoid", "sum", "mean"}
@@ -579,12 +583,12 @@ def compile(code: str, data=None):
             # data on the left of ~ : RV + obs pair (stan/compiler.ex:61-97)
             rv_id = f"__{target}_rv"
             value = np.asarray(data[target], dtype=np.float32)
-            if dist_name == "categorical":
-                # Stan categorical outcomes are 1-indexed (y in 1..K);
-                # the Categorical dist is 0-indexed
+            if dist_name in ("categorical", "ordered_logistic"):
+                # Stan categorical/ordinal outcomes are 1-indexed
+                # (y in 1..K); the dists are 0-indexed
                 if value.min() < 1:
                     raise StanSyntaxError(
-                        "categorical data must be 1-indexed (Stan "
+                        f"{dist_name} data must be 1-indexed (Stan "
                         f"convention); got a value of {value.min()}",
                         line=line,
                     )

@@ -384,3 +384,167 @@ def test_discrete_samplers_moments():
         key, {"p": np.array([0.6, 0.3, 0.1])}, (4000,)))
     f = np.bincount(y.astype(int), minlength=3) / 4000
     assert np.allclose(f, [0.6, 0.3, 0.1], atol=0.04)
+
+
+def test_inverse_gamma():
+    # torch ships InverseGamma from 1.13; fall back to the
+    # change-of-variables identity through td.Gamma if absent
+    xs = XS_POS
+    ours = np.asarray(
+        dists.InverseGamma.logpdf(jnp.asarray(xs, jnp.float32),
+                                  {"alpha": 3.0, "beta": 2.0}))
+    if hasattr(td, "InverseGamma"):
+        theirs = td.InverseGamma(t64(3.0), t64(2.0)).log_prob(t64(xs)).numpy()
+    else:
+        # x ~ InvGamma(a, b) <=> 1/x ~ Gamma(a, b), |d(1/x)/dx| = x^-2
+        theirs = (td.Gamma(t64(3.0), t64(2.0)).log_prob(t64(1.0 / xs))
+                  - 2.0 * np.log(t64(xs))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=ATOL, rtol=1e-4)
+
+
+def test_gumbel():
+    check(dists.Gumbel, {"loc": 0.4, "scale": 1.3}, td.Gumbel(0.4, 1.3),
+          XS_REAL)
+
+
+def test_beta_binomial():
+    # independent oracle: numerically integrate Binomial(n, p) against
+    # the Beta(a, b) density on a fine grid (no shared lgamma formula)
+    n, a, b = 10, 2.0, 3.0
+    ks = np.arange(0, 11, dtype=np.float64)
+    ours = np.asarray(dists.BetaBinomial.logpdf(
+        jnp.asarray(ks, jnp.float32), {"n": n, "alpha": a, "beta": b}))
+    p = np.linspace(1e-6, 1 - 1e-6, 20001)
+    beta_pdf = np.exp(td.Beta(t64(a), t64(b)).log_prob(t64(p)).numpy())
+    pmf = np.array([
+        np.trapezoid(
+            np.exp(td.Binomial(n, probs=t64(p)).log_prob(t64(k)).numpy())
+            * beta_pdf, p)
+        for k in ks
+    ])
+    np.testing.assert_allclose(np.exp(ours), pmf, atol=1e-4, rtol=1e-3)
+    assert np.exp(ours).sum() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_ordered_logistic():
+    # explicit f64 sigmoid arithmetic as the oracle
+    eta, c = 0.7, np.array([-1.0, 0.5, 2.0])
+    sig = lambda t: 1.0 / (1.0 + np.exp(-t))
+    full = np.concatenate([[1.0], sig(eta - c), [0.0]])
+    probs = full[:-1] - full[1:]
+    ys = np.arange(4, dtype=np.float32)
+    ours = np.asarray(dists.OrderedLogistic.logpdf(
+        jnp.asarray(ys), {"eta": eta, "cutpoints": jnp.asarray(c)}))
+    np.testing.assert_allclose(np.exp(ours), probs, atol=1e-5, rtol=1e-4)
+    assert np.exp(ours).sum() == pytest.approx(1.0, abs=1e-5)
+    # extreme eta must stay finite (the log-sigmoid-difference path)
+    far = np.asarray(dists.OrderedLogistic.logpdf(
+        jnp.asarray([0.0, 3.0], jnp.float32),
+        {"eta": 40.0, "cutpoints": jnp.asarray(c)}))
+    assert np.all(np.isfinite(far))
+
+
+def test_new_dists_sample_moments():
+    key = jax.random.PRNGKey(0)
+    ig = np.asarray(dists.InverseGamma.sample(
+        key, {"alpha": 5.0, "beta": 8.0}, (40000,)))
+    assert ig.mean() == pytest.approx(8.0 / 4.0, rel=0.05)  # b/(a-1)
+    gu = np.asarray(dists.Gumbel.sample(
+        key, {"loc": 1.0, "scale": 2.0}, (40000,)))
+    assert gu.mean() == pytest.approx(1.0 + 2.0 * 0.5772, rel=0.05)
+    bb = np.asarray(dists.BetaBinomial.sample(
+        key, {"n": 10, "alpha": 2.0, "beta": 3.0}, (40000,)))
+    assert bb.mean() == pytest.approx(10 * 2.0 / 5.0, rel=0.05)
+    ol = np.asarray(dists.OrderedLogistic.sample(
+        key, {"eta": 0.7, "cutpoints": jnp.asarray([-1.0, 0.5, 2.0])},
+        (40000,)))
+    sig = lambda t: 1.0 / (1.0 + np.exp(-t))
+    full = np.concatenate([[1.0], sig(0.7 - np.array([-1.0, 0.5, 2.0])),
+                           [0.0]])
+    probs = full[:-1] - full[1:]
+    emp = np.bincount(ol.astype(int), minlength=4) / ol.size
+    np.testing.assert_allclose(emp, probs, atol=0.01)
+
+
+def test_ordinal_regression_end_to_end():
+    """OrderedLogistic + the ordered transform: recover cutpoints and
+    slope from synthetic ordinal data via NUTS."""
+    from exmc_tpu import Model, sample
+
+    rng = np.random.default_rng(0)
+    n = 300
+    x = rng.normal(size=n).astype(np.float32)
+    beta_true, c_true = 1.2, np.array([-1.0, 0.8])
+    eta = beta_true * x
+    sig = lambda t: 1.0 / (1.0 + np.exp(-t))
+    full = np.concatenate(
+        [np.ones((n, 1)), sig(eta[:, None] - c_true), np.zeros((n, 1))],
+        axis=1)
+    probs = full[:, :-1] - full[:, 1:]
+    y = np.array([rng.choice(3, p=p / p.sum()) for p in probs],
+                 np.float32)
+
+    with Model() as m:
+        m.rv("beta", dists.Normal, {"mu": 0.0, "sigma": 2.0})
+        m.rv("c", dists.Normal, {"mu": 0.0, "sigma": 5.0},
+             transform="ordered", shape=(2,))
+        m.det("eta", lambda b: b * x, ["beta"])
+        m.rv("y", dists.OrderedLogistic, {"eta": "eta", "cutpoints": "c"},
+             shape=(n,))
+        m.obs("y_obs", "y", y)
+    trace, stats = sample(m.ir, num_chains=2, num_warmup=400,
+                          num_samples=400, seed=0)
+    assert stats["divergences"].sum() == 0
+    assert trace["beta"].mean() == pytest.approx(beta_true, abs=0.35)
+    c_post = trace["c"].reshape(-1, 2).mean(axis=0)
+    np.testing.assert_allclose(c_post, c_true, atol=0.4)
+    assert np.all(np.diff(trace["c"].reshape(-1, 2), axis=1) > 0)
+
+
+def test_inverse_gamma_conjugate_posterior():
+    """InvGamma(a, b) prior on a Normal variance with known mean is
+    conjugate: posterior is InvGamma(a + n/2, b + SSE/2) — exact
+    moment check."""
+    from exmc_tpu import Model, sample
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(0.0, 1.5, 80)
+    a0, b0 = 3.0, 4.0
+    with Model() as m:
+        m.rv("v", dists.InverseGamma, {"alpha": a0, "beta": b0})
+        m.det("sd", lambda v: jnp.sqrt(v), ["v"])
+        m.rv("y", dists.Normal, {"mu": 0.0, "sigma": "sd"})
+        m.obs("y_obs", "y", y)
+    trace, stats = sample(m.ir, num_chains=2, num_warmup=400,
+                          num_samples=600, seed=0)
+    a_n = a0 + len(y) / 2
+    b_n = b0 + 0.5 * float((y**2).sum())
+    post_mean = b_n / (a_n - 1)
+    post_sd = post_mean / np.sqrt(a_n - 2)
+    assert stats["divergences"].sum() == 0
+    assert trace["v"].mean() == pytest.approx(post_mean, abs=3 * post_sd / 5)
+    assert trace["v"].std() == pytest.approx(post_sd, rel=0.25)
+
+
+def test_stan_frontend_new_dists():
+    from exmc_tpu import stan
+
+    code = """
+    data { int N; vector[N] y; vector[N] x; }
+    parameters { real beta; ordered[2] c; }
+    model {
+      beta ~ normal(0, 2);
+      c ~ normal(0, 5);
+      y ~ ordered_logistic(beta * x, c);
+    }
+    """
+    rng = np.random.default_rng(0)
+    n = 120
+    x = rng.normal(size=n)
+    y = np.clip(np.digitize(1.2 * x + rng.logistic(size=n),
+                            [-1.0, 0.8]) + 1, 1, 3)
+    trace, stats = stan.sample(code, data={"N": n, "y": y, "x": x},
+                               num_chains=2, num_warmup=300,
+                               num_samples=300, seed=0)
+    assert stats["divergences"].sum() == 0
+    assert 0.5 < trace["beta"].mean() < 2.2
