@@ -39,6 +39,7 @@ from exmc_tpu.meads import sample_meads
 from exmc_tpu.advi import advi_fit
 from exmc_tpu.flows import flow_fit, sample_neutra
 from exmc_tpu import gp
+from exmc_tpu import hmm
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
 from exmc_tpu import diagnostics
@@ -69,6 +70,7 @@ __all__ = [
     "advi_fit",
     "flow_fit",
     "gp",
+    "hmm",
     "sample_neutra",
     "smc_sample",
     "pathfinder_fit",

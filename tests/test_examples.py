@@ -49,6 +49,7 @@ EXAMPLES = [
     "39_chees_many_chains.py",
     "40_flow_neutra_funnel.py",
     "41_gp_regression.py",
+    "42_hmm_regime_switching.py",
 ]
 
 
