@@ -67,8 +67,8 @@ params = {
     "trans": jnp.asarray([[trace["p00"].mean(), 1 - trace["p00"].mean()],
                           [1 - trace["p11"].mean(), trace["p11"].mean()]]),
 }
-gamma = np.asarray(posterior_state_probs(emission, y, params, 2))
-path = np.asarray(viterbi(emission, y, params, 2))
+gamma = np.asarray(posterior_state_probs(emission, y, params, 2, stationary_init=True))
+path = np.asarray(viterbi(emission, y, params, 2, stationary_init=True))
 acc_s = ((gamma[:, 1] > 0.5).astype(int) == s).mean()
 acc_v = (path == s).mean()
 print(f"decode : smoothing accuracy {acc_s:.2f}, Viterbi {acc_v:.2f}")

@@ -185,21 +185,18 @@ class BetaBinomial(Distribution):
         n = jnp.asarray(params["n"])
         a = xm.floor_scale(params["alpha"])
         b = xm.floor_scale(params["beta"])
-
-        def lbeta(p, q):
-            return xm.lgamma(p) + xm.lgamma(q) - xm.lgamma(p + q)
-
         comb = xm.lgamma(n + 1.0) - xm.lgamma(y + 1.0) - xm.lgamma(
             n - y + 1.0)
-        return comb + lbeta(y + a, n - y + b) - lbeta(a, b)
+        return comb + xm.lbeta(y + a, n - y + b) - xm.lbeta(a, b)
 
     def sample(self, key, params, shape=()):
         k1, k2 = jax.random.split(key)
         p = jax.random.beta(k1, params["alpha"], params["beta"], shape)
-        n = jnp.asarray(params["n"])
-        # sum of n Bernoullis, vectorized (n static for sampling)
-        u = jax.random.uniform(k2, shape + (int(n),))
-        return jnp.sum(u < p[..., None], axis=-1).astype(jnp.float32)
+        # jax.random.binomial broadcasts n, so per-observation trial
+        # counts work here exactly as in logpdf
+        n = jnp.asarray(params["n"], jnp.float32)
+        return jax.random.binomial(k2, n, p, shape or None).astype(
+            jnp.float32)
 
 
 class OrderedLogistic(Distribution):

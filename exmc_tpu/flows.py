@@ -188,11 +188,20 @@ def flow_fit(ir, *, num_layers=4, hidden=32, num_iters=1500,
 
     def neg_elbo(params, zbatch):
         x, ld = jax.vmap(lambda zz: flow_forward(params, zz))(zbatch)
-        lp = jax.vmap(lambda f: model.logp(f, data))(x)
-        val = lp + ld + h_base
-        finite = jnp.isfinite(val)
-        val = jnp.where(finite, val, 0.0)
-        n = jnp.maximum(jnp.sum(finite), 1)
+        # double-where: detect bad draws on a stop-gradient probe, then
+        # evaluate logp's GRADIENT path only at sanitized inputs — a
+        # single post-hoc mask keeps the finite loss but 0 * NaN = NaN
+        # in the backward pass rejects the whole Adam step, silently
+        # stalling training (review finding, round 4). The origin (all
+        # zeros) is always interior in unconstrained space.
+        lp_probe = jax.vmap(lambda f: model.logp(f, data))(
+            jax.lax.stop_gradient(x))
+        ok = (jnp.isfinite(lp_probe)
+              & jnp.all(jnp.isfinite(x), axis=-1) & jnp.isfinite(ld))
+        x_safe = jnp.where(ok[:, None], x, 0.0)
+        lp = jax.vmap(lambda f: model.logp(f, data))(x_safe)
+        val = jnp.where(ok, lp + ld + h_base, 0.0)
+        n = jnp.maximum(jnp.sum(ok), 1)
         return -jnp.sum(val) / n
 
     @jax.jit

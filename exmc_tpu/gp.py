@@ -186,7 +186,7 @@ def gp_marginal(m, name, X, y_obs, *, kernel="rbf", mean=0.0,
     return f"{name}_obs"
 
 
-def gp_predict(trace, X, Xstar, *, kernel="rbf", mean=0.0, jitter=1e-6,
+def gp_predict(trace, X, Xstar, *, kernel="rbf", mean=0.0, jitter=1e-4,
                f_name=None, y=None, noise=None, seed=0, num_draws=None,
                **hypers):
     """Posterior GP draws at new inputs ``Xstar``, vmapped over the
@@ -200,7 +200,13 @@ def gp_predict(trace, X, Xstar, *, kernel="rbf", mean=0.0, jitter=1e-6,
     ``hypers`` values that are strings are looked up in the trace
     (posterior draws); others are constants. Returns (S, n*) draws of
     f* (one conditional draw per posterior sample: the full posterior
-    predictive of the function values)."""
+    predictive of the function values).
+
+    ``jitter`` must MATCH the model's (defaults match gp_latent's
+    1e-4): the latent path un-whitens trace z draws through
+    chol(K + jitter I), and a different jitter than the one the model
+    sampled under reconstructs a systematically different f (review
+    finding, round 4)."""
     if (f_name is None) == (y is None):
         raise ValueError("pass exactly one of f_name= (latent) or "
                          "y= (marginal)")

@@ -73,10 +73,7 @@ def hmm_dist(emission_logpdf, K, *, stationary_init=False):
         trans = jnp.asarray(params["trans"])
         log_trans = jnp.log(jnp.clip(trans, 1e-30, 1.0))
         if stationary_init:
-            pi = jnp.full((K,), 1.0 / K, trans.dtype)
-            for _ in range(32):
-                pi = pi @ trans
-            init = pi / jnp.sum(pi)
+            init = _stationary(trans, K)
         else:
             init = jnp.asarray(params["init"])
         log_init = jnp.log(jnp.clip(init, 1e-30, 1.0))
@@ -86,20 +83,35 @@ def hmm_dist(emission_logpdf, K, *, stationary_init=False):
     return Custom(logpdf)
 
 
-def _prep(emission_logpdf, y, params, K):
+def _stationary(trans, K):
+    pi = jnp.full((K,), 1.0 / K, jnp.asarray(trans).dtype)
+    for _ in range(32):
+        pi = pi @ trans
+    return pi / jnp.sum(pi)
+
+
+def _prep(emission_logpdf, y, params, K, stationary_init):
     trans = jnp.asarray(params["trans"])
     log_trans = jnp.log(jnp.clip(trans, 1e-30, 1.0))
-    init = jnp.asarray(params.get("init", jnp.full((K,), 1.0 / K)))
+    if stationary_init:
+        init = _stationary(trans, K)
+    else:
+        init = jnp.asarray(params.get("init", jnp.full((K,), 1.0 / K)))
     log_init = jnp.log(jnp.clip(init, 1e-30, 1.0))
     log_obs = _log_obs_matrix(emission_logpdf, jnp.asarray(y), params, K)
     return log_obs, log_trans, log_init
 
 
-def posterior_state_probs(emission_logpdf, y, params, K):
+def posterior_state_probs(emission_logpdf, y, params, K,
+                          stationary_init=False):
     """Forward-backward smoothing gamma (T, K): p(s_t = k | y, theta)
     for ONE parameter draw; vmap over a stacked-draws params pytree for
-    the full posterior (example 42 does)."""
-    log_obs, log_trans, log_init = _prep(emission_logpdf, y, params, K)
+    the full posterior (example 42 does). Pass the SAME
+    ``stationary_init`` the model's hmm_dist used — decoding under a
+    different initial distribution than the fit skews gamma near t=0
+    (review finding, round 4)."""
+    log_obs, log_trans, log_init = _prep(emission_logpdf, y, params, K,
+                                         stationary_init)
 
     def fwd(alpha, lo):
         alpha = lo + logsumexp(alpha[:, None] + log_trans, axis=0)
@@ -121,9 +133,12 @@ def posterior_state_probs(emission_logpdf, y, params, K):
     return jnp.exp(lg - logsumexp(lg, axis=1, keepdims=True))
 
 
-def viterbi(emission_logpdf, y, params, K):
-    """MAP state path (T,) int32 for ONE parameter draw."""
-    log_obs, log_trans, log_init = _prep(emission_logpdf, y, params, K)
+def viterbi(emission_logpdf, y, params, K, stationary_init=False):
+    """MAP state path (T,) int32 for ONE parameter draw. Match
+    ``stationary_init`` to the model's hmm_dist (see
+    posterior_state_probs)."""
+    log_obs, log_trans, log_init = _prep(emission_logpdf, y, params, K,
+                                         stationary_init)
 
     def fwd(delta, lo):
         scores = delta[:, None] + log_trans  # (from, to)

@@ -247,6 +247,11 @@ def log_marginal_likelihood(ir, *, method="smc", data=None, ncp=True,
         from exmc_tpu.flows import flow_fit
 
         fit = kwargs.pop("flow", None)
+        if fit is not None and kwargs:
+            raise ValueError(
+                "pass flow= (an existing fit) OR fit options "
+                f"({sorted(kwargs)}), not both — the options would be "
+                "silently ignored")
         if fit is None:
             fit = flow_fit(ir, data=data, ncp=ncp, seed=seed, **kwargs)
         elbo = float(np.mean(fit.elbo_history[-100:]))

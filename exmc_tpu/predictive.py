@@ -87,10 +87,15 @@ def _forward_draw(ir: IR, order, key, data):
     return vm
 
 
-def prior_samples(ir: IR, num_draws=500, seed=0, data=None):
+def prior_samples(ir: IR, num_draws=500, seed=0, data=None,
+                  rewritten=False):
     """Prior predictive: forward-sample the whole DAG ``num_draws`` times
-    (predictive.ex:19-33). Returns {rv_id: (num_draws, *shape)}."""
-    rw = rewrite.apply(ir, ncp=False)
+    (predictive.ex:19-33). Returns {rv_id: (num_draws, *shape)}.
+
+    ``rewritten=True`` skips the rewrite and samples ``ir`` as-is —
+    for ALREADY-rewritten IRs (e.g. ``CompiledModel.ir``, where NCP'd
+    nodes forward-sample their z-space values directly)."""
+    rw = ir if rewritten else rewrite.apply(ir, ncp=False)
     if data is None:
         data = rw.data
     order = [nid for nid in _topo_order(rw) if rw.nodes[nid].op[0] in ("rv", "det")]

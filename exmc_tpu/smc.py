@@ -79,10 +79,24 @@ def smc_sample(ir, *, num_particles=1000, ess_threshold=0.5, num_mh_steps=5,
         batch_lp0 = jax.jit(jax.vmap(lambda z: prior_fn(z, data)))
         batch_lt = jax.jit(jax.vmap(lambda z: lik_fn(z, data)))
         names = [e.id for e in model.pm.entries]
-        draws = prior_samples(ir, num_draws=num_particles,
-                              seed=seed + 7919, data=data)
-        sub = {k: jnp.asarray(draws[k], dtype) for k in names}
-        particles = jax.jit(jax.vmap(model.unconstrain))(sub).astype(dtype)
+        if isinstance(ir, CompiledModel):
+            # only the REWRITTEN IR exists: forward-sample it as-is
+            # (NCP'd nodes emit their z values directly) and invert
+            # only the per-entry transforms — model.unconstrain would
+            # wrongly re-invert NCP on values that are already z
+            # (review finding, round 4)
+            draws = prior_samples(model.ir, num_draws=num_particles,
+                                  seed=seed + 7919, data=data,
+                                  rewritten=True)
+            sub = {k: jnp.asarray(draws[k], dtype) for k in names}
+            particles = jax.jit(
+                jax.vmap(model.pm.to_unconstrained))(sub).astype(dtype)
+        else:
+            draws = prior_samples(ir, num_draws=num_particles,
+                                  seed=seed + 7919, data=data)
+            sub = {k: jnp.asarray(draws[k], dtype) for k in names}
+            particles = jax.jit(
+                jax.vmap(model.unconstrain))(sub).astype(dtype)
     else:
         logp_flat = model.logp
         batch_lt = jax.jit(jax.vmap(lambda z: logp_flat(z, data)))

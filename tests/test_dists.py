@@ -548,3 +548,16 @@ def test_stan_frontend_new_dists():
                                num_samples=300, seed=0)
     assert stats["divergences"].sum() == 0
     assert 0.5 < trace["beta"].mean() < 2.2
+
+
+def test_beta_binomial_vector_n_sample():
+    # regression (round-4 review): per-observation trial counts
+    # crashed sample() via int(n) while logpdf supported them
+    key = jax.random.PRNGKey(3)
+    n = jnp.asarray([5.0, 10.0, 50.0])
+    draws = np.asarray(dists.BetaBinomial.sample(
+        key, {"n": n, "alpha": 2.0, "beta": 2.0}, (2000, 3)))
+    assert draws.shape == (2000, 3)
+    assert np.all(draws <= np.asarray(n))
+    np.testing.assert_allclose(draws.mean(axis=0), np.asarray(n) * 0.5,
+                               rtol=0.1)

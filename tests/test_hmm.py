@@ -106,12 +106,12 @@ def test_hmm_state_decoding():
             + trace["p11"].mean() * np.array([[0, 0], [0, 1]])
             + (1 - trace["p11"].mean()) * np.array([[0, 0], [1, 0]])),
     }
-    gamma = np.asarray(posterior_state_probs(_emission, y, params, 2))
+    gamma = np.asarray(posterior_state_probs(_emission, y, params, 2, stationary_init=True))
     assert gamma.shape == (len(y), 2)
     np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-4)
     acc_smooth = ((gamma[:, 1] > 0.5).astype(int) == s).mean()
     assert acc_smooth > 0.85
 
-    path = np.asarray(viterbi(_emission, y, params, 2))
+    path = np.asarray(viterbi(_emission, y, params, 2, stationary_init=True))
     assert path.shape == (len(y),)
     assert (path == s).mean() > 0.85

@@ -293,3 +293,43 @@ def test_log_marginal_likelihood_and_bayes_factor():
 
     with pytest.raises(ValueError, match="method"):
         log_marginal_likelihood(make(2.0), method="bridge")
+
+
+def test_smc_likelihood_tempering_accepts_compiled_model():
+    """Regression (round-4 review): a CompiledModel input used to crash
+    prior_samples (no .nodes); the rewritten-IR path must give the
+    same evidence as the raw-IR path."""
+    import numpy as np
+    from exmc_tpu import Model, dists
+    from exmc_tpu.compiler import compile_logp
+    from exmc_tpu.smc import smc_sample
+
+    rng = np.random.default_rng(5)
+    y = rng.normal(2.0, 1.0, 30)
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+        m.obs("y_obs", "y", y)
+    _, info_ir = smc_sample(m.ir, num_particles=1500, seed=2,
+                            tempering="likelihood")
+    model = compile_logp(m.ir, ncp=True)
+    _, info_cm = smc_sample(model, num_particles=1500, seed=2,
+                            tempering="likelihood")
+    assert info_cm["converged"]
+    assert info_cm["log_evidence"] == pytest.approx(
+        info_ir["log_evidence"], abs=0.5)
+
+
+def test_log_marginal_likelihood_flow_conflicting_kwargs():
+    from exmc_tpu import Model, dists
+    from exmc_tpu.flows import flow_fit
+    from exmc_tpu.model_comparison import log_marginal_likelihood
+
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+        m.obs("y_obs", "y", np.zeros(5))
+    fit = flow_fit(m.ir, num_iters=20)
+    with pytest.raises(ValueError, match="not both"):
+        log_marginal_likelihood(m.ir, method="flow", flow=fit,
+                                num_iters=500)
