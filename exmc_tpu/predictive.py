@@ -178,3 +178,49 @@ def posterior_predictive(ir: IR, trace, seed=0, data=None, ncp=True):
         k: np.asarray(v).reshape((c, n) + np.asarray(v).shape[1:])
         for k, v in out.items()
     }
+
+
+def ppc_pvalue(ir, trace, stat, data=None, ncp=True, seed=0, obs_id=None):
+    """Posterior predictive check (Gelman/Meng/Stern): the Bayesian
+    p-value p = P(T(y_rep) >= T(y_obs)) for a test statistic ``stat``
+    (a callable mapping an observation array to a scalar, e.g.
+    ``np.std``, or ``lambda y: np.abs(skew(y))``). Beyond the
+    reference's predictive surface (predictive.ex samples replicates
+    but ships no check statistic).
+
+    ``obs_id`` selects the observation node when the model has several
+    (default: the only one; raises if ambiguous). Returns a dict with
+    ``p_value``, ``observed``, ``replicated`` (per-draw statistics) —
+    p near 0 or 1 flags misfit in the direction T measures."""
+    reps = posterior_predictive(ir, trace, seed=seed, data=data, ncp=ncp)
+    if obs_id is None:
+        if len(reps) != 1:
+            raise ValueError(
+                f"model has {len(reps)} obs nodes ({sorted(reps)}); "
+                "pass obs_id=")
+        obs_id = next(iter(reps))
+    if obs_id not in reps:
+        raise ValueError(f"unknown obs node {obs_id!r} ({sorted(reps)})")
+
+    node = (ir.ir if hasattr(ir, "ir") else ir).nodes[obs_id]
+    observed_value = node.op[2]
+    if isinstance(observed_value, str):
+        # value rides the data channel ("__obs_data"): a plain tensor,
+        # or a dict keyed per obs node (D69/D-T27)
+        src = data if data is not None else (
+            ir.ir.data if hasattr(ir, "ir") else ir.data)
+        if isinstance(src, dict):
+            src = src.get(obs_id, src)
+        observed_value = src
+    observed_value = np.asarray(observed_value)
+
+    rep_arr = np.asarray(reps[obs_id])
+    rep_flat = rep_arr.reshape((-1,) + rep_arr.shape[2:])
+    t_obs = float(stat(observed_value))
+    t_rep = np.asarray([float(stat(r)) for r in rep_flat])
+    return {
+        "p_value": float((t_rep >= t_obs).mean()),
+        "observed": t_obs,
+        "replicated": t_rep,
+        "obs_id": obs_id,
+    }

@@ -161,3 +161,42 @@ def test_bench_probe_detects_dead_backend(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     ok, info = bench._backend_available(timeout_s=2)
     assert not ok and "timed out" in info
+
+
+def test_ppc_pvalue():
+    """Bayesian posterior predictive p-value: mid-range for a
+    well-specified model, extreme for a tail statistic the model
+    cannot reproduce (heavy-tailed data under a Normal likelihood)."""
+    import numpy as np
+    from exmc_tpu import Model, dists, sample
+    from exmc_tpu.predictive import ppc_pvalue
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(2.0, 1.0, 60)
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+        m.rv("sigma", dists.HalfNormal, {"sigma": 2.0})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+        m.obs("y_obs", "y", y)
+    trace, _ = sample(m.ir, num_chains=2, num_warmup=300,
+                      num_samples=300, seed=0)
+    r = ppc_pvalue(m.ir, trace, np.std, seed=1)
+    assert 0.05 < r["p_value"] < 0.95
+    assert r["obs_id"] == "y_obs"
+    assert r["replicated"].shape == (600,)
+
+    y2 = rng.standard_t(2, size=60) + 2.0
+    with Model() as m2:
+        m2.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+        m2.rv("sigma", dists.HalfNormal, {"sigma": 2.0})
+        m2.rv("y", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+        m2.obs("y_obs", "y", y2)
+    trace2, _ = sample(m2.ir, num_chains=2, num_warmup=300,
+                       num_samples=300, seed=0)
+    r2 = ppc_pvalue(m2.ir, trace2,
+                    lambda v: np.abs(v - np.median(v)).max(), seed=1)
+    assert r2["p_value"] < 0.05
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown obs node"):
+        ppc_pvalue(m.ir, trace, np.std, obs_id="nope")
