@@ -29,7 +29,7 @@ JOBS = [
      [sys.executable, "scripts/sbc_evidence.py"], 10800),
     ("AOT executable serialization probe",
      [sys.executable, "scripts/aot_serialize_bench.py"], 3600),
-    ("ChEES vs NUTS lockstep dividend (D-T29)",
+    ("ChEES/SNAPER/MEADS vs NUTS lockstep dividend (D-T29/30/31)",
      [sys.executable, "scripts/chees_bench.py"], 7200),
     ("validation battery (44 golds)",
      [sys.executable, "scripts/run_validation.py"], 7200),
