@@ -40,6 +40,7 @@ from exmc_tpu.advi import advi_fit
 from exmc_tpu.flows import flow_fit, sample_neutra
 from exmc_tpu import gp
 from exmc_tpu import hmm
+from exmc_tpu import glm
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
 from exmc_tpu import diagnostics
@@ -71,6 +72,7 @@ __all__ = [
     "flow_fit",
     "gp",
     "hmm",
+    "glm",
     "sample_neutra",
     "smc_sample",
     "pathfinder_fit",
