@@ -90,16 +90,28 @@ def _chi2_sf(stat, dof):
 def rank_uniformity(ranks, L, num_bins=20):
     """Chi-squared uniformity test of SBC ranks on {0..L}.
 
-    Returns (statistic, p_value). ``num_bins`` even bins over the L+1
-    possible ranks (Talts et al. recommend ~20 with R >= 5 per bin)."""
+    Returns (statistic, p_value). ``num_bins`` bins over the L+1
+    possible ranks (Talts et al. recommend ~20 with R >= 5 per bin).
+
+    The expected count per bin is R * (#support points in the bin) /
+    (L + 1), NOT R / B: ranks are integers, and when B does not divide
+    L + 1 the equal-width bins hold unequal numbers of support points
+    (e.g. L + 1 = 31 with B = 20 mixes 1- and 2-integer bins, a 2:1
+    null-probability ratio). The uniform-expected version spuriously
+    drove p -> 0 as R grew on a perfectly calibrated pipeline —
+    caught by the round-4 GP SBC exercise, where thin=50 of 1500
+    draws gives L + 1 = 31; the standard battery never saw it because
+    its L + 1 = 100 divides into 20 bins exactly."""
     ranks = np.asarray(ranks)
     R = ranks.shape[0]
     # cap bins so the chi^2 approximation holds (>= ~5 expected per bin)
     B = int(max(2, min(num_bins, L + 1, R // 5)))
-    # equal-width bins over [0, L+1)
+    # equal-width bins over [0, L+1); expected follows the DISCRETE
+    # support, not the bin width
     edges = np.linspace(0, L + 1, B + 1)
     counts, _ = np.histogram(ranks, bins=edges)
-    expected = R / B
+    sup_counts, _ = np.histogram(np.arange(L + 1), bins=edges)
+    expected = R * sup_counts / (L + 1.0)
     stat = float(((counts - expected) ** 2 / expected).sum())
     return stat, _chi2_sf(stat, B - 1)
 

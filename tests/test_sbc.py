@@ -166,3 +166,49 @@ def test_ecdf_ks_uniformity():
     u = np.concatenate([rng.integers(0, 6, 150), rng.integers(45, 51, 150)])
     _, p_bad = ecdf_ks(u, L=50, seed=1)
     assert p_bad < 1e-3
+
+
+def test_rank_uniformity_nondivisible_support():
+    """Regression (round-4 GP SBC exercise): with L+1 not divisible by
+    the bin count, equal-width bins hold unequal numbers of integer
+    ranks; the old uniform-expected chi2 spuriously rejected perfectly
+    calibrated pipelines as R grew (ls/sn p -> 0 at R=256, L+1=31).
+    Expected counts must follow the discrete support."""
+    import numpy as np
+    from exmc_tpu.sbc import rank_uniformity
+
+    ps = []
+    for seed in range(100):
+        r = np.random.default_rng(seed).integers(0, 31, size=256)
+        ps.append(rank_uniformity(r, 30)[1])
+    ps = np.asarray(ps)
+    # exact-uniform ranks: large p on average, few false positives
+    assert np.median(ps) > 0.2
+    assert (ps < 0.005).mean() <= 0.03
+    # still detects a genuinely shifted pipeline
+    bad = np.clip(np.random.default_rng(1).integers(0, 31, 256) + 6,
+                  0, 30)
+    assert rank_uniformity(bad, 30)[1] < 1e-6
+
+
+@pytest.mark.slow
+def test_sbc_gp_marginal_calibrated():
+    """The GP-marginal pipeline (det-node kernel matrix + sampled
+    hypers through MvNormal) is SBC-calibrated end to end — the run
+    that exposed the rank_uniformity binning bug, kept as its guard."""
+    import numpy as np
+    from exmc_tpu import Model, dists
+    from exmc_tpu.gp import gp_marginal
+
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(-2, 2, 12))
+    with Model() as m:
+        m.rv("ls", dists.HalfNormal, {"sigma": 1.0})
+        m.rv("amp", dists.HalfNormal, {"sigma": 1.0})
+        m.rv("sn", dists.HalfNormal, {"sigma": 0.5})
+        gp_marginal(m, "y", X, np.zeros(12), kernel="rbf",
+                    lengthscale="ls", variance="amp", noise="sn")
+    res = sbc(m.ir, num_replications=128, num_warmup=600,
+                  num_samples=1500, thin=50, seed=11)
+    assert res["min_p"] > 0.01
+    assert res["divergence_rate"] < 0.01
