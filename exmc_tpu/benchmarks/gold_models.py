@@ -1312,6 +1312,113 @@ def diabetes_real_logistic():
     return GoldStandard("diabetes_real_logistic", ir, means, sds)
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-4 third-session dists: InverseGamma / Gumbel / BetaBinomial /
+# OrderedLogistic — every distribution must be hit by a gold posterior
+# ---------------------------------------------------------------------------
+
+def inverse_gamma_variance(seed=40):
+    """InvGamma prior on a Normal variance with known mean: conjugate,
+    posterior exactly InvGamma(a0 + n/2, b0 + SSE/2)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n, a0, b0 = 60, 3.0, 4.0
+    ys = rng.normal(0.0, 1.4, n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "v", dists.InverseGamma, {"alpha": a0, "beta": b0})
+    ir = Builder.det(ir, "sd", lambda v: jnp.sqrt(v), ["v"])
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": 0.0, "sigma": "sd"})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    a_n = a0 + n / 2.0
+    b_n = b0 + 0.5 * float((ys ** 2).sum())
+    mean = b_n / (a_n - 1.0)
+    sd = mean / math.sqrt(a_n - 2.0)
+    return GoldStandard("inverse_gamma_variance", ir, {"v": mean},
+                        {"v": sd})
+
+
+def gumbel_loc(seed=41):
+    """Gumbel likelihood with a Normal prior on the location,
+    quadrature exact."""
+    rng = np.random.default_rng(seed)
+    n, loc_true = 40, 0.8
+    ys = rng.gumbel(loc_true, 1.0, n)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "y", dists.Gumbel, {"loc": "mu", "scale": 1.0})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    def log_post(mu):
+        z = ys[:, None] - mu[None, :]
+        return (-z - np.exp(-z)).sum(0) - 0.5 * (mu / 5.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -2.0, 4.0)
+    return GoldStandard("gumbel_loc", ir, {"mu": mean}, {"mu": sd})
+
+
+def beta_binomial_conc(seed=42):
+    """BetaBinomial(n, a, b) counts with beta fixed and a Gamma prior
+    on alpha (overdispersion direction), quadrature exact via
+    scipy.special.gammaln in float64."""
+    from scipy.special import gammaln
+
+    rng = np.random.default_rng(seed)
+    m, trials, a_true, b_fix = 50, 20, 2.0, 3.0
+    p = rng.beta(a_true, b_fix, m)
+    ks = rng.binomial(trials, p).astype(np.float64)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "a", dists.Gamma, {"alpha": 2.0, "beta": 0.5})
+    ir = Builder.rv(ir, "k", dists.BetaBinomial,
+                    {"n": float(trials), "alpha": "a", "beta": b_fix},
+                    shape=(m,))
+    ir = Builder.obs(ir, "k_obs", "k", ks)
+
+    def log_post(a):
+        aa = a[None, :]
+        kk = ks[:, None]
+        ll = (gammaln(kk + aa) + gammaln(trials - kk + b_fix)
+              - gammaln(trials + aa + b_fix)
+              - gammaln(aa) - gammaln(b_fix) + gammaln(aa + b_fix))
+        return ll.sum(0) + (2.0 - 1.0) * np.log(a) - 0.5 * a
+
+    mean, sd = quadrature_posterior(log_post, 1e-3, 15.0)
+    return GoldStandard("beta_binomial_conc", ir, {"a": mean}, {"a": sd})
+
+
+def ordered_logistic_eta(seed=43):
+    """Ordinal outcomes with FIXED cutpoints and a Normal prior on the
+    common linear predictor, quadrature exact."""
+    rng = np.random.default_rng(seed)
+    n, eta_true = 80, 0.6
+    c = np.array([-1.0, 0.9])
+    sig = lambda t: 1.0 / (1.0 + np.exp(-t))
+    full = np.concatenate([[1.0], sig(eta_true - c), [0.0]])
+    probs = full[:-1] - full[1:]
+    ys = rng.choice(3, size=n, p=probs / probs.sum()).astype(np.float64)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "eta", dists.Normal, {"mu": 0.0, "sigma": 2.0})
+    ir = Builder.rv(ir, "y", dists.OrderedLogistic,
+                    {"eta": "eta", "cutpoints": c}, shape=(n,))
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+
+    counts = np.bincount(ys.astype(int), minlength=3).astype(np.float64)
+
+    def log_post(eta):
+        sg = [np.ones_like(eta), sig(eta - c[0]), sig(eta - c[1]),
+              np.zeros_like(eta)]
+        lps = [np.log(np.clip(sg[k] - sg[k + 1], 1e-300, None))
+               for k in range(3)]
+        ll = sum(counts[k] * lps[k] for k in range(3))
+        return ll - 0.5 * (eta / 2.0) ** 2
+
+    mean, sd = quadrature_posterior(log_post, -2.5, 3.5)
+    return GoldStandard("ordered_logistic_eta", ir, {"eta": mean},
+                        {"eta": sd})
+
+
 EXTRA_GOLD_STANDARDS = [
     exponential_gamma,
     lognormal_conjugate,
@@ -1343,6 +1450,10 @@ EXTRA_GOLD_STANDARDS = [
     kidiq_regression,
     flat_prior_normal,
     binomial_beta,
+    inverse_gamma_variance,
+    gumbel_loc,
+    beta_binomial_conc,
+    ordered_logistic_eta,
     negbin_rate,
     categorical_dirichlet,
     lkj_marginals,
