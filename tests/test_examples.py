@@ -50,6 +50,7 @@ EXAMPLES = [
     "40_flow_neutra_funnel.py",
     "41_gp_regression.py",
     "42_hmm_regime_switching.py",
+    "43_bayesian_workflow.py",
 ]
 
 
