@@ -173,6 +173,25 @@ class Parser:
 
     def parse_decl(self, assign=False):
         kind, text, line = self.next()
+        array_size = None
+        if kind == "IDENT" and text == "array":
+            # modern Stan (2.26+) container syntax: array[N] int y;
+            # 1-d arrays of scalars lower onto the vector path (the
+            # same representation the legacy programs reach via
+            # vector[N]; int-ness is a constraint Stan enforces on
+            # DATA, which arrives as a concrete tensor here anyway)
+            self.expect("LBRACKET")
+            array_size = self._parse_size()
+            if self.peek()[0] == "COMMA":
+                self.error("only 1-d array[...] declarations are "
+                           "supported", line=line)
+            self.expect("RBRACKET")
+            kind, text, line = self.next()
+            if kind not in ("INT", "REAL"):
+                self.error(
+                    f"array element type must be int or real, got "
+                    f"{text!r}", line=line)
+            kind, text = "VECTOR", "vector"
         if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX",
                         "ORDERED", "POSITIVE_ORDERED",
                         "CHOLESKY_FACTOR_CORR", "SUM_TO_ZERO_VECTOR"):
@@ -185,8 +204,10 @@ class Parser:
         # (vector[N]<lower=0>) is also accepted
         if self.peek()[0] == "LANGLE":
             self._parse_constraints(decl)
-        if kind in ("VECTOR", "SIMPLEX", "ORDERED", "POSITIVE_ORDERED",
-                    "CHOLESKY_FACTOR_CORR", "SUM_TO_ZERO_VECTOR"):
+        if array_size is not None:
+            decl["size"] = array_size
+        elif kind in ("VECTOR", "SIMPLEX", "ORDERED", "POSITIVE_ORDERED",
+                      "CHOLESKY_FACTOR_CORR", "SUM_TO_ZERO_VECTOR"):
             self.expect("LBRACKET")
             decl["size"] = self._parse_size()
             self.expect("RBRACKET")

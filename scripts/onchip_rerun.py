@@ -31,7 +31,7 @@ JOBS = [
      [sys.executable, "scripts/aot_serialize_bench.py"], 3600),
     ("ChEES/SNAPER/MEADS vs NUTS lockstep dividend (D-T29/30/31)",
      [sys.executable, "scripts/chees_bench.py"], 7200),
-    ("validation battery (44 golds)",
+    ("validation battery (48 golds)",
      [sys.executable, "scripts/run_validation.py"], 7200),
 ]
 
