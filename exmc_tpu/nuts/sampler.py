@@ -1279,8 +1279,16 @@ def _make_sampler(ir_or_model, ncp=True, **opts) -> NUTSSampler:
 
 
 def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
-           ncp=True, return_unconstrained=False, **opts):
+           ncp=True, return_unconstrained=False, engine="nuts", **opts):
     """Single-/multi-chain NUTS (reference Sampler.sample, sampler.ex:33).
+
+    ``engine`` dispatches to the other MCMC transitions behind the
+    same entry point: "nuts" (default, this function), "chees" /
+    "snaper" (lockstep many-chain HMC, D-T29/D-T31 — remaining kwargs
+    forward to :func:`exmc_tpu.sample_chees`), or "meads" (self-tuning
+    GHMC, D-T30 — forwards to :func:`exmc_tpu.sample_meads`). The
+    ensemble engines choose their own chain-count defaults when
+    ``num_chains`` is left at 1.
 
     Returns (trace, stats); trace arrays are (chains, samples, *shape)
     constrained values (chain axis kept even for num_chains=1).
@@ -1312,6 +1320,32 @@ def sample(ir, *, num_chains=1, seed=0, init=None, warm_start=None, data=None,
     hierarchical-Normal models sample divergence-free this way
     (D-T28); posteriors are identical (exact MCMC on the same
     target)."""
+    if engine in ("chees", "snaper"):
+        from exmc_tpu.chees import sample_chees
+
+        if init is not None and not isinstance(init, dict):
+            raise ValueError(
+                f"engine={engine!r} supports only dict inits")
+        if warm_start is not None:
+            raise ValueError(f"engine={engine!r} has no warm_start")
+        return sample_chees(
+            ir, num_chains=(64 if num_chains == 1 else num_chains),
+            seed=seed, init=init, data=data, ncp=ncp,
+            return_unconstrained=return_unconstrained,
+            criterion=engine, **opts)
+    if engine == "meads":
+        from exmc_tpu.meads import sample_meads
+
+        if warm_start is not None:
+            raise ValueError("engine='meads' has no warm_start")
+        return sample_meads(
+            ir, num_chains=(128 if num_chains == 1 else num_chains),
+            seed=seed, data=data, ncp=ncp,
+            return_unconstrained=return_unconstrained,
+            **({"init": init} if init is not None else {}), **opts)
+    if engine != "nuts":
+        raise ValueError(
+            f"unknown engine {engine!r} (nuts|chees|snaper|meads)")
     sampler = _make_sampler(ir, ncp=ncp, **opts)
     if data is None and not isinstance(ir, CompiledModel):
         # a cache-hit sampler may have been compiled from a different IR

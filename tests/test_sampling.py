@@ -174,3 +174,30 @@ def test_pathfinder_init_mode():
 
     with pytest.raises(ValueError, match="unknown init mode"):
         sample(ir, num_warmup=10, num_samples=10, init="magic")
+
+
+def test_sample_engine_dispatch():
+    """sample(engine=...) forwards to the ensemble engines with their
+    own chain-count defaults; unknown engines and unsupported options
+    get clear errors."""
+    import numpy as np
+    import pytest as _pytest
+    from exmc_tpu import Builder, dists, sample
+
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3, 2.2, 1.7, 2.4, 2.6])
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": 1.0})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+
+    for engine, chains in (("chees", 8), ("snaper", 8), ("meads", 16)):
+        trace, stats = sample(ir, engine=engine, num_chains=chains,
+                              num_warmup=300, num_samples=300, seed=0)
+        assert trace["mu"].shape == (chains, 300)
+        assert abs(trace["mu"].mean() - ys.mean()) < 0.3
+        assert stats["divergences"].sum() < 20
+
+    with _pytest.raises(ValueError, match="unknown engine"):
+        sample(ir, engine="rwmh")
+    with _pytest.raises(ValueError, match="warm_start"):
+        sample(ir, engine="chees", warm_start={"step_size": 0.1})
