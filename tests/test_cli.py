@@ -1,0 +1,74 @@
+"""CLI (`python -m exmc_tpu`) smoke tests: check / sample / summary."""
+
+import json
+
+import numpy as np
+import pytest
+
+from exmc_tpu.__main__ import main
+
+STAN = """
+data { int N; array[N] real y; }
+parameters { real mu; real<lower=0> sigma; }
+model {
+  mu ~ normal(0, 5);
+  sigma ~ normal(0, 2);
+  y ~ normal(mu, sigma);
+}
+"""
+
+BAD_STAN = "parameters { real mu; }\nmodel { mu ~ nrmal(0, 1); }"
+
+
+@pytest.fixture(scope="module")
+def model_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    model = d / "m.stan"
+    model.write_text(STAN)
+    data = d / "d.json"
+    rng = np.random.default_rng(0)
+    data.write_text(json.dumps(
+        {"N": 12, "y": (2.0 + rng.normal(size=12)).round(3).tolist()}
+    ))
+    return str(model), str(data), d
+
+
+def test_check_ok(model_files, capsys):
+    model, data, _ = model_files
+    assert main(["check", model, "--data", data]) == 0
+    out = capsys.readouterr().out
+    assert "OK" in out
+    assert "unconstrained dimension: 2" in out
+    assert "mu" in out and "sigma" in out
+    assert "observation terms: 1" in out
+
+
+def test_check_syntax_error(model_files, capsys):
+    _, _, d = model_files
+    bad = d / "bad.stan"
+    bad.write_text(BAD_STAN)
+    assert main(["check", str(bad)]) == 1
+    assert "FAIL" in capsys.readouterr().err
+
+
+def test_sample_summary_roundtrip(model_files, capsys):
+    model, data, d = model_files
+    for ext in ("npz", "json"):
+        fit = str(d / f"fit.{ext}")
+        rc = main([
+            "sample", model, "--data", data, "--chains", "2",
+            "--warmup", "40", "--samples", "30", "--seed", "1",
+            "--output", fit,
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "divergences:" in out and "mu" in out
+
+        assert main(["summary", fit]) == 0
+        out = capsys.readouterr().out
+        assert "mu" in out and "sigma" in out
+
+    groups = np.load(str(d / "fit.npz"))
+    mu = groups["posterior/mu"]
+    assert mu.shape == (2, 30)
+    assert 0.0 < float(mu.mean()) < 4.0
