@@ -43,6 +43,7 @@ from exmc_tpu import hmm
 from exmc_tpu import glm
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
+from exmc_tpu.optimize import fit_map, laplace
 from exmc_tpu import diagnostics
 from exmc_tpu import log_prob
 from exmc_tpu import model_comparison
@@ -76,6 +77,8 @@ __all__ = [
     "sample_neutra",
     "smc_sample",
     "pathfinder_fit",
+    "fit_map",
+    "laplace",
     "dists",
     "diagnostics",
     "log_prob",

@@ -76,10 +76,11 @@ def _print_fit_report(trace, stats):
     from exmc_tpu.trace_utils import summary_table
 
     print(summary_table(trace))
-    div = np.asarray(stats.get("diverging", np.zeros(1)))
-    total = int(div.sum())
-    rate = float(div.mean()) if div.size else 0.0
-    print(f"\ndivergences: {total} ({100 * rate:.2f}%)")
+    if "diverging" in stats:
+        div = np.asarray(stats["diverging"])
+        total = int(div.sum())
+        rate = float(div.mean()) if div.size else 0.0
+        print(f"\ndivergences: {total} ({100 * rate:.2f}%)")
     if "rescues" in stats:
         resc = int(np.asarray(stats["rescues"]).sum())
         if resc:
@@ -123,6 +124,47 @@ def _cmd_sample(args):
                 },
             }
         _save_fit(args.output, groups)
+        print(f"wrote {args.output}")
+    return 0
+
+
+def _cmd_optimize(args):
+    from exmc_tpu.optimize import fit_map
+    from exmc_tpu.stan import frontend
+
+    with open(args.model) as f:
+        code = f.read()
+    ir = frontend.compile(code, _load_data(args.data))
+    point, info = fit_map(ir, seed=args.seed, jacobian=args.jacobian,
+                          max_iters=args.iters)
+    status = "converged" if info["converged"] else "NOT CONVERGED"
+    print(f"MAP ({status} in {info['iters']} iters, "
+          f"logp={info['logp']:.4f}, |grad|={info['grad_norm']:.2e})")
+    w = max(len(k) for k in point) + 2 if point else 0
+    for k in sorted(point):
+        v = np.asarray(point[k])
+        val = f"{float(v):.6g}" if v.shape == () else np.array2string(
+            v, precision=4, separator=", ")
+        print(f"{k:<{w}}{val}")
+    return 0 if info["converged"] else 1
+
+
+def _cmd_variational(args):
+    from exmc_tpu.advi import advi_fit
+    from exmc_tpu.stan import frontend
+
+    with open(args.model) as f:
+        code = f.read()
+    ir = frontend.compile(code, _load_data(args.data))
+    fit = advi_fit(ir, num_steps=args.iters, seed=args.seed,
+                   num_draws=args.draws, optimizer="adam")
+    conv = fit.get("converged_at")
+    print(f"ADVI: converged_at={conv}")
+    trace = fit["draws"]
+    _print_fit_report(trace, {})
+    if args.output:
+        _save_fit(args.output, {"posterior": {
+            k: np.asarray(v) for k, v in trace.items()}})
         print(f"wrote {args.output}")
     return 0
 
@@ -188,6 +230,25 @@ def main(argv=None):
                    choices=["nuts", "chees", "snaper", "meads"])
     p.add_argument("--output", help="write fit to .npz or .json")
     p.set_defaults(fn=_cmd_sample)
+
+    p = sub.add_parser("optimize", help="MAP point estimate (Stan optimize)")
+    p.add_argument("model", help=".stan file")
+    p.add_argument("--data", help="CmdStan-style JSON data file")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--jacobian", action="store_true",
+                   help="include constraint-transform Jacobian terms "
+                        "(Stan default is off)")
+    p.set_defaults(fn=_cmd_optimize)
+
+    p = sub.add_parser("variational", help="mean-field ADVI (Stan variational)")
+    p.add_argument("model", help=".stan file")
+    p.add_argument("--data", help="CmdStan-style JSON data file")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iters", type=int, default=5000)
+    p.add_argument("--draws", type=int, default=1000)
+    p.add_argument("--output", help="write fit to .npz or .json")
+    p.set_defaults(fn=_cmd_variational)
 
     p = sub.add_parser("check", help="compile-check a Stan program")
     p.add_argument("model", help=".stan file")

@@ -72,3 +72,22 @@ def test_sample_summary_roundtrip(model_files, capsys):
     mu = groups["posterior/mu"]
     assert mu.shape == (2, 30)
     assert 0.0 < float(mu.mean()) < 4.0
+
+
+def test_optimize_cmd(model_files, capsys):
+    model, data, _ = model_files
+    assert main(["optimize", model, "--data", data]) == 0
+    out = capsys.readouterr().out
+    assert "MAP (converged" in out and "mu" in out
+
+
+def test_variational_cmd(model_files, capsys):
+    model, data, d = model_files
+    fit = str(d / "vi.json")
+    rc = main(["variational", model, "--data", data,
+               "--iters", "800", "--draws", "100", "--output", fit])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ADVI" in out and "mu" in out
+    loaded = json.load(open(fit))
+    assert np.asarray(loaded["posterior"]["mu"]).shape == (1, 100)
