@@ -25,8 +25,11 @@ import numpy as np
 def _load_data(path):
     if path is None:
         return None
+    from exmc_tpu.config import default_dtype
+
     with open(path) as f:
         raw = json.load(f)
+    dtype = np.dtype(default_dtype().__name__)
     out = {}
     for k, v in raw.items():
         if isinstance(v, bool):
@@ -34,7 +37,7 @@ def _load_data(path):
         if isinstance(v, int):
             out[k] = v  # int data stays int (array sizes, counts)
         else:
-            out[k] = np.asarray(v, dtype=np.float32)
+            out[k] = np.asarray(v, dtype=dtype)
     return out
 
 
@@ -94,20 +97,31 @@ def _cmd_sample(args):
     with open(args.model) as f:
         code = f.read()
     data = _load_data(args.data)
+    # Omit unset tuning flags so each engine keeps its own defaults
+    # (NUTS: warmup 1000 / target_accept 0.8; ChEES/SNAPER/MEADS:
+    # warmup 500, ChEES target_accept 0.651, MEADS self-tuning).
     opts = dict(
         num_chains=args.chains,
-        num_warmup=args.warmup,
         num_samples=args.samples,
         seed=args.seed,
-        target_accept=args.target_accept,
-        max_tree_depth=args.max_depth,
         ncp=not args.no_ncp,
     )
+    if args.warmup is not None:
+        opts["num_warmup"] = args.warmup
     if args.engine != "nuts":
-        opts = dict(
-            num_chains=args.chains, num_samples=args.samples,
-            seed=args.seed, engine=args.engine,
-        )
+        opts["engine"] = args.engine
+    if args.target_accept is not None:
+        if args.engine == "meads":
+            print("note: --target-accept is ignored by engine 'meads' "
+                  "(self-tuning GHMC)", file=sys.stderr)
+        else:
+            opts["target_accept"] = args.target_accept
+    if args.max_depth is not None:
+        if args.engine == "nuts":
+            opts["max_tree_depth"] = args.max_depth
+        else:
+            print(f"note: --max-depth is ignored by engine "
+                  f"{args.engine!r}", file=sys.stderr)
     trace, stats = frontend.sample(code, data, **opts)
     _print_fit_report(trace, stats)
     if args.output:
@@ -199,6 +213,15 @@ def _cmd_check(args):
 
 
 def _cmd_summary(args):
+    # A saved-fit summary is a few FFTs over small host arrays — run on
+    # CPU instead of initializing (and possibly waiting minutes on) the
+    # TPU backend just to print a table.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized in-process; use it as-is
     groups = _load_fit(args.fit)
     _print_fit_report(
         groups.get("posterior", {}),
@@ -219,11 +242,15 @@ def main(argv=None):
     p.add_argument("model", help=".stan file")
     p.add_argument("--data", help="CmdStan-style JSON data file")
     p.add_argument("--chains", type=int, default=4)
-    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="warmup iterations (engine default: nuts 1000, "
+                        "chees/snaper/meads 500)")
     p.add_argument("--samples", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--target-accept", type=float, default=0.8)
-    p.add_argument("--max-depth", type=int, default=10)
+    p.add_argument("--target-accept", type=float, default=None,
+                   help="(engine default: nuts 0.8, chees/snaper 0.651)")
+    p.add_argument("--max-depth", type=int, default=None,
+                   help="NUTS max tree depth (default 10)")
     p.add_argument("--no-ncp", action="store_true",
                    help="disable automatic non-centered parameterization")
     p.add_argument("--engine", default="nuts",

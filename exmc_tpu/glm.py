@@ -52,12 +52,13 @@ def glm(m, X, y, *, family="normal", name="beta", intercept=True,
     if family not in FAMILIES:
         raise ValueError(f"unknown family {family!r} (one of {FAMILIES})")
 
-    # rstanarm-style weakly-informative auto-scales
+    # rstanarm-style weakly-informative auto-scales; constant columns /
+    # constant y fall back to unit scale (a weak prior, not a spike)
     sx = X.std(axis=0)
     sx = np.where(sx > 1e-8, sx, 1.0)
+    sy = float(y.std()) if family in ("normal", "robust") else 1.0
+    sy = sy if sy > 1e-8 else 1.0
     if coef_scale is None:
-        sy = y.std() if family in ("normal", "robust") else 1.0
-        sy = sy if sy > 1e-8 else 1.0
         coef_scale = 2.5 * sy / sx
     coef_scale = np.broadcast_to(np.asarray(coef_scale, np.float64), (p,))
 
@@ -68,12 +69,10 @@ def glm(m, X, y, *, family="normal", name="beta", intercept=True,
          {"mu": np.zeros(p), "sigma": coef_scale.copy()}, shape=(p,))
     deps = [name]
     if intercept:
-        int_scale = 2.5 * (y.std() if family in ("normal", "robust")
-                           else 1.0)
         m.rv(f"{name}_0", dists.Normal,
              {"mu": float(y.mean()) if family in ("normal", "robust")
               else 0.0,
-              "sigma": float(max(int_scale, 1e-8))})
+              "sigma": 2.5 * sy})
         deps.append(f"{name}_0")
         m.det(f"{data_name}_eta", lambda b, b0: Xj @ b + b0, deps)
     else:
@@ -81,8 +80,7 @@ def glm(m, X, y, *, family="normal", name="beta", intercept=True,
     eta = f"{data_name}_eta"
 
     if family in ("normal", "robust"):
-        m.rv(f"{data_name}_sigma", dists.HalfNormal,
-             {"sigma": float(max(2.5 * y.std(), 1e-8))})
+        m.rv(f"{data_name}_sigma", dists.HalfNormal, {"sigma": 2.5 * sy})
         if family == "robust":
             # Juarez-Steel style prior keeps df explorable from
             # near-Cauchy to near-Normal
@@ -106,7 +104,8 @@ def glm(m, X, y, *, family="normal", name="beta", intercept=True,
         m.rv(data_name, dists.NegativeBinomial,
              {"mu": f"{data_name}_mu", "alpha": f"{data_name}_alpha"},
              shape=(n,))
-    return m.obs(f"{data_name}_obs", data_name, np.asarray(y, np.float32))
+    return m.obs(f"{data_name}_obs", data_name,
+                 np.asarray(y, np.dtype(default_dtype().__name__)))
 
 
 def glm_linpred(trace, X, *, name="beta", intercept=True):

@@ -101,7 +101,11 @@ def fit_map(ir_or_model, *, init=None, seed=0, max_iters=1000, tol=1e-5,
         updates, state = opt.update(
             grad, state, z, value=value, grad=grad, value_fn=loss)
         z = optax.apply_updates(z, updates)
-        return z, state, jax.grad(loss)(z), it + 1
+        # the zoom linesearch already evaluated grad at the accepted
+        # point and stored it — read it instead of a redundant
+        # jax.grad call (one full gradient per iteration saved)
+        g_new = optax.tree_utils.tree_get(state, "grad")
+        return z, state, g_new, it + 1
 
     @jax.jit
     def run(z0):
@@ -160,7 +164,8 @@ def laplace(ir_or_model, *, draws=1000, seed=0, init=None, max_iters=1000,
 
     # z ~ N(z_map, prec^-1): solve L^T x = eps
     eps = jax.random.normal(
-        jax.random.PRNGKey(seed + 1), (draws, d), z_map.dtype)
+        jax.random.PRNGKey(1 if seed is None else seed + 1),
+        (draws, d), z_map.dtype)
     zs = z_map + jax.scipy.linalg.solve_triangular(chol.T, eps.T, lower=False).T
 
     con = jax.vmap(lambda z: constrain_flat(model.ir, model.pm, z, data))

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from exmc_tpu import rewrite
-from exmc_tpu.compiler import DET_OPS, _is_ref
+from exmc_tpu.compiler import DET_OPS, OBS_DATA_KEY, _is_ref, _resolve_value
 from exmc_tpu.dists.base import get as get_dist
 from exmc_tpu.ir import IR
 from exmc_tpu.point_map import _infer_shape
@@ -204,14 +204,18 @@ def ppc_pvalue(ir, trace, stat, data=None, ncp=True, seed=0, obs_id=None):
 
     node = (ir.ir if hasattr(ir, "ir") else ir).nodes[obs_id]
     observed_value = node.op[2]
-    if isinstance(observed_value, str):
-        # value rides the data channel ("__obs_data"): a plain tensor,
-        # or a dict keyed per obs node (D69/D-T27)
+    if isinstance(observed_value, str) or (
+            isinstance(observed_value, tuple) and len(observed_value) == 2
+            and observed_value[0] == OBS_DATA_KEY):
+        # value rides the data channel: plain "__obs_data" (D69) or a
+        # keyed ("__obs_data", key) ref (D-T27) — resolve exactly as
+        # the compiler does (incl. the "__base" convention)
         src = data if data is not None else (
             ir.ir.data if hasattr(ir, "ir") else ir.data)
-        if isinstance(src, dict):
-            src = src.get(obs_id, src)
-        observed_value = src
+        observed_value = _resolve_value(observed_value, src)
+    if isinstance(observed_value, dict):
+        raise ValueError(
+            "ppc_pvalue does not support interval-censored obs values")
     observed_value = np.asarray(observed_value)
 
     rep_arr = np.asarray(reps[obs_id])

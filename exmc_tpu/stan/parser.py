@@ -69,7 +69,9 @@ class Parser:
                 ast["data"] = self.parse_decl_block()
             elif kind == "PARAMETERS":
                 self.next()
-                ast["parameters"] = self.parse_decl_block()
+                # stanc rejects integer parameters (HMC needs a
+                # continuous support) — so do we
+                ast["parameters"] = self.parse_decl_block(allow_int=False)
             elif kind == "TRANSFORMED":
                 self.next()
                 sub = self.next()
@@ -155,11 +157,11 @@ class Parser:
         self.expect("RBRACE")
         return rows
 
-    def parse_decl_block(self):
+    def parse_decl_block(self, allow_int=True):
         self.expect("LBRACE")
         decls = []
         while self.peek()[0] != "RBRACE":
-            decls.append(self.parse_decl())
+            decls.append(self.parse_decl(allow_int=allow_int))
         self.expect("RBRACE")
         return decls
 
@@ -171,9 +173,10 @@ class Parser:
             return tok[1]
         self.error("expected a size", line=tok[2])
 
-    def parse_decl(self, assign=False):
+    def parse_decl(self, assign=False, allow_int=True):
         kind, text, line = self.next()
         array_size = None
+        is_int = False
         if kind == "IDENT" and text == "array":
             # modern Stan (2.26+) container syntax: array[N] int y;
             # 1-d arrays of scalars lower onto the vector path (the
@@ -191,7 +194,14 @@ class Parser:
                 self.error(
                     f"array element type must be int or real, got "
                     f"{text!r}", line=line)
+            is_int = kind == "INT"
             kind, text = "VECTOR", "vector"
+        is_int = is_int or kind == "INT"
+        if is_int and not allow_int:
+            self.error(
+                "int is not a valid parameter type (Stan rejects "
+                "integer parameters; HMC needs continuous support)",
+                line=line)
         if kind not in ("REAL", "INT", "VECTOR", "SIMPLEX", "MATRIX",
                         "ORDERED", "POSITIVE_ORDERED",
                         "CHOLESKY_FACTOR_CORR", "SUM_TO_ZERO_VECTOR"):

@@ -200,3 +200,26 @@ def test_ppc_pvalue():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown obs node"):
         ppc_pvalue(m.ir, trace, np.std, obs_id="nope")
+
+
+def test_ppc_pvalue_keyed_data_channel():
+    """ppc_pvalue resolves keyed ("__obs_data", key) obs values (the
+    D-T27 multi-obs channel) exactly as the compiler does (review
+    fix: the tuple ref was np.asarray'd into a string array)."""
+    import numpy as np
+    from exmc_tpu import Model, dists, sample
+    from exmc_tpu.predictive import ppc_pvalue
+    from exmc_tpu.sbc import _data_arg_ir, _obs_nodes
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(1.0, 1.0, 40)
+    with Model() as m:
+        m.rv("mu", dists.Normal, {"mu": 0.0, "sigma": 3.0})
+        m.rv("y", dists.Normal, {"mu": "mu", "sigma": 1.0})
+        m.obs("y_obs", "y", y)
+    ir2 = _data_arg_ir(m.ir, _obs_nodes(m.ir))
+    trace, _ = sample(ir2, num_chains=2, num_warmup=200,
+                      num_samples=200, seed=0)
+    r = ppc_pvalue(ir2, trace, np.mean, seed=1)
+    assert 0.01 < r["p_value"] < 0.99
+    assert r["observed"] == np.mean(y)

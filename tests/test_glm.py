@@ -97,3 +97,15 @@ def test_glm_linpred_and_validation():
             glm(m, X, y[:-1])
     assert set(FAMILIES) == {"normal", "robust", "logistic", "poisson",
                              "negbin"}
+
+
+def test_glm_constant_y_falls_back_to_unit_scales():
+    """Constant y must give weak unit-ish prior scales, not 1e-8
+    spikes that pin the intercept and noise (review fix)."""
+    X = np.random.default_rng(0).normal(size=(20, 2))
+    y = np.full(20, 3.0)
+    with Model() as m:
+        glm(m, X, y)
+    assert m.ir.nodes["beta_0"].op[2]["sigma"] == pytest.approx(2.5)
+    assert m.ir.nodes["y_sigma"].op[2]["sigma"] == pytest.approx(2.5)
+    assert m.ir.nodes["beta_0"].op[2]["mu"] == pytest.approx(3.0)

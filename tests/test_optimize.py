@@ -79,3 +79,13 @@ def test_map_with_init_and_empty_model():
     ir2 = Builder.obs(ir2, "y_obs", "y", 0.3)
     point, info = fit_map(ir2)
     assert point == {} and info["converged"]
+
+
+def test_laplace_seed_none():
+    """fit_map documents seed=None (zeros init); laplace must accept it
+    too (review fix: PRNGKey(None + 1) crashed)."""
+    ir, post_mean, post_sd = _conjugate_normal_ir()
+    trace, info = laplace(ir, seed=None, draws=400)
+    assert info["converged"]
+    assert abs(trace["mu"].mean() - post_mean) < 0.1
+    assert abs(trace["mu"].std() - post_sd) < 0.1

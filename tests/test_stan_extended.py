@@ -659,3 +659,16 @@ def test_array_declaration_syntax():
     with _pytest.raises(StanSyntaxError, match="element type"):
         stan_parse("data { array[N] vector[2] y; } parameters { real m; }"
                    " model { m ~ normal(0, 1); }")
+
+
+def test_int_parameters_rejected():
+    """stanc rejects integer parameters (HMC needs continuous
+    support); so must we instead of silently sampling continuous
+    values (review fix)."""
+    for decl in ("int k;", "array[3] int k;"):
+        with pytest.raises(StanSyntaxError, match="int is not a valid"):
+            parse("parameters { %s }\nmodel { }" % decl)
+    # int DATA (incl. array[N] int) stays accepted
+    ast = parse("data { int N; array[2] int y; }\n"
+                "parameters { real mu; }\nmodel { mu ~ normal(0, 1); }")
+    assert ast["data"][1]["type"] == "vector"
