@@ -108,7 +108,12 @@ def main():
                                     num_samples=args.samples)
 
             def go_m(seed):
-                return sampler.run(num_chains=args.chains, seed=seed)
+                # chunked like every other row: one long device call
+                # crashed the axon TPU worker here (12 Newton scans
+                # per leapfrog at T=5000 make the kernel long-running)
+                return sampler.run_chunked(num_chains=args.chains,
+                                           seed=seed,
+                                           chunk_iters=args.chunk)
 
             t0 = time.time()
             go_m(0)
