@@ -59,6 +59,35 @@ def compilation_cache_dir():
     return _CACHE_DIR
 
 
+def aot_cache_dir():
+    """Directory for serialized compiled EXECUTABLES, or None (D-T35).
+
+    Beyond the compile cache above: on the remote-compile TPU service a
+    warm compile cache still pays the executable-LOAD leg (tens of
+    seconds to minutes per program); ``exmc_tpu.aot`` pickles the
+    loaded executable and restores it in <1 s (AOT_SERIALIZE.json).
+    Default: on for TPU backends, off elsewhere (the XLA:CPU client
+    cannot serialize executables — measured UNIMPLEMENTED).
+
+    Controls:
+      EXMC_AOT_CACHE=<path>  cache location (overrides the default)
+      EXMC_AOT_CACHE=0       disable
+    """
+    env = os.environ.get("EXMC_AOT_CACHE")
+    if env is not None:
+        if env in ("", "0", "off"):
+            return None
+        return env
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failure
+        return None
+    if platform == "tpu":
+        return os.path.join(
+            os.path.expanduser("~"), ".cache", "exmc_tpu", "aot")
+    return None
+
+
 def x64_enabled() -> bool:
     return jax.config.jax_enable_x64
 

@@ -945,10 +945,26 @@ class NUTSSampler:
                     "chunk_size=k) without `every`."
                 ) from e
         else:
-            draws, stats, tuning = self._run_jit(
-                data, q_inits, keys, ws_eps, ws_inv,
-                num_chains=num_chains, warm_started=warm_started,
+            from exmc_tpu import aot
+            from exmc_tpu.config import aot_cache_dir
+
+            args = (data, q_inits, keys, ws_eps, ws_inv)
+            static_kw = dict(num_chains=num_chains,
+                             warm_started=warm_started)
+            # AOT executable cache (D-T35): skip it for the sp-sharded
+            # vag path (vag_builder closures aren't part of the key)
+            cdir = aot_cache_dir() if self.vag_builder is None else None
+            key_material = (
+                "nuts_run",
+                ir_signature(self.model.ir),
+                self.num_warmup, self.num_samples, self.max_tree_depth,
+                round(self.target_accept, 10), self.dense_mass,
+                self.shared_warmup, self.pooled_adaptation,
+                self.interweave, self.gibbs_scales,
+                self.ensemble_rescue, self.adapt_mass,
             )
+            draws, stats, tuning = aot.call(
+                self._run_jit, args, static_kw, key_material, cdir)
 
         stats = {k: np.asarray(v) for k, v in stats.items()}
         stats["step_size"] = np.asarray(tuning["step_size"])
