@@ -27,12 +27,19 @@ import os
 import pickle
 import threading
 import warnings
+from collections import OrderedDict
 
 import jax
 
 _MAX_ENTRIES = 64  # ~10 MB each; bound the cache dir at ~640 MB
 _lock = threading.Lock()
 _serialize_broken = set()  # platforms whose client cannot serialize
+
+# In-process memo of loaded executables: repeat calls (chunked runs,
+# warm-start refresh cycles, re-runs in one process) must not pay the
+# disk read + deserialize (~0.7 s) per call.
+_MEMO = OrderedDict()
+_MEMO_MAX = 32
 
 
 def _tree_sig(x):
@@ -133,11 +140,15 @@ def call(jitted, args, static_kw, key_material, cache_dir):
     """
     if cache_dir is None:
         return jitted(*args, **static_kw)
-    path = os.path.join(
-        cache_dir, cache_key(key_material, args, static_kw) + ".bin")
+    key = cache_key(key_material, args, static_kw)
+    path = os.path.join(cache_dir, key + ".bin")
     with _lock:
-        compiled = _load(path) if os.path.exists(path) else None
-    from_disk = compiled is not None
+        compiled = _MEMO.get(key)
+        if compiled is not None:
+            _MEMO.move_to_end(key)
+        elif os.path.exists(path):
+            compiled = _load(path)
+    from_disk = compiled is not None and key not in _MEMO
     if compiled is None:
         try:
             compiled = jitted.lower(*args, **static_kw).compile()
@@ -145,6 +156,11 @@ def call(jitted, args, static_kw, key_material, cache_dir):
             return jitted(*args, **static_kw)
         with _lock:
             _store(compiled, path)
+    with _lock:
+        _MEMO[key] = compiled
+        _MEMO.move_to_end(key)
+        while len(_MEMO) > _MEMO_MAX:
+            _MEMO.popitem(last=False)
     try:
         return compiled(*args)
     except Exception as e:
@@ -154,6 +170,8 @@ def call(jitted, args, static_kw, key_material, cache_dir):
         warnings.warn(
             f"aot executable rejected the call "
             f"({type(e).__name__}); using plain jit", stacklevel=2)
+        with _lock:
+            _MEMO.pop(key, None)
         if from_disk:
             try:
                 os.remove(path)

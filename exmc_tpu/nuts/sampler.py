@@ -1033,6 +1033,23 @@ class NUTSSampler:
 
         pool_axis = "chains" if self.pooled_adaptation else None
 
+        # AOT executable cache (D-T35). Unlike run(), the chunked
+        # pipeline CLOSES over data (vag_fn bakes the values into the
+        # program as constants), so the key must hash data VALUES —
+        # shape-only keying would silently reuse an executable compiled
+        # against different observations.
+        from exmc_tpu import aot
+        from exmc_tpu.config import aot_cache_dir
+
+        _aot_dir = aot_cache_dir() if self.vag_builder is None else None
+        _aot_base = (
+            ir_signature(self.model.ir), _data_fingerprint(data),
+            self.num_warmup, self.num_samples, self.max_tree_depth,
+            round(self.target_accept, 10), self.dense_mass,
+            self.pooled_adaptation, self.interweave, self.gibbs_scales,
+            self.ensemble_rescue, self.adapt_mass, chunk_iters,
+        )
+
         def seg(carry, xs):
             return _pipeline_segment(
                 vag_fn, carry, xs, self.target_accept, self.max_tree_depth,
@@ -1055,7 +1072,8 @@ class NUTSSampler:
                 resume_from, init_fn, q_inits, keys
             )
         else:
-            carry = init_fn(q_inits, keys)
+            carry = aot.call(init_fn, (q_inits, keys), {},
+                             ("nuts_chunk_init",) + _aot_base, _aot_dir)
             draws_parts, stats_parts = [], []
             done = 0
         final_carry = carry
@@ -1075,7 +1093,9 @@ class NUTSSampler:
             end = min(done + chunk_iters, total)
             pad_n = chunk_iters - (end - done)
             xs_chunk = tuple(_pad(a[done:end], pad_n) for a in xs_full)
-            new_carry, (draws, stats) = seg_fn(carry, xs_chunk)
+            new_carry, (draws, stats) = aot.call(
+                seg_fn, (carry, xs_chunk), {},
+                ("nuts_chunk_seg",) + _aot_base, _aot_dir)
             if pad_n:
                 draws = draws[:, : end - done]
                 stats = jax.tree.map(lambda a: a[:, : end - done], stats)
@@ -1237,6 +1257,22 @@ def _hash_obj(h, x):
         h.update(f"fn{id(x)}".encode())
     else:
         h.update(repr(x).encode())
+
+
+def _data_fingerprint(data) -> str:
+    """sha256 over the data pytree's VALUES (not just shapes): the
+    chunked pipeline closes over data, baking it into the compiled
+    program as constants, so the AOT executable-cache key must change
+    whenever observations do."""
+    if data is None:
+        return "none"
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(data):
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()
 
 
 def ir_signature(ir) -> str:

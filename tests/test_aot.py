@@ -56,6 +56,7 @@ def test_call_mismatched_executable_falls_back(tmp_path):
         out = aot.call(j, args, {}, ("t1",), str(tmp_path))
         had_entry = any(
             f.endswith(".bin") for f in os.listdir(str(tmp_path)))
+        aot._MEMO.clear()  # force the disk-load path, not the memo
         out2 = aot.call(j, args, {}, ("t1",), str(tmp_path))
     np.testing.assert_allclose(np.asarray(out), [2.0, 2.0])
     np.testing.assert_allclose(np.asarray(out2), [2.0, 2.0])
@@ -153,3 +154,31 @@ def test_sampler_run_with_aot_cache_dir(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(t1["mu"]), np.asarray(t2["mu"]), rtol=1e-5)
     aot._serialize_broken.clear()
+
+
+def test_run_chunked_with_aot_cache_dir(tmp_path, monkeypatch):
+    """Chunked runs through aot.call match the plain path bit-for-bit
+    and only compile once per program (the in-process memo serves the
+    later chunks)."""
+    from exmc_tpu import Builder, dists
+    from exmc_tpu.nuts.sampler import _make_sampler
+
+    ys = np.array([1.9, 2.1, 2.3, 2.0, 1.8, 2.2], np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 0.5})
+    ir = Builder.obs(ir, "y_obs", "y", ys)
+    sampler = _make_sampler(ir, ncp=False, num_warmup=100, num_samples=100)
+
+    monkeypatch.setenv("EXMC_AOT_CACHE", str(tmp_path))
+    aot._serialize_broken.clear()
+    aot._MEMO.clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        t1, _ = sampler.run_chunked(num_chains=2, chunk_iters=64, seed=0)
+    monkeypatch.setenv("EXMC_AOT_CACHE", "0")
+    t2, _ = sampler.run_chunked(num_chains=2, chunk_iters=64, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(t1["mu"]), np.asarray(t2["mu"]), rtol=1e-5)
+    aot._serialize_broken.clear()
+    aot._MEMO.clear()
