@@ -44,6 +44,7 @@ from exmc_tpu import glm
 from exmc_tpu.smc import smc_sample
 from exmc_tpu.pathfinder import pathfinder_fit
 from exmc_tpu.optimize import fit_map, laplace
+from exmc_tpu.psir import psir
 from exmc_tpu import diagnostics
 from exmc_tpu import log_prob
 from exmc_tpu import model_comparison
@@ -79,6 +80,7 @@ __all__ = [
     "pathfinder_fit",
     "fit_map",
     "laplace",
+    "psir",
     "dists",
     "diagnostics",
     "log_prob",

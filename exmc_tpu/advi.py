@@ -27,7 +27,7 @@ from exmc_tpu.config import default_dtype
 
 def advi_fit(ir, *, num_steps=5000, lr=0.01, seed=0, num_draws=1000,
              window=100, tol=1e-3, data=None, ncp=True, early_stop=True,
-             optimizer="sgd"):
+             optimizer="sgd", psir=False):
     """Fit mean-field ADVI. Returns dict with ``mu``, ``sigma``
     (unconstrained-space variational params), ``draws`` (constrained
     trace, (1, num_draws, ...) arrays), ``elbo_history``, ``converged_at``.
@@ -134,7 +134,7 @@ def advi_fit(ir, *, num_steps=5000, lr=0.01, seed=0, num_draws=1000,
     z, trace = draw(draw_key)
     trace = {k: np.asarray(v)[None] for k, v in trace.items()}  # (1, draws, ...)
 
-    return {
+    result = {
         "mu": np.asarray(mu),
         "sigma": np.asarray(sigma),
         "draws": trace,
@@ -143,3 +143,13 @@ def advi_fit(ir, *, num_steps=5000, lr=0.01, seed=0, num_draws=1000,
         "converged_at": converged_at,
         "steps_run": int(windows_run) * window,
     }
+    if psir:
+        # PSIR (exmc_tpu/psir.py): resample the mean-field draws toward
+        # the exact posterior; result["psir"]["pareto_k"] answers
+        # "did the VI work?" (Yao et al. 2018)
+        from exmc_tpu.psir import apply_psir_to_fit, diag_normal_logq
+
+        logq = np.asarray(diag_normal_logq(z, mu, sigma))
+        result = apply_psir_to_fit(result, model, logq,
+                                   seed=seed + 101, data=data)
+    return result

@@ -128,13 +128,20 @@ def fit_map(ir_or_model, *, init=None, seed=0, max_iters=1000, tol=1e-5,
 
 
 def laplace(ir_or_model, *, draws=1000, seed=0, init=None, max_iters=1000,
-            ncp=False, data=None, jitter=1e-8):
+            ncp=False, data=None, jitter=1e-8, psir=False):
     """Laplace (quadratic) approximation: N(z_map, (-H)^-1) in the
     unconstrained space, pushed through the constraint transforms.
 
     Returns ``(trace, info)`` with trace arrays shaped
     (1, draws, *event) — drop-in for diagnostics/predictive/LOO.
     ``info`` adds the MAP report plus the covariance factor.
+
+    ``psir=True`` runs Pareto-smoothed importance resampling on the
+    Gaussian draws (exmc_tpu/psir.py): the returned trace is resampled
+    toward the exact posterior and ``info["psir"]`` carries the k-hat
+    reliability diagnostic (k > 0.7 = the quadratic approximation is
+    too far off for IS to repair). The Gaussian log-q comes free: the
+    draw residuals ARE the standard-normal eps.
     """
     model = _as_model(ir_or_model, ncp)
     if data is None:
@@ -168,9 +175,23 @@ def laplace(ir_or_model, *, draws=1000, seed=0, init=None, max_iters=1000,
         (draws, d), z_map.dtype)
     zs = z_map + jax.scipy.linalg.solve_triangular(chol.T, eps.T, lower=False).T
 
+    info = dict(info, hessian_jitter=used,
+                cov_logdet=float(-2.0 * jnp.sum(jnp.log(jnp.diag(chol)))))
+    if psir:
+        from exmc_tpu.psir import psir as _psir
+
+        # q = N(z_map, prec^-1): logq(z) = 0.5 logdet(prec)
+        #   - d/2 log 2pi - 0.5 |L^T (z - z_map)|^2, and L^T(z - z_map)
+        #   is exactly the eps each draw was built from
+        logq = (jnp.sum(jnp.log(jnp.diag(chol)))
+                - 0.5 * d * jnp.log(2.0 * jnp.pi)
+                - 0.5 * jnp.sum(eps * eps, axis=-1))
+        trace, psir_info = _psir(model, zs, np.asarray(logq),
+                                 seed=seed if seed is not None else 0,
+                                 data=data)
+        info["psir"] = psir_info
+        return trace, info
     con = jax.vmap(lambda z: constrain_flat(model.ir, model.pm, z, data))
     named = con(zs)
     trace = {k: np.asarray(v)[None, ...] for k, v in named.items()}
-    info = dict(info, hessian_jitter=used,
-                cov_logdet=float(-2.0 * jnp.sum(jnp.log(jnp.diag(chol)))))
     return trace, info

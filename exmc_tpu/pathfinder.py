@@ -45,7 +45,7 @@ def _two_loop(grad, s_hist, y_hist, rho_hist, valid):
 
 
 def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
-                   seed=0, data=None, ncp=True, method="diag"):
+                   seed=0, data=None, ncp=True, method="diag", psir=False):
     """Run Pathfinder; returns {draws (constrained trace), mu, sigma,
     elbo_path, best_iter}.
 
@@ -55,11 +55,17 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
     L-BFGS curvature pairs (Zhang et al. 2022; see
     exmc_tpu.pathfinder_lowrank) — exact log-density, exact sampling;
     its returned "sigma" is the MARGINAL posterior sd vector
-    sqrt(diag(Sigma)) (correlations live in the draws)."""
+    sqrt(diag(Sigma)) (correlations live in the draws).
+
+    ``psir=True`` completes the paper's algorithm: Pareto-smoothed
+    importance resampling of the Gaussian draws toward the exact
+    posterior (Zhang et al. 2022 §2.3; exmc_tpu/psir.py), with the
+    k-hat reliability diagnostic in ``result["psir"]``."""
     if method == "lowrank":
         return _pathfinder_lowrank(
             ir, num_iters=num_iters, num_draws=num_draws,
             num_elbo_draws=num_elbo_draws, seed=seed, data=data, ncp=ncp,
+            psir=psir,
         )
     if method != "diag":
         raise ValueError(f"unknown pathfinder method {method!r} "
@@ -157,7 +163,14 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
         _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
     mu, sigma, elbos, best = run(init_key, elbo_key)
     z, trace = draw(draw_key, mu, sigma)
-    return _pack_diag_result(mu, sigma, elbos, best, z, trace)
+    result = _pack_diag_result(mu, sigma, elbos, best, z, trace)
+    if psir:
+        from exmc_tpu.psir import apply_psir_to_fit, diag_normal_logq
+
+        logq = np.asarray(diag_normal_logq(z, mu, sigma))
+        result = apply_psir_to_fit(result, model, logq,
+                                   seed=seed + 101, data=data)
+    return result
 
 
 # cached closures keep their model alive, so id()-keyed entries cannot
@@ -204,7 +217,7 @@ def pathfinder_init(ir, num_chains, *, seed=0, data=None, ncp=True,
 
 
 def _pathfinder_lowrank(ir, *, num_iters, num_draws, num_elbo_draws, seed,
-                        data, ncp):
+                        data, ncp, psir=False):
     from exmc_tpu.pathfinder_lowrank import lowrank_factors, sample_and_logq
 
     model = ir if isinstance(ir, CompiledModel) else compile_logp(ir, ncp=ncp)
@@ -292,9 +305,9 @@ def _pathfinder_lowrank(ir, *, num_iters, num_draws, num_elbo_draws, seed,
         q, lch, logdet = lowrank_factors(alpha, s_h, y_h, valid)
         z, logq = sample_and_logq(key, mu, alpha, q, lch, logdet, num_draws)
         trace = jax.vmap(lambda f: constrain_flat(model.ir, model.pm, f, data))(z)
-        return z, trace
+        return z, logq, trace
 
-    z, trace = draw(draw_key)
+    z, logq_draws, trace = draw(draw_key)
 
     # marginal sds: diag(Sigma) = alpha * (1 + rowsum(Q * (Q @ (LL^T - I))))
     alpha_f = jnp.full((d,), jnp.maximum(gamma, 1e-8), dtype)
@@ -304,7 +317,7 @@ def _pathfinder_lowrank(ir, *, num_iters, num_draws, num_elbo_draws, seed,
     kdim = lch_f.shape[0]
     mmat = q_f @ (lch_f @ lch_f.T - jnp.eye(kdim, dtype=dtype))
     marg_var = alpha_f * (1.0 + jnp.sum(q_f * mmat, axis=1))
-    return {
+    result = {
         "mu": np.asarray(mu),
         "sigma": np.sqrt(np.maximum(np.asarray(marg_var), 1e-12)),
         "elbo_path": np.asarray(elbos),
@@ -313,3 +326,11 @@ def _pathfinder_lowrank(ir, *, num_iters, num_draws, num_elbo_draws, seed,
         "draws_unconstrained": np.asarray(z)[None],
         "method": "lowrank",
     }
+    if psir:
+        from exmc_tpu.psir import apply_psir_to_fit
+
+        # the correlated q's exact log-density came with the draws —
+        # the marginal-sd "sigma" must NOT be used as a diag q here
+        result = apply_psir_to_fit(result, model, np.asarray(logq_draws),
+                                   seed=seed + 101, data=data)
+    return result
