@@ -40,57 +40,81 @@ from exmc_tpu.config import default_dtype
 LOG_2PI = float(np.log(2.0 * np.pi))
 
 
+# All three tridiagonal kernels are first-order recurrences, which
+# compose ASSOCIATIVELY: the factorization is a Möbius (continued-
+# fraction) composition and the solves/Takahashi are affine maps. On
+# TPU a sequential lax.scan of length T=5000 is latency-bound (the
+# multi-minute vmapped NUTS kernels it produced crashed the axon
+# worker — kernel fault, measured twice); jax.lax.associative_scan
+# runs the same recurrences in O(log T) batched steps on the VPU.
+
+
+def _mobius_combine(x, y):
+    """Compose 2x2 Möbius matrices, y AFTER x (prefix products
+    M_i ... M_0), renormalized per combine — the continued-fraction
+    value is a RATIO of homogeneous coordinates, so any per-step
+    rescaling cancels exactly (projective invariance); without it the
+    products overflow f32 within ~10 steps."""
+    c = jnp.matmul(y, x)
+    scale = jnp.max(jnp.abs(c), axis=(-2, -1), keepdims=True)
+    return c / jnp.maximum(scale, 1e-30)
+
+
+def _affine_scan(coef, offs, y0):
+    """y_i = coef_i * y_{i-1} + offs_i for i >= 1 with y_0 = y0, as an
+    associative scan over affine-map pairs: (a2,c2) after (a1,c1) is
+    (a2*a1, a2*c1 + c2). Returns the full (T,) sequence incl. y_0."""
+
+    def comb(x, y):
+        a1, c1 = x
+        a2, c2 = y
+        return a2 * a1, a2 * c1 + c2
+
+    a = jnp.concatenate([jnp.zeros((1,), coef.dtype), coef])
+    c = jnp.concatenate([jnp.reshape(y0, (1,)), offs])
+    _, ys = jax.lax.associative_scan(comb, (a, c))
+    return ys
+
+
 def _thomas_factor(a, b):
     """LDL' of the SPD tridiagonal with diagonal ``a`` (T,) and constant
     sub/super-diagonal ``b`` (scalar): returns (delta, ell) with
-    delta = D diagonal, ell = L sub-diagonal multipliers (T-1,)."""
+    delta = D diagonal, ell = L sub-diagonal multipliers (T-1,).
 
-    def step(d_prev, a_i):
-        d_i = a_i - b * b / d_prev
-        return d_i, d_i
-
-    d0 = a[0]
-    _, d_rest = jax.lax.scan(step, d0, a[1:])
-    delta = jnp.concatenate([a[:1], d_rest])
+    delta_i = a_i - b^2/delta_{i-1} is the Möbius map of the matrix
+    [[a_i, -b^2], [1, 0]] acting on [delta_{i-1}, 1]."""
+    t = a.shape[0]
+    if t == 1:
+        return a, a[:0]
+    m = jnp.zeros((t - 1, 2, 2), a.dtype)
+    m = m.at[:, 0, 0].set(a[1:])
+    m = m.at[:, 0, 1].set(-b * b)
+    m = m.at[:, 1, 0].set(1.0)
+    p = jax.lax.associative_scan(_mobius_combine, m)
+    num = p[:, 0, 0] * a[0] + p[:, 0, 1]
+    den = p[:, 1, 0] * a[0] + p[:, 1, 1]
+    delta = jnp.concatenate([a[:1], num / den])
     ell = b / delta[:-1]
     return delta, ell
 
 
 def _thomas_solve(delta, ell, rhs):
     """Solve (L D L') x = rhs given the factors from _thomas_factor."""
-
-    def fwd(y_prev, args):
-        r_i, l_i = args
-        y_i = r_i - l_i * y_prev
-        return y_i, y_i
-
-    y0 = rhs[0]
-    _, y_rest = jax.lax.scan(fwd, y0, (rhs[1:], ell))
-    y = jnp.concatenate([rhs[:1], y_rest])
+    y = _affine_scan(-ell, rhs[1:], rhs[0])      # y_i = rhs_i - l_i y_{i-1}
     z = y / delta
-
-    def bwd(x_next, args):
-        z_i, l_i = args
-        x_i = z_i - l_i * x_next
-        return x_i, x_i
-
-    xT = z[-1]
-    _, x_rest = jax.lax.scan(bwd, xT, (z[:-1][::-1], ell[::-1]))
-    return jnp.concatenate([x_rest[::-1], z[-1:]])
+    # x_i = z_i - l_i x_{i+1}: the same affine recurrence on the
+    # reversed sequence starting from x_{T-1} = z_{T-1}
+    x_rev = _affine_scan(-ell[::-1], z[:-1][::-1], z[-1])
+    return x_rev[::-1]
 
 
 def _takahashi_diag(delta, ell):
-    """diag((LDL')^-1) for the tridiagonal factorization: reversed scan
-    Sigma_ii = 1/delta_i + ell_i^2 Sigma_{i+1,i+1}."""
-
-    def step(s_next, args):
-        inv_d, l_i = args
-        s_i = inv_d + l_i * l_i * s_next
-        return s_i, s_i
-
-    sT = 1.0 / delta[-1]
-    _, s_rest = jax.lax.scan(step, sT, (1.0 / delta[:-1][::-1], ell[::-1]))
-    return jnp.concatenate([s_rest[::-1], jnp.asarray([sT], delta.dtype)])
+    """diag((LDL')^-1) for the tridiagonal factorization:
+    Sigma_ii = 1/delta_i + ell_i^2 Sigma_{i+1,i+1}, run reversed."""
+    inv_d = 1.0 / delta
+    s_rev = _affine_scan(ell[::-1] * ell[::-1], inv_d[:-1][::-1],
+                         inv_d[-1])
+    return s_rev[::-1]
 
 
 def grw_precision_diag(T, sigma, dtype=None):

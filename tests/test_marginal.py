@@ -79,3 +79,90 @@ def test_sv_marginal_model_nuts():
     res = sv_inla(r)
     assert abs(float(sig.mean()) - res["sigma_mean"]) < 3 * res["sigma_sd"]
     assert int(stats["divergences"].sum()) < 0.05 * 4 * 300
+
+
+def test_associative_tridiagonal_matches_sequential():
+    """The associative-scan tridiagonal kernels (O(log T) depth, the
+    TPU-first form) must match the sequential reference recurrences:
+    factorization via Möbius composition, solve/Takahashi via affine
+    composition. f32 tolerances scale with T (error compounds through
+    the prefix tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from exmc_tpu.marginal import (
+        _takahashi_diag,
+        _thomas_factor,
+        _thomas_solve,
+    )
+
+    def seq_factor(a, b):
+        def step(d_prev, a_i):
+            d_i = a_i - b * b / d_prev
+            return d_i, d_i
+
+        _, d_rest = jax.lax.scan(step, a[0], a[1:])
+        delta = jnp.concatenate([a[:1], d_rest])
+        return delta, b / delta[:-1]
+
+    def seq_solve(delta, ell, rhs):
+        def fwd(y_prev, args):
+            r_i, l_i = args
+            y_i = r_i - l_i * y_prev
+            return y_i, y_i
+
+        _, y_rest = jax.lax.scan(fwd, rhs[0], (rhs[1:], ell))
+        y = jnp.concatenate([rhs[:1], y_rest])
+        z = y / delta
+
+        def bwd(x_next, args):
+            z_i, l_i = args
+            x_i = z_i - l_i * x_next
+            return x_i, x_i
+
+        _, x_rest = jax.lax.scan(bwd, z[-1], (z[:-1][::-1], ell[::-1]))
+        return jnp.concatenate([x_rest[::-1], z[-1:]])
+
+    def seq_taka(delta, ell):
+        def step(s_next, args):
+            inv_d, l_i = args
+            s_i = inv_d + l_i * l_i * s_next
+            return s_i, s_i
+
+        sT = 1.0 / delta[-1]
+        _, s_rest = jax.lax.scan(
+            step, sT, (1.0 / delta[:-1][::-1], ell[::-1]))
+        return jnp.concatenate(
+            [s_rest[::-1], jnp.asarray([sT], delta.dtype)])
+
+    rng = np.random.default_rng(0)
+    for t, tol in ((1, 1e-6), (2, 1e-6), (7, 1e-5), (500, 2e-3),
+                   (5000, 2e-2)):
+        sigma = 0.02
+        w = np.abs(rng.normal(0.5, 0.2, t)).astype(np.float32)
+        a = np.full(t, 2.0, np.float32) / sigma**2 + w
+        a[-1] = 1.0 / sigma**2 + w[-1]
+        a = jnp.asarray(a)
+        b = jnp.float32(-1.0 / sigma**2)
+        d1, l1 = seq_factor(a, b)
+        d2, l2 = _thomas_factor(a, b)
+        assert float(jnp.max(jnp.abs(d1 - d2) / d1)) < tol, t
+        if t == 1:
+            assert d2.shape == (1,) and l2.shape == (0,)
+            continue
+        rhs = jnp.asarray(rng.normal(size=t).astype(np.float32))
+        x1 = seq_solve(d1, l1, rhs)
+        x2 = _thomas_solve(d2, l2, rhs)
+        scale = float(jnp.max(jnp.abs(x1))) + 1e-30
+        assert float(jnp.max(jnp.abs(x1 - x2))) / scale < tol, t
+        s1 = seq_taka(d1, l1)
+        s2 = _takahashi_diag(d2, l2)
+        assert float(jnp.max(jnp.abs(s1 - s2) / s1)) < tol, t
+        # and the solve really solves the tridiagonal system
+        mat = (np.diag(np.asarray(a, np.float64))
+               + np.diag(np.full(t - 1, float(b), np.float64), 1)
+               + np.diag(np.full(t - 1, float(b), np.float64), -1))
+        x_ref = np.linalg.solve(mat, np.asarray(rhs, np.float64))
+        ref_scale = np.abs(x_ref).max() + 1e-30
+        assert np.abs(np.asarray(x2, np.float64) - x_ref).max() / ref_scale \
+            < 10 * tol, t
