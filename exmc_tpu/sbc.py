@@ -143,9 +143,32 @@ def ecdf_ks(ranks, L, num_sims=2000, seed=0):
     return float(observed), float((null >= observed).mean())
 
 
+def _batched_vmap(fn, num_replications, rep_batch, *args):
+    """jit(vmap(fn)) over the replication axis, in bounded device calls
+    of ``rep_batch`` replications. One huge vmapped call at R >= 512
+    ran for minutes and kernel-faulted the axon TPU worker (measured,
+    eight_schools_centered_gibbs); batching bounds each call while the
+    padded batch shape keeps a single compiled program. ``args`` are
+    pytrees with leading axis R; short final batches pad by wrapping
+    indices and truncate the outputs."""
+    jfn = jax.jit(jax.vmap(fn))
+    if not rep_batch or rep_batch >= num_replications:
+        return jfn(*args)
+    outs = []
+    for s in range(0, num_replications, rep_batch):
+        e = min(s + rep_batch, num_replications)
+        idx = np.arange(rep_batch) % (e - s)
+        sl = jax.tree.map(lambda a: jnp.asarray(a)[s:e][idx], args)
+        out = jfn(*sl)
+        if e - s < rep_batch:
+            out = jax.tree.map(lambda a: a[: e - s], out)
+        outs.append(out)
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
 def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
         thin=10, seed=0, ncp=True, num_bins=20, engine="nuts",
-        chees_chains=8, **sampler_opts):
+        chees_chains=8, rep_batch=None, **sampler_opts):
     """Run SBC for ``ir`` (any number of obs/meas_obs nodes; the
     replication axis rides a dict-valued ``__obs_data`` JIT argument,
     one entry per obs node — VERDICT r3 item 4a extended the original
@@ -174,6 +197,10 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
 
     ``engine="snaper"`` calibrates the SNAPER-HMC variant (same
     kernel, principal-component trajectory criterion).
+
+    ``rep_batch=B`` splits the R replications into bounded device
+    calls of B (padded; one compiled program) — use on remote-compile
+    TPU backends whose watchdogs kill multi-minute kernels.
 
     ``engine="meads"`` calibrates the MEADS GHMC kernel (D-T30):
     ``ensemble_chains`` chains in ``ensemble_folds`` folds per
@@ -257,7 +284,8 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
                 lambda f: constrain_flat(rw_ir, pm, f, data_r))(sub)
             return named, stats["diverging"].sum()
 
-        named, div = jax.jit(jax.vmap(one))(y_batch, q_inits, keys)
+        named, div = _batched_vmap(one, num_replications, rep_batch,
+                                   y_batch, q_inits, keys)
     elif engine in ("chees", "snaper"):
         from exmc_tpu.chees import _build_kernel
 
@@ -284,7 +312,8 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             )(sub.reshape(-1, d))
             return named, outs["diverging"].sum()
 
-        named, div = jax.jit(jax.vmap(one))(y_batch, init_keys, eps_keys)
+        named, div = _batched_vmap(one, num_replications, rep_batch,
+                                   y_batch, init_keys, eps_keys)
     elif engine == "meads":
         from exmc_tpu.meads import _build_kernel as _meads_kernel
 
@@ -319,8 +348,9 @@ def sbc(ir, *, num_replications=200, num_warmup=500, num_samples=1000,
             )(sub.reshape(-1, d))
             return named, outs["diverging"].sum()
 
-        named, div = jax.jit(jax.vmap(one))(
-            y_batch, theta_true, init_keys, noise_keys)
+        named, div = _batched_vmap(one, num_replications, rep_batch,
+                                   y_batch, theta_true, init_keys,
+                                   noise_keys)
     L = int(np.asarray(named[names[0]]).shape[1])
 
     ranks, chi2, ecdf = {}, {}, {}

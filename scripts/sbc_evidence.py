@@ -204,12 +204,15 @@ def main():
         out["models"] = prev.get("models", {})
         if "notes" in prev:
             out["notes"] = prev["notes"]  # partial runs keep annotations
+    # bounded device calls on the remote TPU backend: one R>=512
+    # vmapped call ran minutes and kernel-faulted the axon worker
+    rep_batch = 64 if out["platform"] == "tpu" else None
     for name in names:
         ir, opts = MODELS[name]()
         R = r_override or R_OVERRIDE.get(name, R_DEFAULT)
         t0 = time.time()
         r = sbc(ir, num_replications=R, num_warmup=500, num_samples=1000,
-                thin=10, seed=0, **opts)
+                thin=10, seed=0, rep_batch=rep_batch, **opts)
         wall = time.time() - t0
         row = {
             "engine": opts.get("engine", "nuts"),
@@ -228,8 +231,10 @@ def main():
         print(name, "min_ecdf_p:", row["min_ecdf_p"],
               "min_p:", row["min_p"], f"wall {row['wall_s_incl_compile']}s",
               flush=True)
-    with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
+        # checkpoint after EVERY model: a backend crash on model k
+        # must not lose models 1..k-1 (it did — round-4 rerun)
+        with open(OUT, "w") as f:
+            json.dump(out, f, indent=1)
     print(f"wrote {OUT}", flush=True)
 
 

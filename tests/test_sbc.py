@@ -212,3 +212,27 @@ def test_sbc_gp_marginal_calibrated():
                   num_samples=1500, thin=50, seed=11)
     assert res["min_p"] > 0.01
     assert res["divergence_rate"] < 0.01
+
+
+def test_sbc_rep_batch_matches_unbatched():
+    """rep_batch splits the replication axis into bounded device calls
+    (axon watchdog defence); per-replication work is identical, so the
+    ranks must match the single-call run bit-for-bit — including a
+    final short batch (R=50, B=16)."""
+    import numpy as np
+    from exmc_tpu import Builder, dists
+    from exmc_tpu.sbc import sbc
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+    ir = Builder.rv(ir, "y", dists.Normal, {"mu": "mu", "sigma": 1.0},
+                    shape=(8,))
+    ir = Builder.obs(ir, "y_obs", "y", np.zeros(8, np.float32))
+
+    kw = dict(num_replications=50, num_warmup=200, num_samples=200,
+              thin=10, seed=0)
+    r_full = sbc(ir, **kw)
+    r_batched = sbc(ir, rep_batch=16, **kw)
+    np.testing.assert_array_equal(r_full["ranks"]["mu"],
+                                  r_batched["ranks"]["mu"])
+    assert r_full["divergence_rate"] == r_batched["divergence_rate"]
