@@ -42,6 +42,33 @@ _MEMO = OrderedDict()
 _MEMO_MAX = 32
 
 
+_code_version_cache = None
+
+
+def _code_version():
+    """Hash of the package's Python source, computed once per process.
+    A serialized executable embodies the traced program of the code
+    that built it; any source change must invalidate every persistent
+    entry, or a bug fix would silently keep running the pre-fix
+    algorithm from cache. (A version string would go stale between
+    releases; hashing the source cannot.)"""
+    global _code_version_cache
+    if _code_version_cache is None:
+        import exmc_tpu
+
+        root = os.path.dirname(os.path.abspath(exmc_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    h.update(fn.encode())
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(f.read())
+        _code_version_cache = h.hexdigest()[:16]
+    return _code_version_cache
+
+
 def _tree_sig(x):
     """Stable string of the shapes/dtypes (not values) of a pytree."""
     leaves, treedef = jax.tree.flatten(x)
@@ -59,6 +86,7 @@ def cache_key(key_material, args, static_kw):
     h = hashlib.sha256()
     for part in (
         jax.__version__,
+        _code_version(),
         dev.platform,
         getattr(dev, "device_kind", ""),
         str(jax.config.jax_enable_x64),
@@ -92,7 +120,12 @@ def _load(path):
 
         with open(path, "rb") as f:
             payload, in_tree, out_tree = pickle.load(f)
-        return deserialize_and_load(payload, in_tree, out_tree)
+        out = deserialize_and_load(payload, in_tree, out_tree)
+        try:
+            os.utime(path)  # hits refresh mtime: _evict stays LRU
+        except OSError:
+            pass
+        return out
     except Exception as e:  # stale jax / foreign topology / bad file
         warnings.warn(
             f"aot cache entry unreadable ({type(e).__name__}: {e}); "
@@ -142,20 +175,23 @@ def call(jitted, args, static_kw, key_material, cache_dir):
         return jitted(*args, **static_kw)
     key = cache_key(key_material, args, static_kw)
     path = os.path.join(cache_dir, key + ".bin")
+    # the lock guards ONLY the memo dict — disk reads (~0.7 s
+    # deserialize) and stores (~10 MB serialize+write) run outside it
+    # so concurrent samplers on other keys never queue behind I/O
     with _lock:
         compiled = _MEMO.get(key)
         if compiled is not None:
             _MEMO.move_to_end(key)
-        elif os.path.exists(path):
-            compiled = _load(path)
-    from_disk = compiled is not None and key not in _MEMO
+    from_disk = False
+    if compiled is None and os.path.exists(path):
+        compiled = _load(path)
+        from_disk = compiled is not None
     if compiled is None:
         try:
             compiled = jitted.lower(*args, **static_kw).compile()
         except Exception:  # lowering quirks: never break the call
             return jitted(*args, **static_kw)
-        with _lock:
-            _store(compiled, path)
+        _store(compiled, path)
     with _lock:
         _MEMO[key] = compiled
         _MEMO.move_to_end(key)

@@ -154,7 +154,7 @@ class FlowFit:
         lq = jax.jit(jax.vmap(self.log_q))(x)
         log_w = np.asarray(lp - lq)
         log_w = log_w[np.isfinite(log_w)]
-        _, k = _psis_smooth(log_w)
+        _, k, _ = _psis_smooth(log_w)
         return float(k)
 
 

@@ -81,7 +81,11 @@ def waic(ir, trace, data=None, ncp=True):
 def _psis_smooth(log_w):
     """Pareto-smoothed importance weights for ONE observation
     (Vehtari/Simpson/Gelman 2015). log_w: (S,) raw log importance
-    weights. Returns (smoothed log_w, pareto k-hat)."""
+    weights. Returns (smoothed log_w, pareto k-hat, fitted) —
+    ``fitted=False`` means the GPD tail fit could not run (too few
+    positive exceedances) and k-hat is a benign-flat-tail 0.0 that
+    diagnostics wanting the 'did it work?' answer must treat as
+    unknown, not as excellent."""
     s = log_w.shape[0]
     m = max(int(np.ceil(min(0.2 * s, 3.0 * np.sqrt(s)))), 5)
     order = np.argsort(log_w)
@@ -92,7 +96,7 @@ def _psis_smooth(log_w):
     # Zhang & Stephens (2009) profile-posterior GPD fit
     x = np.sort(exceed[exceed > 0])
     if x.size < 5:
-        return log_w, 0.0
+        return log_w, 0.0, False
     n = x.size
     x_star = x[max(int(n / 4 + 0.5) - 1, 0)]
     mth = 30 + int(np.sqrt(n))
@@ -120,8 +124,9 @@ def _psis_smooth(log_w):
         smoothed_tail = np.log(cutoff + quant) + log_w.max()
         new = log_w.copy()
         new[tail_idx] = np.minimum(np.sort(smoothed_tail), log_w.max())
-        return new, k_hat
-    return log_w, k_hat if np.isfinite(k_hat) else 0.0
+        return new, k_hat, True
+    fitted = bool(np.isfinite(k_hat))
+    return log_w, k_hat if fitted else 0.0, fitted
 
 
 def loo(ir, trace, data=None, ncp=True, psis=True):
@@ -143,7 +148,7 @@ def loo(ir, trace, data=None, ncp=True, psis=True):
         for j in range(n):
             log_w = -ll[:, j]
             log_w = log_w - log_w.max()
-            log_w, k_hat = _psis_smooth(log_w)
+            log_w, k_hat, _ = _psis_smooth(log_w)
             lse_w = jax.scipy.special.logsumexp(jnp.asarray(log_w))
             lse_wl = jax.scipy.special.logsumexp(jnp.asarray(log_w + ll[:, j]))
             elpd_list.append(float(lse_wl - lse_w))

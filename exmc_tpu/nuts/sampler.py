@@ -610,6 +610,23 @@ class NUTSSampler:
             self._run, static_argnames=("num_chains", "warm_started")
         )
 
+    def _aot_key_parts(self):
+        """(ir signature, cache dir or None, options tuple) for the AOT
+        executable cache (D-T35). The options come from
+        ``_SAMPLER_OPT_KEYS`` — the single list of compile-relevant
+        sampler options — so a future option cannot be added to the
+        sampler without entering the key. The disk cache is disabled
+        when the IR's fingerprint is unstable (components hashed by
+        per-process object identity) or for the sp-sharded vag path
+        (vag_builder closures are not part of the key)."""
+        from exmc_tpu.config import aot_cache_dir
+
+        sig, stable = ir_fingerprint(self.model.ir)
+        cdir = (aot_cache_dir()
+                if stable and self.vag_builder is None else None)
+        opts = tuple((k, getattr(self, k)) for k in _SAMPLER_OPT_KEYS)
+        return sig, cdir, opts
+
     # ---- traced pipeline ----
 
     def _iw_bound(self, data):
@@ -946,25 +963,14 @@ class NUTSSampler:
                 ) from e
         else:
             from exmc_tpu import aot
-            from exmc_tpu.config import aot_cache_dir
 
             args = (data, q_inits, keys, ws_eps, ws_inv)
             static_kw = dict(num_chains=num_chains,
                              warm_started=warm_started)
-            # AOT executable cache (D-T35): skip it for the sp-sharded
-            # vag path (vag_builder closures aren't part of the key)
-            cdir = aot_cache_dir() if self.vag_builder is None else None
-            key_material = (
-                "nuts_run",
-                ir_signature(self.model.ir),
-                self.num_warmup, self.num_samples, self.max_tree_depth,
-                round(self.target_accept, 10), self.dense_mass,
-                self.shared_warmup, self.pooled_adaptation,
-                self.interweave, self.gibbs_scales,
-                self.ensemble_rescue, self.adapt_mass,
-            )
+            sig, cdir, opts = self._aot_key_parts()
             draws, stats, tuning = aot.call(
-                self._run_jit, args, static_kw, key_material, cdir)
+                self._run_jit, args, static_kw,
+                ("nuts_run", sig) + opts, cdir)
 
         stats = {k: np.asarray(v) for k, v in stats.items()}
         stats["step_size"] = np.asarray(tuning["step_size"])
@@ -1039,16 +1045,9 @@ class NUTSSampler:
         # shape-only keying would silently reuse an executable compiled
         # against different observations.
         from exmc_tpu import aot
-        from exmc_tpu.config import aot_cache_dir
 
-        _aot_dir = aot_cache_dir() if self.vag_builder is None else None
-        _aot_base = (
-            ir_signature(self.model.ir), _data_fingerprint(data),
-            self.num_warmup, self.num_samples, self.max_tree_depth,
-            round(self.target_accept, 10), self.dense_mass,
-            self.pooled_adaptation, self.interweave, self.gibbs_scales,
-            self.ensemble_rescue, self.adapt_mass, chunk_iters,
-        )
+        sig, _aot_dir, opts = self._aot_key_parts()
+        _aot_base = (sig, _data_fingerprint(data), chunk_iters) + opts
 
         def seg(carry, xs):
             return _pipeline_segment(
@@ -1222,41 +1221,79 @@ def clear_sampler_cache():
     _SAMPLER_CACHE.clear()
 
 
-def _hash_obj(h, x):
+def _hash_obj(h, x, state=None):
     """Feed one IR op component into the hash: array constants hash by
     value (they are baked into the traced program), registered dists by
-    name, Custom dists and raw callables by identity (their closures are
-    part of the program)."""
+    name, Custom dists and raw callables by their CODE plus closure
+    VALUES — both determine the traced program, and the hash feeds the
+    persistent AOT executable-cache key, so per-process object identity
+    must not leak in. Anything that can only be identified by id()
+    marks ``state["stable"] = False`` so callers skip the disk cache
+    for that model."""
+    import types
+
     from exmc_tpu.dists.base import Distribution
     from exmc_tpu.transforms import Transform
+
+    def _unstable():
+        if state is not None:
+            state["stable"] = False
 
     if isinstance(x, np.ndarray):
         h.update(b"a")
         h.update(str((x.shape, str(x.dtype))).encode())
         h.update(np.ascontiguousarray(x).tobytes())
     elif isinstance(x, jnp.ndarray):
-        _hash_obj(h, np.asarray(x))
+        _hash_obj(h, np.asarray(x), state)
     elif isinstance(x, (list, tuple)):
         h.update(b"l")
         for e in x:
-            _hash_obj(h, e)
+            _hash_obj(h, e, state)
     elif isinstance(x, dict):
         h.update(b"d")
         for k in sorted(x, key=repr):
-            _hash_obj(h, k)
-            _hash_obj(h, x[k])
+            _hash_obj(h, k, state)
+            _hash_obj(h, x[k], state)
     elif isinstance(x, Distribution):
-        if hasattr(x, "logpdf_fn"):  # Custom: closure identity matters
-            h.update(f"custom{id(x)}".encode())
+        if hasattr(x, "logpdf_fn"):
+            # Custom: the logpdf code + closure ARE the program
+            h.update(b"custom")
+            for part in (x.logpdf_fn, getattr(x, "support", None),
+                         getattr(x, "transform", None),
+                         getattr(x, "sample_fn", None)):
+                _hash_obj(h, part, state)
         else:
             h.update(f"dist:{x.name}".encode())
     elif isinstance(x, Transform):
         h.update(f"tf:{x.name}".encode())
-        _hash_obj(h, {k: v for k, v in vars(x).items()})
+        _hash_obj(h, {k: v for k, v in vars(x).items()}, state)
+    elif isinstance(x, types.CodeType):
+        h.update(b"co")
+        h.update(x.co_code)
+        h.update(repr(x.co_names).encode())
+        _hash_obj(h, x.co_consts, state)
+    elif isinstance(x, partial):
+        h.update(b"pa")
+        _hash_obj(h, (x.func, x.args, x.keywords), state)
     elif callable(x):
-        h.update(f"fn{id(x)}".encode())
+        code = getattr(x, "__code__", None)
+        if code is None:  # builtin / C callable: identity is all we have
+            h.update(f"fn{id(x)}".encode())
+            _unstable()
+        else:
+            _hash_obj(h, code, state)
+            _hash_obj(h, getattr(x, "__defaults__", None), state)
+            for cell in (getattr(x, "__closure__", None) or ()):
+                try:
+                    contents = cell.cell_contents
+                except ValueError:
+                    contents = "<empty-cell>"
+                _hash_obj(h, contents, state)
     else:
-        h.update(repr(x).encode())
+        r = repr(x)
+        if " at 0x" in r:  # default object repr: address = identity
+            _unstable()
+        h.update(r.encode())
 
 
 def _data_fingerprint(data) -> str:
@@ -1275,24 +1312,33 @@ def _data_fingerprint(data) -> str:
     return h.hexdigest()
 
 
-def ir_signature(ir) -> str:
-    """Structural + constant signature of an IR. Two IRs with the same
-    signature compile to the same XLA program: node structure, dist
-    names, constant params and inline obs values hash by value;
-    ``Builder.data`` tensors hash by shape/dtype only (their values are
-    JIT arguments, D69)."""
+def ir_fingerprint(ir):
+    """(signature, stable): structural + constant signature of an IR.
+    Two IRs with the same signature compile to the same XLA program:
+    node structure, dist names, constant params, inline obs values, and
+    Custom/callable CODE + closures hash by value; ``Builder.data``
+    tensors hash by shape/dtype only (their values are JIT arguments,
+    D69). ``stable`` is False when any component could only be hashed
+    by per-process object identity — such signatures must not feed
+    persistent (cross-process) cache keys."""
     h = hashlib.sha256()
+    state = {"stable": True}
     for nid in sorted(ir.nodes):
         node = ir.nodes[nid]
         h.update(nid.encode())
-        _hash_obj(h, node.op)
-        _hash_obj(h, node.deps)
-        _hash_obj(h, node.shape)
+        _hash_obj(h, node.op, state)
+        _hash_obj(h, node.deps, state)
+        _hash_obj(h, node.shape, state)
     if ir.data is not None:
         for leaf in jax.tree.leaves(ir.data):
             arr = np.asarray(leaf)
             h.update(f"data{arr.shape}{arr.dtype}".encode())
-    return h.hexdigest()
+    return h.hexdigest(), state["stable"]
+
+
+def ir_signature(ir) -> str:
+    """The signature half of :func:`ir_fingerprint`."""
+    return ir_fingerprint(ir)[0]
 
 
 _SAMPLER_OPT_KEYS = (

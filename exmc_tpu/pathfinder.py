@@ -96,7 +96,10 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
         run_c, draw_c = cached
         mu, sigma, elbos, best = run_c(init_key, elbo_key)
         z, trace = draw_c(draw_key, mu, sigma)
-        return _pack_diag_result(mu, sigma, elbos, best, z, trace)
+        # the SAME psir-aware tail as the fresh path (review fix: the
+        # cache-hit early return used to skip PSIR silently)
+        return _finish_diag_result(mu, sigma, elbos, best, z, trace,
+                                   model, data, psir, seed)
 
     @jax.jit
     def run(init_key, elbo_key):
@@ -163,6 +166,19 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
         _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
     mu, sigma, elbos, best = run(init_key, elbo_key)
     z, trace = draw(draw_key, mu, sigma)
+    return _finish_diag_result(mu, sigma, elbos, best, z, trace,
+                               model, data, psir, seed)
+
+
+# cached closures keep their model alive, so id()-keyed entries cannot
+# alias a collected object; bounded at 8 entries
+_FIT_CACHE = {}
+
+
+def _finish_diag_result(mu, sigma, elbos, best, z, trace, model, data,
+                        psir, seed):
+    """Pack the diag-fit result and (optionally) PSIR-resample it —
+    the one tail shared by the fresh and _FIT_CACHE-hit paths."""
     result = _pack_diag_result(mu, sigma, elbos, best, z, trace)
     if psir:
         from exmc_tpu.psir import apply_psir_to_fit, diag_normal_logq
@@ -171,11 +187,6 @@ def pathfinder_fit(ir, *, num_iters=100, num_draws=1000, num_elbo_draws=20,
         result = apply_psir_to_fit(result, model, logq,
                                    seed=seed + 101, data=data)
     return result
-
-
-# cached closures keep their model alive, so id()-keyed entries cannot
-# alias a collected object; bounded at 8 entries
-_FIT_CACHE = {}
 
 
 def _pack_diag_result(mu, sigma, elbos, best, z, trace):

@@ -24,6 +24,8 @@ kwargs on :func:`exmc_tpu.optimize.laplace`,
 :func:`exmc_tpu.pathfinder.pathfinder_fit`.
 """
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -85,7 +87,17 @@ def psir(ir_or_model, draws_unconstrained, logq, *, num_resample=None,
     if not finite.any():
         raise ValueError("all importance ratios are non-finite (the "
                          "proposal misses the posterior's support)")
-    smoothed, k_hat = _psis_smooth(np.where(finite, log_w, log_w[finite].min()))
+    smoothed, k_hat, fitted = _psis_smooth(
+        np.where(finite, log_w, log_w[finite].min()))
+    if not fitted:
+        # the tail fit could not run (degenerate proposal / tiny S):
+        # report UNKNOWN, not 0.0 = excellent — k-hat is the 'did it
+        # work?' answer and must not claim success it cannot assess
+        k_hat = float("nan")
+        warnings.warn(
+            "psir: the Pareto tail fit could not run (too few positive "
+            "tail exceedances) — pareto_k is NaN; treat the resampled "
+            "draws with suspicion", stacklevel=2)
     smoothed = np.where(finite, smoothed, -np.inf)
     w = np.exp(smoothed - smoothed.max())
     w = w / w.sum()

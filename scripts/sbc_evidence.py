@@ -235,6 +235,10 @@ def main():
         # must not lose models 1..k-1 (it did — round-4 rerun)
         with open(OUT, "w") as f:
             json.dump(out, f, indent=1)
+    # final write regardless (an empty model list must still refresh
+    # the metadata the merge path preserved)
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
     print(f"wrote {OUT}", flush=True)
 
 

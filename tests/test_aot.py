@@ -182,3 +182,61 @@ def test_run_chunked_with_aot_cache_dir(tmp_path, monkeypatch):
         np.asarray(t1["mu"]), np.asarray(t2["mu"]), rtol=1e-5)
     aot._serialize_broken.clear()
     aot._MEMO.clear()
+
+
+def test_ir_fingerprint_custom_dists_stable_by_code():
+    """Custom dists / raw callables hash by code + closure VALUES, not
+    object identity (review fix: id() leaked process-specific keys
+    into the persistent AOT cache). Same code + closures => same
+    signature; different closure values => different signature."""
+    import jax.numpy as jnp
+    from exmc_tpu import Builder, dists
+    from exmc_tpu.nuts.sampler import ir_fingerprint
+
+    def build(scale):
+        def logpdf(value, params, data=None):
+            return -0.5 * jnp.sum((value / scale) ** 2)
+
+        lik = dists.Custom(logpdf_fn=logpdf, support="real")
+        ir = Builder.new_ir()
+        ir = Builder.rv(ir, "x", lik, {})
+        return ir
+
+    s1, stable1 = ir_fingerprint(build(2.0))
+    s2, stable2 = ir_fingerprint(build(2.0))
+    s3, _ = ir_fingerprint(build(3.0))
+    assert s1 == s2  # fresh-but-identical closures agree
+    assert s1 != s3  # closure VALUES are part of the program
+    assert stable1 and stable2
+
+    # a builtin (no __code__) can only be identified by id -> unstable
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.Custom(logpdf_fn=abs, support="real"),
+                    {})
+    _, stable = ir_fingerprint(ir)
+    assert not stable
+
+
+def test_aot_disk_cache_disabled_for_unstable_signatures(tmp_path,
+                                                         monkeypatch):
+    """_aot_key_parts must return cache_dir=None when the IR signature
+    is identity-based (cross-process keys would collide/miss
+    unpredictably)."""
+    from exmc_tpu import Builder, dists
+    from exmc_tpu.nuts.sampler import _make_sampler
+
+    monkeypatch.setenv("EXMC_AOT_CACHE", str(tmp_path))
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "x", dists.Custom(logpdf_fn=abs, support="real"),
+                    {})
+    sampler = _make_sampler(ir, ncp=False, num_warmup=10, num_samples=10)
+    _, cdir, _ = sampler._aot_key_parts()
+    assert cdir is None
+
+    ir2 = Builder.new_ir()
+    ir2 = Builder.rv(ir2, "mu", dists.Normal, {"mu": 0.0, "sigma": 1.0})
+    sampler2 = _make_sampler(ir2, ncp=False, num_warmup=10, num_samples=10)
+    _, cdir2, opts2 = sampler2._aot_key_parts()
+    assert cdir2 == str(tmp_path)
+    from exmc_tpu.nuts.sampler import _SAMPLER_OPT_KEYS
+    assert [k for k, _ in opts2] == list(_SAMPLER_OPT_KEYS)

@@ -48,7 +48,7 @@ def test_gpd_khat_sign_convention():
     w = 1.0 + sigma / xi * ((1.0 - u) ** (-xi) - 1.0)
     log_w = np.log(w)
     log_w = log_w - log_w.max()
-    smoothed, k_hat = model_comparison._psis_smooth(log_w.copy())
+    smoothed, k_hat, _ = model_comparison._psis_smooth(log_w.copy())
     # heavy tail must be reported as positive k-hat near the true value
     assert 0.2 < k_hat < 1.0, f"k_hat={k_hat} should be ~+0.5 for xi=0.5 tails"
     # smoothed tail order statistics must remain heavy (unbounded-style
@@ -66,7 +66,7 @@ def test_gpd_khat_light_tail_negative():
     """Bounded (light-tailed) weights should report k-hat <= ~0."""
     rng = np.random.default_rng(7)
     log_w = rng.uniform(-1.0, 0.0, size=2000)  # bounded support
-    _, k_hat = model_comparison._psis_smooth(log_w.copy())
+    _, k_hat, _ = model_comparison._psis_smooth(log_w.copy())
     assert k_hat < 0.3
 
 
@@ -108,7 +108,7 @@ def test_gpd_fit_against_scipy():
     # heavy-tailed weights whose exceedances are GPD(k_true)
     x = stats.genpareto.rvs(k_true, scale=1.0, size=s, random_state=rng)
     log_w = np.log1p(x)
-    _, k_hat = model_comparison._psis_smooth(np.sort(log_w))
+    _, k_hat, _ = model_comparison._psis_smooth(np.sort(log_w))
     m = max(int(np.ceil(min(0.2 * s, 3.0 * np.sqrt(s)))), 5)
     tail = np.exp(np.sort(log_w)[-m:] - log_w.max())
     cutoff = np.exp(np.sort(log_w)[-m - 1] - log_w.max())
