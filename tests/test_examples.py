@@ -51,6 +51,7 @@ EXAMPLES = [
     "41_gp_regression.py",
     "42_hmm_regime_switching.py",
     "43_bayesian_workflow.py",
+    "44_map_laplace_psir.py",
 ]
 
 
