@@ -45,8 +45,16 @@ LOG_2PI = float(np.log(2.0 * np.pi))
 # fraction) composition and the solves/Takahashi are affine maps. On
 # TPU a sequential lax.scan of length T=5000 is latency-bound (the
 # multi-minute vmapped NUTS kernels it produced crashed the axon
-# worker — kernel fault, measured twice); jax.lax.associative_scan
-# runs the same recurrences in O(log T) batched steps on the VPU.
+# worker — kernel fault, measured twice). A FLAT associative_scan
+# fixes the latency but unrolls O(log T) slice/concat levels per scan
+# into the HLO — at T=5000 x (6 scans x 12 Newton) the remote service
+# never finished compiling it (>85 min, killed). The shape that
+# satisfies both constraints is the BLOCKED parallel prefix: one
+# lax.scan over T/B blocks (compact HLO — a single while op) whose
+# body runs an associative_scan over B elements (parallel on the VPU).
+# Sequential depth drops T -> T/B; program size stays O(log B).
+
+_BLOCK = 128
 
 
 def _mobius_combine(x, y):
@@ -60,40 +68,76 @@ def _mobius_combine(x, y):
     return c / jnp.maximum(scale, 1e-30)
 
 
-def _affine_scan(coef, offs, y0):
-    """y_i = coef_i * y_{i-1} + offs_i for i >= 1 with y_0 = y0, as an
-    associative scan over affine-map pairs: (a2,c2) after (a1,c1) is
-    (a2*a1, a2*c1 + c2). Returns the full (T,) sequence incl. y_0."""
+def _affine_combine(x, y):
+    """Compose affine maps, y AFTER x: (a2,c2)∘(a1,c1) =
+    (a2*a1, a2*c1 + c2)."""
+    a1, c1 = x
+    a2, c2 = y
+    return a2 * a1, a2 * c1 + c2
 
-    def comb(x, y):
-        a1, c1 = x
-        a2, c2 = y
-        return a2 * a1, a2 * c1 + c2
 
+def _affine_scan(coef, offs, y0, block=_BLOCK):
+    """y_i = coef_i * y_{i-1} + offs_i for i >= 1 with y_0 = y0.
+    Returns the full (T,) sequence incl. y_0. Blocked parallel prefix
+    (see module note); the identity element (1, 0) pads the tail."""
     a = jnp.concatenate([jnp.zeros((1,), coef.dtype), coef])
     c = jnp.concatenate([jnp.reshape(y0, (1,)), offs])
-    _, ys = jax.lax.associative_scan(comb, (a, c))
-    return ys
+    t = a.shape[0]
+    if t <= 2 * block:
+        _, ys = jax.lax.associative_scan(_affine_combine, (a, c))
+        return ys
+    k = -(-t // block)
+    pad = k * block - t
+    a = jnp.concatenate([a, jnp.ones((pad,), a.dtype)]).reshape(k, block)
+    c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]).reshape(k, block)
+
+    def body(y_in, blk):
+        pa, pc = jax.lax.associative_scan(_affine_combine, blk)
+        ys = pa * y_in + pc
+        return ys[-1], ys
+
+    _, ys = jax.lax.scan(body, jnp.zeros((), a.dtype), (a, c))
+    return ys.reshape(-1)[:t]
 
 
-def _thomas_factor(a, b):
+def _thomas_factor(a, b, block=_BLOCK):
     """LDL' of the SPD tridiagonal with diagonal ``a`` (T,) and constant
     sub/super-diagonal ``b`` (scalar): returns (delta, ell) with
     delta = D diagonal, ell = L sub-diagonal multipliers (T-1,).
 
     delta_i = a_i - b^2/delta_{i-1} is the Möbius map of the matrix
-    [[a_i, -b^2], [1, 0]] acting on [delta_{i-1}, 1]."""
+    [[a_i, -b^2], [1, 0]] acting on the homogeneous [delta_{i-1}, 1];
+    blocked parallel prefix over the matrix products, carry vector
+    renormalized per block (projective invariance)."""
     t = a.shape[0]
     if t == 1:
         return a, a[:0]
-    m = jnp.zeros((t - 1, 2, 2), a.dtype)
+    n = t - 1
+    m = jnp.zeros((n, 2, 2), a.dtype)
     m = m.at[:, 0, 0].set(a[1:])
     m = m.at[:, 0, 1].set(-b * b)
     m = m.at[:, 1, 0].set(1.0)
-    p = jax.lax.associative_scan(_mobius_combine, m)
-    num = p[:, 0, 0] * a[0] + p[:, 0, 1]
-    den = p[:, 1, 0] * a[0] + p[:, 1, 1]
-    delta = jnp.concatenate([a[:1], num / den])
+    v0 = jnp.stack([a[0], jnp.ones((), a.dtype)])
+    v0 = v0 / jnp.maximum(jnp.max(jnp.abs(v0)), 1e-30)
+    if n <= 2 * block:
+        p = jax.lax.associative_scan(_mobius_combine, m)
+        vs = p @ v0
+    else:
+        k = -(-n // block)
+        pad = k * block - n
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=a.dtype), (pad, 2, 2))
+        m = jnp.concatenate([m, eye]).reshape(k, block, 2, 2)
+
+        def body(v_in, mb):
+            p = jax.lax.associative_scan(_mobius_combine, mb)
+            vb = p @ v_in
+            v_out = vb[-1]
+            v_out = v_out / jnp.maximum(jnp.max(jnp.abs(v_out)), 1e-30)
+            return v_out, vb
+
+        _, vs = jax.lax.scan(body, v0, m)
+        vs = vs.reshape(-1, 2)[:n]
+    delta = jnp.concatenate([a[:1], vs[:, 0] / vs[:, 1]])
     ell = b / delta[:-1]
     return delta, ell
 
