@@ -306,16 +306,21 @@ def sv_marginal_model(r, newton_iters=25):
     return ir
 
 
-def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25):
+def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25,
+            grid_batch=None):
     """Full INLA for the SV model: evaluate the Laplace marginal on a
-    (sigma, nu) grid IN ONE VMAPPED CALL, normalize to the joint
-    hyperparameter posterior, and mix the conditional latent Gaussians
-    into marginal path estimates.
+    (sigma, nu) grid, normalize to the joint hyperparameter posterior,
+    and mix the conditional latent Gaussians into marginal path
+    estimates.
+
+    ``grid_batch=B`` evaluates the grid in bounded device calls of B
+    points (one compiled program; short batches pad by wrapping) — the
+    full 1600-point grid at T=5000 in ONE call ran for minutes and
+    kernel-faulted the remote axon TPU worker (measured).
 
     Returns dict with hyperparam grids/posterior, posterior means/sds of
     sigma and nu, and the latent path's marginal mean/sd (mixture over
-    the grid). T=5000 runs in seconds — the entire grid is one batched
-    scan program."""
+    the grid)."""
     r = np.asarray(r)
     T = len(r)
     if sigma_grid is None:
@@ -341,7 +346,18 @@ def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25):
 
         return jax.vmap(one)(flat_s, flat_n)
 
-    lp, s_hat, var_hat = run(flat_s, flat_n)
+    n_pts = int(flat_s.shape[0])
+    if grid_batch is None or grid_batch >= n_pts:
+        lp, s_hat, var_hat = run(flat_s, flat_n)
+    else:
+        parts = []
+        for s0 in range(0, n_pts, grid_batch):
+            e = min(s0 + grid_batch, n_pts)
+            idx = np.arange(grid_batch) % (e - s0)
+            out = run(flat_s[s0:e][idx], flat_n[s0:e][idx])
+            parts.append(jax.tree.map(lambda a: a[: e - s0], out))
+        lp, s_hat, var_hat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *parts)
     lp = np.asarray(lp, np.float64)
     lp -= lp.max()
     w = np.exp(lp)

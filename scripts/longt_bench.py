@@ -101,19 +101,23 @@ def main():
                                nu_grid=np.geomspace(2.0, 80.0, 20),
                                newton_iters=12)
             else:
-                inla = sv_inla(r)
+                # grid_batch bounds each device call: the full
+                # 1600-point single call at T=5000 kernel-faulted the
+                # axon worker (followup3 log, 2026-08-19)
+                inla = sv_inla(r, grid_batch=64)
             ir_m = sv_marginal_model(r, newton_iters=12)
             sampler = _make_sampler(ir_m, ncp=False,
                                     num_warmup=args.warmup,
                                     num_samples=args.samples)
 
             def go_m(seed):
-                # chunked like every other row: one long device call
-                # crashed the axon TPU worker here (12 Newton scans
-                # per leapfrog at T=5000 make the kernel long-running)
+                # tightly chunked: each NUTS iteration here carries
+                # 12 Newton x 6 blocked scans per leapfrog at T=5000 —
+                # 250-iteration calls are still minutes-long and the
+                # axon watchdog kills multi-minute kernels
                 return sampler.run_chunked(num_chains=args.chains,
                                            seed=seed,
-                                           chunk_iters=args.chunk)
+                                           chunk_iters=min(args.chunk, 50))
 
             t0 = time.time()
             go_m(0)

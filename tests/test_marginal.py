@@ -166,3 +166,23 @@ def test_associative_tridiagonal_matches_sequential():
         ref_scale = np.abs(x_ref).max() + 1e-30
         assert np.abs(np.asarray(x2, np.float64) - x_ref).max() / ref_scale \
             < 10 * tol, t
+
+
+def test_sv_inla_grid_batch_parity():
+    """grid_batch evaluates the INLA grid in bounded device calls
+    (axon watchdog defence); per-point work is identical, so the
+    posterior summaries must match the single-call run — including a
+    short final batch (81 points, B=16)."""
+    from exmc_tpu.marginal import sv_inla
+
+    rng = np.random.default_rng(0)
+    s = np.cumsum(rng.normal(0, 0.04, 120))
+    r = np.exp(s) * rng.standard_t(8, 120)
+    kw = dict(sigma_grid=np.geomspace(0.005, 0.2, 9),
+              nu_grid=np.geomspace(2.0, 40.0, 9), newton_iters=8)
+    a = sv_inla(r, **kw)
+    b = sv_inla(r, grid_batch=16, **kw)
+    for k in ("sigma_mean", "sigma_sd", "nu_mean", "nu_sd"):
+        assert abs(a[k] - b[k]) < 1e-6 * max(abs(a[k]), 1e-9), k
+    np.testing.assert_allclose(a["path_mean"], b["path_mean"],
+                               rtol=1e-5, atol=1e-7)
