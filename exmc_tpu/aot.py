@@ -9,13 +9,27 @@ skips that leg entirely: the loaded XLA executable pickles to ~10 MB and
 (AOT_SERIALIZE.json: eight_schools 27.7 s warm jit -> 0.8 s deserialize).
 
 This module wraps a jitted callable with a disk cache of serialized
-executables. Keys cover everything that determines the compiled
-program: the model/IR fingerprint, sampler options, static argument
-values, dynamic argument shapes/dtypes, platform + device kind, x64
-mode, and the jax version — a stale or foreign entry never matches, it
-just misses. Every failure path (unreadable file, deserialize error,
-UNIMPLEMENTED serialize on the CPU client) falls back to the ordinary
-jit call, so the cache can never break sampling, only speed it up.
+executables, looked up through TWO keys:
+
+1. FAST key (``cache_key``): the model/IR fingerprint, sampler options,
+   static argument values, dynamic argument shapes/dtypes, platform +
+   device kind, x64 mode, jax version, and a hash of the package
+   source. A hit costs one tiny ``.ref`` read + one deserialize.
+2. HLO key: on a fast-key miss the program is LOWERED client-side
+   (seconds) and the executable blob is addressed by a hash of the
+   lowered HLO text + environment. The source hash in the fast key is
+   deliberately coarse — ANY ``.py`` edit invalidates every fast key —
+   but an edit that doesn't change what a program lowers to reaches
+   the same HLO, so the blob still hits and the fast key is re-aliased
+   to it. Measured stakes: one unrelated commit between the round-4
+   store and hit passes cost a 574 s service recompile of the stress
+   suite row; with the HLO level that edit costs one lowering.
+
+Blobs live at ``<hlo_key>.bin``; fast keys are ``<fast_key>.ref``
+pointer files naming the blob. Every failure path (unreadable file,
+deserialize error, UNIMPLEMENTED serialize on the CPU client) falls
+back to the ordinary jit call, so the cache can never break sampling,
+only speed it up.
 
 The reference's analogue is its warm-start amortization lesson
 (tree.ex:30-35: dispatch/compile overheads dominate re-runs); here the
@@ -80,16 +94,25 @@ def _tree_sig(x):
     return "|".join(parts)
 
 
-def cache_key(key_material, args, static_kw):
-    """sha256 hex over program identity + arg shapes + environment."""
+def _env_parts():
+    """Everything about the process environment that determines whether
+    a serialized executable is loadable and correct here."""
     dev = jax.devices()[0]
-    h = hashlib.sha256()
-    for part in (
+    return (
         jax.__version__,
-        _code_version(),
         dev.platform,
         getattr(dev, "device_kind", ""),
         str(jax.config.jax_enable_x64),
+    )
+
+
+def cache_key(key_material, args, static_kw):
+    """FAST key: sha256 hex over program identity + arg shapes +
+    environment + package-source hash. Misses on any source edit; the
+    HLO key below catches the edits that didn't change the program."""
+    h = hashlib.sha256()
+    for part in _env_parts() + (
+        _code_version(),
         repr(key_material),
         repr(sorted(static_kw.items())),
         _tree_sig(args),
@@ -97,6 +120,29 @@ def cache_key(key_material, args, static_kw):
         h.update(str(part).encode())
         h.update(b"\0")
     return h.hexdigest()
+
+
+def _hlo_key(lowered):
+    """HLO key: sha256 over the lowered program text + environment —
+    source-edit-insensitive (two sources that lower identically share
+    the executable blob)."""
+    h = hashlib.sha256()
+    for part in _env_parts():
+        h.update(str(part).encode())
+        h.update(b"\0")
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()
+
+
+def _write_ref(ref_path, hkey):
+    """Alias a fast key to an executable blob (tiny pointer file)."""
+    try:
+        tmp = f"{ref_path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(hkey)
+        os.replace(tmp, ref_path)
+    except OSError:
+        pass
 
 
 def _evict(cache_dir):
@@ -108,6 +154,19 @@ def _evict(cache_dir):
         )
         for _, path in entries[: max(0, len(entries) - _MAX_ENTRIES)]:
             os.remove(path)
+        # drop fast-key aliases whose blob was evicted (refs are tiny,
+        # but a dangling one would cost a pointless open+miss forever)
+        for f in os.listdir(cache_dir):
+            if not f.endswith(".ref"):
+                continue
+            ref = os.path.join(cache_dir, f)
+            try:
+                with open(ref) as fh:
+                    hkey = fh.read().strip()
+            except OSError:
+                continue
+            if not os.path.exists(os.path.join(cache_dir, hkey + ".bin")):
+                os.remove(ref)
     except OSError:
         pass
 
@@ -174,7 +233,9 @@ def call(jitted, args, static_kw, key_material, cache_dir):
     if cache_dir is None:
         return jitted(*args, **static_kw)
     key = cache_key(key_material, args, static_kw)
-    path = os.path.join(cache_dir, key + ".bin")
+    ref_path = os.path.join(cache_dir, key + ".ref")
+    legacy_path = os.path.join(cache_dir, key + ".bin")
+    blob_path = None
     # the lock guards ONLY the memo dict — disk reads (~0.7 s
     # deserialize) and stores (~10 MB serialize+write) run outside it
     # so concurrent samplers on other keys never queue behind I/O
@@ -183,15 +244,51 @@ def call(jitted, args, static_kw, key_material, cache_dir):
         if compiled is not None:
             _MEMO.move_to_end(key)
     from_disk = False
-    if compiled is None and os.path.exists(path):
-        compiled = _load(path)
+    if compiled is None and os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                candidate = os.path.join(cache_dir, f.read().strip() + ".bin")
+        except OSError:
+            candidate = None
+        if candidate and os.path.exists(candidate):
+            compiled = _load(candidate)
+            blob_path = candidate
+        from_disk = compiled is not None
+        if compiled is None:
+            try:
+                os.remove(ref_path)
+            except OSError:
+                pass
+    if compiled is None and os.path.exists(legacy_path):
+        # pre-ref-scheme entry stored directly under the fast key
+        compiled = _load(legacy_path)
+        blob_path = legacy_path
         from_disk = compiled is not None
     if compiled is None:
         try:
-            compiled = jitted.lower(*args, **static_kw).compile()
+            lowered = jitted.lower(*args, **static_kw)
         except Exception:  # lowering quirks: never break the call
             return jitted(*args, **static_kw)
-        _store(compiled, path)
+        try:
+            hkey = _hlo_key(lowered)
+        except Exception:
+            hkey = None
+        if hkey is not None:
+            blob_path = os.path.join(cache_dir, hkey + ".bin")
+            if os.path.exists(blob_path):
+                # second-level hit: the source changed but this program
+                # didn't — re-alias the fast key instead of recompiling
+                compiled = _load(blob_path)
+                from_disk = compiled is not None
+        if compiled is None:
+            try:
+                compiled = lowered.compile()
+            except Exception:
+                return jitted(*args, **static_kw)
+            if hkey is not None:
+                _store(compiled, blob_path)
+        if hkey is not None and os.path.exists(blob_path):
+            _write_ref(ref_path, hkey)
     with _lock:
         _MEMO[key] = compiled
         _MEMO.move_to_end(key)
@@ -209,8 +306,11 @@ def call(jitted, args, static_kw, key_material, cache_dir):
         with _lock:
             _MEMO.pop(key, None)
         if from_disk:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+            for p in (blob_path, ref_path):
+                if p is None:
+                    continue
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return jitted(*args, **static_kw)

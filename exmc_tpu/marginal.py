@@ -57,6 +57,13 @@ LOG_2PI = float(np.log(2.0 * np.pi))
 _BLOCK = 128
 
 
+def _resolve_block(block):
+    """None -> the module-level default, resolved at CALL time so
+    benchmarks can tune ``marginal._BLOCK`` without re-importing (the
+    def-time default would freeze the value into every signature)."""
+    return _BLOCK if block is None else block
+
+
 def _mobius_combine(x, y):
     """Compose 2x2 Möbius matrices, y AFTER x (prefix products
     M_i ... M_0), renormalized per combine — the continued-fraction
@@ -76,10 +83,11 @@ def _affine_combine(x, y):
     return a2 * a1, a2 * c1 + c2
 
 
-def _affine_scan(coef, offs, y0, block=_BLOCK):
+def _affine_scan(coef, offs, y0, block=None):
     """y_i = coef_i * y_{i-1} + offs_i for i >= 1 with y_0 = y0.
     Returns the full (T,) sequence incl. y_0. Blocked parallel prefix
     (see module note); the identity element (1, 0) pads the tail."""
+    block = _resolve_block(block)
     a = jnp.concatenate([jnp.zeros((1,), coef.dtype), coef])
     c = jnp.concatenate([jnp.reshape(y0, (1,)), offs])
     t = a.shape[0]
@@ -100,7 +108,7 @@ def _affine_scan(coef, offs, y0, block=_BLOCK):
     return ys.reshape(-1)[:t]
 
 
-def _thomas_factor(a, b, block=_BLOCK):
+def _thomas_factor(a, b, block=None):
     """LDL' of the SPD tridiagonal with diagonal ``a`` (T,) and constant
     sub/super-diagonal ``b`` (scalar): returns (delta, ell) with
     delta = D diagonal, ell = L sub-diagonal multipliers (T-1,).
@@ -109,6 +117,7 @@ def _thomas_factor(a, b, block=_BLOCK):
     [[a_i, -b^2], [1, 0]] acting on the homogeneous [delta_{i-1}, 1];
     blocked parallel prefix over the matrix products, carry vector
     renormalized per block (projective invariance)."""
+    block = _resolve_block(block)
     t = a.shape[0]
     if t == 1:
         return a, a[:0]

@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="coarser INLA grid / fewer Newton iters "
                              "(single-core CPU validation)")
+    parser.add_argument("--treedepth", type=int, default=None,
+                        help="max_tree_depth for the sv_marginal row "
+                             "(depth 6 bounds the worst warmup iteration "
+                             "to 63 leapfrogs ~ 10 s at T=5000 — the axon "
+                             "watchdog kills multi-minute device calls)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -106,18 +111,23 @@ def main():
                 # axon worker (followup3 log, 2026-08-19)
                 inla = sv_inla(r, grid_batch=64)
             ir_m = sv_marginal_model(r, newton_iters=12)
+            skw = {}
+            if args.treedepth:
+                skw["max_tree_depth"] = args.treedepth
             sampler = _make_sampler(ir_m, ncp=False,
                                     num_warmup=args.warmup,
-                                    num_samples=args.samples)
+                                    num_samples=args.samples, **skw)
 
             def go_m(seed):
-                # tightly chunked: each NUTS iteration here carries
-                # 12 Newton x 6 blocked scans per leapfrog at T=5000 —
-                # 250-iteration calls are still minutes-long and the
-                # axon watchdog kills multi-minute kernels
+                # tightly chunked: one vmapped logp+grad at T=5000 is
+                # 0.165 s (probe_marginal_block.py — latency-bound in
+                # the 12 Newton scans, block size barely moves it), so
+                # a depth-6 iteration is <= 63 leapfrogs ~ 10 s and a
+                # 5-iteration chunk stays under the axon watchdog that
+                # killed the chunk-50 attempt (followup5, 2026-08-19)
                 return sampler.run_chunked(num_chains=args.chains,
                                            seed=seed,
-                                           chunk_iters=min(args.chunk, 50))
+                                           chunk_iters=min(args.chunk, 5))
 
             t0 = time.time()
             go_m(0)

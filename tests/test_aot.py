@@ -119,6 +119,61 @@ def test_store_load_round_trip_with_fake_serializer(tmp_path, monkeypatch):
     aot._serialize_broken.clear()
 
 
+def test_source_edit_realiases_instead_of_recompiling(tmp_path,
+                                                      monkeypatch):
+    """Two-level lookup: a package-source change (different fast key)
+    whose program lowers to the same HLO must reuse the stored blob and
+    just write a new .ref alias — NOT recompile (the round-4 suite paid
+    a 574 s service recompile for exactly this)."""
+    import jax.experimental.serialize_executable as se
+
+    captured = {}
+    monkeypatch.setattr(se, "serialize",
+                        lambda c: (captured.setdefault("c", c), b"p",
+                                   "i", "o")[1:])
+    monkeypatch.setattr(se, "deserialize_and_load",
+                        lambda p, i, o: captured["c"])
+    aot._serialize_broken.clear()
+    aot._MEMO.clear()
+
+    compiles = []
+    real_lower = jax.stages.Wrapped.lower
+
+    j = _jitted()
+    args = (jnp.arange(3.0),)
+    monkeypatch.setattr(aot, "_code_version", lambda: "src-v1")
+    out1 = aot.call(j, args, {}, ("t4",), str(tmp_path))
+
+    # "edit" the source: new fast key, same program
+    monkeypatch.setattr(aot, "_code_version", lambda: "src-v2")
+    aot._MEMO.clear()
+
+    class CountingLowered:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def as_text(self):
+            return self._inner.as_text()
+
+        def compile(self):
+            compiles.append(1)
+            return self._inner.compile()
+
+    monkeypatch.setattr(
+        jax.stages.Wrapped, "lower",
+        lambda self, *a, **k: CountingLowered(real_lower(self, *a, **k)))
+    out2 = aot.call(_jitted(), args, {}, ("t4",), str(tmp_path))
+
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    bins = [f for f in os.listdir(str(tmp_path)) if f.endswith(".bin")]
+    refs = [f for f in os.listdir(str(tmp_path)) if f.endswith(".ref")]
+    assert len(bins) == 1  # one blob, shared
+    assert len(refs) == 2  # both source versions alias it
+    assert compiles == []  # the second call never recompiled
+    aot._serialize_broken.clear()
+    aot._MEMO.clear()
+
+
 def test_evict_bounds_entries(tmp_path, monkeypatch):
     monkeypatch.setattr(aot, "_MAX_ENTRIES", 3)
     for i in range(6):
@@ -126,9 +181,13 @@ def test_evict_bounds_entries(tmp_path, monkeypatch):
         with open(p, "wb") as f:
             f.write(b"x")
         os.utime(p, (i, i))
+    # aliases: one to a blob that survives, one to a blob that goes
+    for name, target in (("keep.ref", "5"), ("dangling.ref", "0")):
+        with open(os.path.join(str(tmp_path), name), "w") as f:
+            f.write(target)
     aot._evict(str(tmp_path))
     left = sorted(os.listdir(str(tmp_path)))
-    assert left == ["3.bin", "4.bin", "5.bin"]
+    assert left == ["3.bin", "4.bin", "5.bin", "keep.ref"]
 
 
 def test_sampler_run_with_aot_cache_dir(tmp_path, monkeypatch):
