@@ -59,6 +59,52 @@ def compilation_cache_dir():
     return _CACHE_DIR
 
 
+def host_cpu_tag():
+    """Short fingerprint of the host CPU's ISA feature set (Linux:
+    the /proc/cpuinfo flags line; elsewhere the machine/processor
+    strings)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform as _platform
+
+    key = _platform.machine() + "|" + _platform.processor()
+    return hashlib.sha256(key.encode()).hexdigest()[:8]
+
+
+def retarget_cache_for_cpu():
+    """Point the persistent compile cache at a host-tagged subdir.
+
+    XLA:CPU persistent entries embed AOT-compiled machine code; an
+    entry written on a machine with a wider ISA (e.g. avx512) can
+    SIGILL on a narrower one (cpu_aot_loader.cc warns exactly this
+    when loading a foreign entry). Deliberate CPU-backend runs
+    (tests/conftest.py, __graft_entry__ dryruns) call this after
+    switching jax_platforms so each host reads only its own CPU
+    binaries; the TPU cache (service-compiled, machine-independent)
+    stays shared at the parent dir."""
+    global _CACHE_DIR
+    if not _CACHE_DIR:
+        return
+    base = _CACHE_DIR
+    tag = "cpu-" + host_cpu_tag()
+    if os.path.basename(base) == tag:
+        return
+    d = os.path.join(base, tag)
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        _CACHE_DIR = d
+    except Exception:  # pragma: no cover - read-only FS etc.
+        pass
+
+
 def aot_cache_dir():
     """Directory for serialized compiled EXECUTABLES, or None (D-T35).
 

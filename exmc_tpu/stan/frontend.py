@@ -238,7 +238,13 @@ def _expand_expr(expr, fns, line, stack=()):
             raise StanSyntaxError(
                 f"{expr[1]} expects {len(f['params'])} arguments, got "
                 f"{len(args)}", line=line)
-        body = _subst_expr(f["body"], dict(zip(f["params"], args)), line)
+        binding = dict(zip(f["params"], args))
+        # local declarations substitute in order (later locals may use
+        # earlier ones); macro expansion duplicates a reused local's
+        # expression, which XLA's CSE collapses back to one computation
+        for lname, lexpr in f.get("locals", ()):
+            binding[lname] = _subst_expr(lexpr, binding, line)
+        body = _subst_expr(f["body"], binding, line)
         return _expand_expr(body, fns, line, stack + (expr[1],))
     if tag == "binop":
         return (tag, expr[1], _expand_expr(expr[2], fns, line, stack),
@@ -290,14 +296,23 @@ def compile(code: str, data=None):
                     f"duplicate parameter {p!r} in function {f['name']!r}",
                     line=f["line"])
             seen.add(p)
-        # bodies are CLOSED over their parameters: a free name would
-        # silently bind a same-named model variable at the call site
+        # bodies are CLOSED over their parameters + locals: a free name
+        # would silently bind a same-named model variable at the call
+        # site. Locals declare in order — each initializer may only see
+        # what precedes it.
+        for lname, lexpr in f.get("locals", ()):
+            free = _free_names(lexpr) - seen
+            if free:
+                raise StanSyntaxError(
+                    f"local {lname!r} in function {f['name']!r} uses "
+                    f"undeclared name(s) {sorted(free)}", line=f["line"])
+            seen.add(lname)
         free = _free_names(f["body"]) - seen
         if free:
             raise StanSyntaxError(
                 f"function {f['name']!r} uses undeclared name(s) "
                 f"{sorted(free)} (bodies may only reference their "
-                "parameters)", line=f["line"])
+                "parameters and locals)", line=f["line"])
         user_fns[f["name"]] = f
     if user_fns:
         ast["model"] = [_expand_stmt(s, user_fns) for s in ast["model"]]

@@ -97,12 +97,17 @@ class Parser:
         return ast
 
     def parse_functions_block(self):
-        """functions { real f(real a, vector b) { return expr; } ... }
+        """functions { real f(real a, vector b) { ... return expr; } }
 
-        Pure EXPRESSION functions: one ``return``; calls inline at
+        Pure EXPRESSION functions: zero or more ``type name = expr;``
+        local declarations followed by one ``return``; calls inline at
         compile time (macro expansion — the TPU-native lowering keeps
-        one fused graph, no call nodes). Multi-statement bodies and
-        local variables are rejected with a clear error."""
+        one fused graph, no call nodes; locals become nested
+        substitutions and XLA's CSE dedupes any reuse). Assignments
+        after declaration, if/while control flow, and other statements
+        are rejected with a clear error — a data-dependent while in a
+        logp has no reverse-mode gradient under XLA, so it is excluded
+        by design, not omission (docs/MIGRATION.md)."""
         self.expect("LBRACE")
         fns = []
         types = ("REAL", "INT", "VECTOR", "MATRIX")
@@ -128,21 +133,49 @@ class Parser:
                     break
             self.expect("RPAREN")
             self.expect("LBRACE")
-            tok = self.next()
-            if tok[0] != "RETURN":
+            locals_ = []
+            seen = set(params)
+            while True:
+                tok = self.next()
+                if tok[0] == "RETURN":
+                    break
+                if tok[0] in types:
+                    # optional size brackets: vector[N] tmp = ...;
+                    # the initializer defines the shape under macro
+                    # expansion, so sizes parse and drop
+                    if self.peek()[0] == "LBRACKET":
+                        self.next()
+                        self._parse_size()
+                        while self.peek()[0] == "COMMA":
+                            self.next()
+                            self._parse_size()
+                        self.expect("RBRACKET")
+                    lname = self.expect("IDENT")
+                    if lname[1] in seen:
+                        self.error(
+                            f"duplicate local/parameter name {lname[1]!r}",
+                            line=lname[2])
+                    seen.add(lname[1])
+                    self.expect("EQUALS")
+                    lexpr = self.parse_expr()
+                    self.expect("SEMI")
+                    locals_.append((lname[1], lexpr))
+                    continue
                 self.error(
-                    "function bodies must be a single 'return <expr>;' "
-                    "(local variables / multiple statements are not "
+                    "function bodies are 'type name = expr;' locals "
+                    "followed by a single 'return <expr>;' (assignment "
+                    "after declaration and if/while statements are not "
                     "supported)", line=tok[2])
             body = self.parse_expr()
             self.expect("SEMI")
             end = self.next()
             if end[0] != "RBRACE":
                 self.error(
-                    "function bodies must be a single 'return <expr>;' "
-                    "(local variables / multiple statements are not "
+                    "function bodies end at the single 'return <expr>;' "
+                    "(multiple statements after return are not "
                     "supported)", line=end[2])
-            fns.append({"name": name[1], "params": params, "body": body,
+            fns.append({"name": name[1], "params": params,
+                        "locals": locals_, "body": body,
                         "line": name[2]})
         self.expect("RBRACE")
         return fns

@@ -41,6 +41,13 @@ def main():
                              "(depth 6 bounds the worst warmup iteration "
                              "to 63 leapfrogs ~ 10 s at T=5000 — the axon "
                              "watchdog kills multi-minute device calls)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="path prefix for crash-resumable sv_marginal "
+                             "sampling: run_chunked checkpoints after every "
+                             "chunk and an OUTER retry loop relaunches this "
+                             "script after an axon worker crash (the dead "
+                             "backend poisons the process); the INLA grid "
+                             "and cumulative wall persist in a sidecar")
     args = parser.parse_args()
 
     if args.cpu:
@@ -97,11 +104,19 @@ def main():
             from exmc_tpu.marginal import sv_inla, sv_marginal_model
 
             r = np.asarray(sv_model(t=t).nodes["r_obs"].op[2])
+            meta_path = (args.checkpoint + ".meta.json"
+                         if args.checkpoint else None)
+            meta = {"wall_s": 0.0, "attempts": 0}
+            if meta_path and os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
             # quick mode (single-core CPU validation): coarser INLA
             # reference grid + fewer Newton iterations — accuracy
             # z-scores compare MEANS against the grid's sds, which a
             # 20x20 geomspace grid resolves fine
-            if args.quick:
+            if "inla" in meta:
+                inla = meta["inla"]
+            elif args.quick:
                 inla = sv_inla(r, sigma_grid=np.geomspace(0.002, 0.2, 20),
                                nu_grid=np.geomspace(2.0, 80.0, 20),
                                newton_iters=12)
@@ -110,6 +125,12 @@ def main():
                 # 1600-point single call at T=5000 kernel-faulted the
                 # axon worker (followup3 log, 2026-08-19)
                 inla = sv_inla(r, grid_batch=64)
+            if meta_path and "inla" not in meta:
+                meta["inla"] = {k: float(inla[k]) for k in
+                                ("sigma_mean", "sigma_sd",
+                                 "nu_mean", "nu_sd")}
+                with open(meta_path, "w") as f:
+                    json.dump(meta, f)
             ir_m = sv_marginal_model(r, newton_iters=12)
             skw = {}
             if args.treedepth:
@@ -118,23 +139,46 @@ def main():
                                     num_warmup=args.warmup,
                                     num_samples=args.samples, **skw)
 
-            def go_m(seed):
+            def go_m(seed, ckpt=None):
                 # tightly chunked: one vmapped logp+grad at T=5000 is
                 # 0.165 s (probe_marginal_block.py — latency-bound in
                 # the 12 Newton scans, block size barely moves it), so
                 # a depth-6 iteration is <= 63 leapfrogs ~ 10 s and a
                 # 5-iteration chunk stays under the axon watchdog that
                 # killed the chunk-50 attempt (followup5, 2026-08-19)
+                kw = {}
+                if ckpt:
+                    kw["checkpoint_path"] = ckpt
+                    if os.path.exists(ckpt):
+                        kw["resume_from"] = ckpt
                 return sampler.run_chunked(num_chains=args.chains,
                                            seed=seed,
-                                           chunk_iters=min(args.chunk, 5))
+                                           chunk_iters=min(args.chunk, 5),
+                                           **kw)
 
-            t0 = time.time()
-            go_m(0)
-            compile_s = time.time() - t0
-            t0 = time.time()
-            trace, stats = go_m(1)
-            wall = time.time() - t0
+            if args.checkpoint:
+                # crash-resumable single measured pass: the axon worker
+                # dies sporadically on this program (longt6 log), so
+                # wall accumulates across process relaunches in the
+                # sidecar (try/finally runs on the crash exception) and
+                # run_chunked resumes bit-identically from the .npz
+                meta["attempts"] += 1
+                t0 = time.time()
+                try:
+                    trace, stats = go_m(1, ckpt=args.checkpoint + ".npz")
+                finally:
+                    meta["wall_s"] += time.time() - t0
+                    with open(meta_path, "w") as f:
+                        json.dump(meta, f)
+                wall = meta["wall_s"]
+                compile_s = None
+            else:
+                t0 = time.time()
+                go_m(0)
+                compile_s = time.time() - t0
+                t0 = time.time()
+                trace, stats = go_m(1)
+                wall = time.time() - t0
             ess_vals = [float(ess(trace[k])) for k in ("sigma", "nu")]
             rhat_vals = [float(rhat(trace[k])) for k in ("sigma", "nu")]
             sig_mean = float(trace["sigma"].mean())
@@ -144,7 +188,8 @@ def main():
             row = {
                 "model": kind, "T": t, "d": 2,
                 "chains": args.chains, "wall_s": round(wall, 2),
-                "compile_s": round(compile_s, 2),
+                "compile_s": (None if compile_s is None
+                              else round(compile_s, 2)),
                 "min_ess": round(min(ess_vals), 1),
                 "min_ess_per_s": round(min(ess_vals) / wall, 2),
                 "max_rhat": round(max(rhat_vals), 4),
@@ -160,6 +205,12 @@ def main():
                 "accuracy_z_nu": round(d_nu, 3),
                 "accuracy_pass": bool(d_sig < 3.0 and d_nu < 3.0),
             }
+            if args.checkpoint:
+                row["attempts"] = meta["attempts"]
+                row["note"] = ("crash-resumable run: wall_s is cumulative "
+                               "across worker-crash relaunches incl. "
+                               "service compile (checkpointed chunks, "
+                               "bit-identical resume)")
             rows.append(row)
             print(json.dumps(row), flush=True)
             continue

@@ -28,6 +28,13 @@ import jax
 # via config instead (must happen before any backend is initialized).
 jax.config.update("jax_platforms", "cpu")
 
+# CPU persistent-cache entries embed host machine code; reading another
+# machine's entries risks SIGILL (cpu_aot_loader warning) — scope the
+# cache to a per-host subdir for CPU runs.
+from exmc_tpu.config import retarget_cache_for_cpu  # noqa: E402
+
+retarget_cache_for_cpu()
+
 import numpy as np
 import pytest
 

@@ -351,14 +351,62 @@ def test_function_arity_checked():
         stan.compile(code, {})
 
 
-def test_multi_statement_body_rejected():
+def test_function_local_variables():
+    """Round-4: 'type name = expr;' locals before the return, in
+    dependency order, sized or not — macro-expanded into the call."""
     code = """
-    functions { real f(real x) { real y = x; return y; } }
+    functions {
+      real steps(real x) {
+        real y = x * 2;
+        real z = y + 1;
+        return z * y;
+      }
+    }
     parameters { real mu; }
-    model { mu ~ normal(0, 1); }
+    model { mu ~ normal(0, 1); target += steps(mu); }
     """
-    with pytest.raises(StanSyntaxError, match="single 'return"):
-        stan.compile(code, {})
+    ir = stan.compile(code, {})
+    lp0, m = _lp(ir, np.zeros(1))
+    import jax.numpy as jnp
+    lp1 = float(m.logp(jnp.asarray([3.0], np.float32)))
+    # steps(3) - steps(0) = (7*6) - (1*0) = 42; N(3)-N(0) = -4.5
+    assert abs((lp1 - lp0) - (42.0 - 4.5)) < 1e-3
+
+
+def test_function_local_vector_and_sampling():
+    code = """
+    functions {
+      real softabs_mean(vector x) {
+        vector[6] a = x * x;
+        real m = sum(a) / 6;
+        return m;
+      }
+    }
+    data { vector[6] y; }
+    parameters { real mu; }
+    model { mu ~ normal(0, 1); y ~ normal(softabs_mean(y) * 0 + mu, 1); }
+    """
+    y = np.array([1.0, 2.0, 1.5, 0.5, 1.2, 1.8], np.float32)
+    trace, _ = stan.sample(code, {"y": y}, num_warmup=300,
+                           num_samples=300, num_chains=2, seed=0)
+    assert abs(float(trace["mu"].mean()) - float(y.mean()) * 6 / 7) < 0.4
+
+
+def test_function_statements_still_rejected():
+    # assignment after declaration is a statement, not a local decl
+    with pytest.raises(StanSyntaxError, match="locals"):
+        stan.compile("""
+        functions { real f(real x) { real y = x; y = y + 1; return y; } }
+        parameters { real mu; }
+        model { mu ~ normal(f(mu), 1); }
+        """, {})
+    # duplicate local/param names rejected
+    with pytest.raises(StanSyntaxError, match="duplicate local"):
+        stan.compile("""
+        functions { real f(real x) { real x = 2; return x; } }
+        parameters { real mu; }
+        model { mu ~ normal(f(mu), 1); }
+        """, {})
 
 
 def test_function_hygiene_rejections():
