@@ -368,6 +368,20 @@ def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25,
         lp, s_hat, var_hat = jax.tree.map(
             lambda *xs: jnp.concatenate(xs), *parts)
     lp = np.asarray(lp, np.float64)
+    s_hat = np.asarray(s_hat, np.float64)
+    var_hat = np.asarray(var_hat, np.float64)
+    # extreme grid corners (tiny sigma x tiny nu at long T) can blow
+    # the f32 Newton out of range -> non-finite logZ; one NaN would
+    # poison max/sum, so failed points get exactly zero weight (they
+    # fail BECAUSE they're absurd — negligible true mass) and their
+    # conditional moments are zeroed out of the mixture (0 * NaN = NaN
+    # otherwise). n_failed is reported; a failure NEAR the mode would
+    # show up as a large accuracy z-score downstream.
+    bad = ~np.isfinite(lp)
+    if bad.any():
+        lp[bad] = -np.inf
+        s_hat[bad] = 0.0
+        var_hat[bad] = 0.0
     lp -= lp.max()
     w = np.exp(lp)
     w /= w.sum()
@@ -377,8 +391,6 @@ def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25,
     nu_mean = float((w * ng.reshape(-1)).sum())
     nu_sd = float(np.sqrt((w * (ng.reshape(-1) - nu_mean) ** 2).sum()))
 
-    s_hat = np.asarray(s_hat, np.float64)
-    var_hat = np.asarray(var_hat, np.float64)
     path_mean = (w[:, None] * s_hat).sum(axis=0)
     path_var = (w[:, None] * (var_hat + (s_hat - path_mean) ** 2)).sum(axis=0)
 
@@ -388,4 +400,5 @@ def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25,
         "sigma_mean": sig_mean, "sigma_sd": sig_sd,
         "nu_mean": nu_mean, "nu_sd": nu_sd,
         "path_mean": path_mean, "path_sd": np.sqrt(path_var),
+        "n_failed": int(bad.sum()),
     }

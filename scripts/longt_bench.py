@@ -129,6 +129,7 @@ def main():
                 meta["inla"] = {k: float(inla[k]) for k in
                                 ("sigma_mean", "sigma_sd",
                                  "nu_mean", "nu_sd")}
+                meta["inla"]["n_failed"] = int(inla.get("n_failed", 0))
                 with open(meta_path, "w") as f:
                     json.dump(meta, f)
             ir_m = sv_marginal_model(r, newton_iters=12)

@@ -186,3 +186,26 @@ def test_sv_inla_grid_batch_parity():
         assert abs(a[k] - b[k]) < 1e-6 * max(abs(a[k]), 1e-9), k
     np.testing.assert_allclose(a["path_mean"], b["path_mean"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_sv_inla_masks_nonfinite_grid_corners():
+    """Absurd grid corners (sigma ~ 1e-30) blow the f32 Newton out of
+    range; those points must get zero weight — not poison the whole
+    normalization with NaN (the T=5000 on-chip run cached NaN means
+    before this fix)."""
+    import numpy as np
+    from exmc_tpu.benchmarks.suite import sv_model
+    from exmc_tpu.marginal import sv_inla
+
+    r = np.asarray(sv_model(t=120).nodes["r_obs"].op[2])
+    out = sv_inla(
+        r,
+        sigma_grid=np.concatenate([[1e-30], np.geomspace(0.01, 0.2, 8)]),
+        nu_grid=np.geomspace(2.0, 80.0, 8),
+        newton_iters=10,
+        grid_batch=16,
+    )
+    for k in ("sigma_mean", "sigma_sd", "nu_mean", "nu_sd"):
+        assert np.isfinite(out[k]), (k, out[k])
+    assert np.isfinite(out["path_mean"]).all()
+    assert out["sigma_mean"] > 1e-6  # the absurd corner got no mass
