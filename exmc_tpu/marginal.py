@@ -180,7 +180,8 @@ def grw_precision_diag(T, sigma, dtype=None):
     return d / (sigma * sigma)
 
 
-def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3):
+def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3,
+                      implicit_diff=True):
     """Build the Laplace-marginal log-density for
 
         s ~ GaussianRandomWalk(sigma) over T steps,
@@ -192,8 +193,12 @@ def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3):
         marginal(sigma, theta) -> (logZ, s_hat, var_hat)
 
     jit/vmap/grad-compatible: Newton runs a FIXED ``newton_iters`` scans
-    (autodiff through iterations ~= the implicit derivative once
-    converged), and every tridiagonal op is an O(T) lax.scan."""
+    and every tridiagonal op is a blocked O(T/B) parallel prefix. With
+    ``implicit_diff=True`` (default, D-T37) the mode's gradient comes
+    from the implicit-function theorem (one extra tridiagonal solve in
+    the backward pass) instead of transposing all ``newton_iters``
+    damped iterations; ``implicit_diff=False`` keeps the unrolled
+    reverse-mode path for A/B checks."""
 
     def ell_sum(s, theta):
         return jnp.sum(loglik(s, theta))
@@ -201,11 +206,23 @@ def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3):
     g1 = jax.grad(ell_sum)                       # elementwise loglik'
     g2 = jax.grad(lambda s, th: jnp.sum(g1(s, th)))  # elementwise loglik''
 
-    def marginal(sigma, theta):
+    def _q_parts(sigma, dtype):
+        return grw_precision_diag(T, sigma, dtype), -1.0 / (sigma * sigma)
+
+    def _grad_g(s, sigma, theta):
+        """∇_s of the objective g(s) = -1/2 s'Qs + sum loglik: the
+        root function the Newton solve drives to zero."""
+        dtype = s.dtype
+        q_diag, b = _q_parts(jnp.asarray(sigma, dtype), dtype)
+        z = jnp.zeros((1,), dtype)
+        qs = (q_diag * s + b * jnp.concatenate([s[1:], z])
+              + b * jnp.concatenate([z, s[:-1]]))
+        return g1(s, theta) - qs
+
+    def _newton_scan(sigma, theta):
         dtype = default_dtype()
         sigma = jnp.asarray(sigma, dtype)
-        q_diag = grw_precision_diag(T, sigma, dtype)
-        b = -1.0 / (sigma * sigma)  # off-diagonal
+        q_diag, b = _q_parts(sigma, dtype)
         S_CLAMP = 40.0  # |log-vol| beyond this is numerically absurd
 
         def g_of(s):
@@ -242,6 +259,51 @@ def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3):
 
         s0 = jnp.zeros((T,), dtype)
         s_hat, _ = jax.lax.scan(newton, s0, None, length=newton_iters)
+        return s_hat
+
+    # Implicit differentiation at the mode (D-T37). Reverse-mode
+    # through the Newton scan transposes all `newton_iters` damped
+    # iterations — 12 extra unrolled tridiagonal-solve chains in the
+    # HLO and the dominant share of the 0.165 s/leapfrog latency at
+    # T=5000. At a converged mode the implicit-function theorem gives
+    # the exact derivative in ONE extra solve: F(s*, p) = ∇g = 0  =>
+    # ds*/dp = (Q + W)^{-1} ∂F/∂p with W = -loglik'' (true curvature;
+    # the SoftAbs floor only biases this where the floor binds, the
+    # same region where the unrolled derivative is inexact too). The
+    # backward pass is v -> (∂F/∂p)' (Q+W)^{-1} v: one Thomas solve +
+    # one vjp of F at fixed s*. Gradient inexactness cannot bias the
+    # posterior — leapfrog with any position-dependent force field is
+    # reversible/volume-preserving and the tree weights use the exact
+    # logp — it only perturbs proposal efficiency.
+    @jax.custom_vjp
+    def s_mode(sigma, theta):
+        return _newton_scan(sigma, theta)
+
+    def s_mode_fwd(sigma, theta):
+        s_hat = _newton_scan(sigma, theta)
+        return s_hat, (s_hat, sigma, theta)
+
+    def s_mode_bwd(res, v):
+        s_hat, sigma, theta = res
+        dtype = s_hat.dtype
+        sig = jnp.asarray(sigma, dtype)
+        q_diag, b = _q_parts(sig, dtype)
+        w = jnp.maximum(-g2(s_hat, theta), w_floor)
+        delta, ell = _thomas_factor(q_diag + w, b)
+        u = _thomas_solve(delta, ell, v)
+        _, pull = jax.vjp(
+            lambda sg, th: _grad_g(s_hat, sg, th), sigma, theta)
+        return pull(u)
+
+    s_mode.defvjp(s_mode_fwd, s_mode_bwd)
+
+    def marginal(sigma, theta):
+        dtype = default_dtype()
+        sigma = jnp.asarray(sigma, dtype)
+        q_diag, b = _q_parts(sigma, dtype)
+
+        s_hat = (s_mode(sigma, theta) if implicit_diff
+                 else _newton_scan(sigma, theta))
 
         l2 = g2(s_hat, theta)
         w = jnp.maximum(-l2, w_floor)
@@ -282,7 +344,7 @@ def _sv_loglik(r):
     return loglik
 
 
-def sv_marginal_model(r, newton_iters=25):
+def sv_marginal_model(r, newton_iters=25, implicit_diff=True):
     """The suite's SV model with the latent path MARGINALIZED: free RVs
     are just (sigma, nu) — same priors as benchmarks/suite.sv_model
     (sigma ~ Exponential(50), nu ~ Exponential(0.1)) — and the
@@ -300,7 +362,8 @@ def sv_marginal_model(r, newton_iters=25):
 
     T = len(r)
     marginal = make_grw_marginal(_sv_loglik(np.asarray(r)), T,
-                                 newton_iters=newton_iters)
+                                 newton_iters=newton_iters,
+                                 implicit_diff=implicit_diff)
 
     def logpdf(_value, params, data=None):
         logZ, _, _ = marginal(params["sigma"], {"nu": params["nu"]})

@@ -209,3 +209,30 @@ def test_sv_inla_masks_nonfinite_grid_corners():
         assert np.isfinite(out[k]), (k, out[k])
     assert np.isfinite(out["path_mean"]).all()
     assert out["sigma_mean"] > 1e-6  # the absurd corner got no mass
+
+
+def test_implicit_diff_matches_unrolled_gradient():
+    """D-T37: the implicit-function-theorem VJP at the Newton mode must
+    agree with reverse-mode through the unrolled damped iterations
+    (same logZ bit-for-bit — forward identical — and gradients to f32
+    tolerance; measured 4.9x faster per value_and_grad at T=400)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from exmc_tpu.benchmarks.suite import sv_model
+    from exmc_tpu import marginal as M
+
+    r = np.asarray(sv_model(t=200).nodes["r_obs"].op[2])
+
+    def vg(implicit):
+        m = M.make_grw_marginal(M._sv_loglik(r), len(r), newton_iters=15,
+                                implicit_diff=implicit)
+        f = jax.jit(jax.value_and_grad(
+            lambda x: m(x[0], {"nu": x[1]})[0]))
+        return f(jnp.asarray([0.08, 12.0], jnp.float32))
+
+    v_u, g_u = vg(False)
+    v_i, g_i = vg(True)
+    assert float(v_u) == float(v_i)  # forward path is the same program
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u),
+                               rtol=2e-3, atol=1e-4)
