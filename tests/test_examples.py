@@ -52,6 +52,7 @@ EXAMPLES = [
     "42_hmm_regime_switching.py",
     "43_bayesian_workflow.py",
     "44_map_laplace_psir.py",
+    "45_long_series_marginalization.py",
 ]
 
 
