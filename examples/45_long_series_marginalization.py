@@ -45,7 +45,10 @@ print(f"T={T} returns, full-path dimension would be {T + 2}")
 # ---- rung 1: pure INLA (seconds, no MCMC) -------------------------------
 grid_kw = (dict(sigma_grid=np.geomspace(0.005, 0.2, 15),
                 nu_grid=np.geomspace(2.0, 60.0, 15), newton_iters=10)
-           if SMOKE else dict(newton_iters=15))
+           # grid_batch bounds each device call: one unbatched
+           # 1600-point call at long T kernel-faults the remote TPU
+           # worker's multi-minute-call watchdog (marginal.py docstring)
+           if SMOKE else dict(newton_iters=15, grid_batch=64))
 inla = sv_inla(r, **grid_kw)
 print(f"INLA:  sigma = {inla['sigma_mean']:.4f} +- {inla['sigma_sd']:.4f}"
       f"   nu = {inla['nu_mean']:.1f} +- {inla['nu_sd']:.1f}"

@@ -59,6 +59,18 @@ def compilation_cache_dir():
     return _CACHE_DIR
 
 
+def program_tunables():
+    """Module-level globals that alter TRACED PROGRAMS without passing
+    through any function signature. Every entry must ride the AOT
+    executable-cache key (sampler._aot_key_parts): a fast-key hit never
+    re-lowers, so a tunable missing here would silently serve an
+    executable compiled under a different value. Keep this list in
+    lockstep with any new call-time-resolved global."""
+    from exmc_tpu import marginal
+
+    return (("marginal._BLOCK", marginal._BLOCK),)
+
+
 def host_cpu_tag():
     """Short fingerprint of the host CPU's ISA feature set (Linux:
     the /proc/cpuinfo flags line; elsewhere the machine/processor
@@ -100,6 +112,13 @@ def retarget_cache_for_cpu():
     try:
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
+        # the compilation-cache singleton latches its directory on
+        # first use; if anything compiled before the retarget (e.g. a
+        # TPU entry()-check preceding a CPU dryrun) the config update
+        # alone would be a silent no-op for the live cache
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
         _CACHE_DIR = d
     except Exception:  # pragma: no cover - read-only FS etc.
         pass

@@ -441,6 +441,12 @@ def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25,
     # otherwise). n_failed is reported; a failure NEAR the mode would
     # show up as a large accuracy z-score downstream.
     bad = ~np.isfinite(lp)
+    if bad.all():
+        raise ValueError(
+            f"sv_inla: the Laplace marginal is non-finite at ALL "
+            f"{lp.size} grid points — the grid is entirely outside the "
+            "numerically representable region (masking would just "
+            "return NaN again); widen/re-center sigma_grid/nu_grid")
     if bad.any():
         lp[bad] = -np.inf
         s_hat[bad] = 0.0

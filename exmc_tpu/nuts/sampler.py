@@ -619,13 +619,16 @@ class NUTSSampler:
         when the IR's fingerprint is unstable (components hashed by
         per-process object identity) or for the sp-sharded vag path
         (vag_builder closures are not part of the key)."""
-        from exmc_tpu.config import aot_cache_dir
+        from exmc_tpu.config import aot_cache_dir, program_tunables
 
         sig, stable = ir_fingerprint(self.model.ir)
         cdir = (aot_cache_dir()
                 if stable and self.vag_builder is None else None)
         opts = tuple((k, getattr(self, k)) for k in _SAMPLER_OPT_KEYS)
-        return sig, cdir, opts
+        # call-time-resolved globals (e.g. marginal._BLOCK) change the
+        # traced program without appearing in IR or options — a fast-key
+        # hit never re-lowers, so they must enter the key here
+        return sig, cdir, opts + program_tunables()
 
     # ---- traced pipeline ----
 

@@ -180,7 +180,9 @@ def _free_names(expr):
             out |= _free_names(a)
         return out
     if tag == "index":
-        return {expr[1]} | _free_names(expr[2])
+        base = ({expr[1]} if isinstance(expr[1], str)
+                else _free_names(expr[1]))
+        return base | _free_names(expr[2])
     if tag == "lpdf":
         out = _free_names(expr[2])
         for a in expr[3]:
@@ -206,14 +208,14 @@ def _subst_expr(expr, binding, line):
         return (tag, expr[1],
                 [_subst_expr(a, binding, line) for a in expr[2]])
     if tag == "index":
+        # the base may be a name (possibly bound to an argument or a
+        # local's expression — vector locals index fine) or, after a
+        # previous substitution, already an expression
         base = expr[1]
-        if base in binding:
-            b = binding[base]
-            if not isinstance(b, str):
-                raise StanSyntaxError(
-                    f"cannot index the non-name argument bound to "
-                    f"{base!r} inside a function body", line=line)
-            base = b
+        if isinstance(base, str):
+            base = binding.get(base, base)
+        else:
+            base = _subst_expr(base, binding, line)
         return (tag, base, _subst_expr(expr[2], binding, line))
     if tag == "lpdf":
         return (tag, expr[1], _subst_expr(expr[2], binding, line),
@@ -255,7 +257,9 @@ def _expand_expr(expr, fns, line, stack=()):
         return (tag, expr[1],
                 [_expand_expr(a, fns, line, stack) for a in expr[2]])
     if tag == "index":
-        return (tag, expr[1], _expand_expr(expr[2], fns, line, stack))
+        base = (expr[1] if isinstance(expr[1], str)
+                else _expand_expr(expr[1], fns, line, stack))
+        return (tag, base, _expand_expr(expr[2], fns, line, stack))
     if tag == "lpdf":
         return (tag, expr[1], _expand_expr(expr[2], fns, line, stack),
                 [_expand_expr(a, fns, line, stack) for a in expr[3]])
@@ -414,7 +418,8 @@ def compile(code: str, data=None):
             return ir, nid
         if tag == "index":
             name, idx = expr[1], expr[2]
-            if name in data_names and isinstance(idx, float):
+            if (isinstance(name, str) and name in data_names
+                    and isinstance(idx, float)):
                 return ir, np.asarray(data[name], np.float32)[int(idx) - 1]
             ir, base = compile_arg(ir, name, line)
             ir, i = compile_arg(ir, idx, line)

@@ -298,4 +298,8 @@ def test_aot_disk_cache_disabled_for_unstable_signatures(tmp_path,
     _, cdir2, opts2 = sampler2._aot_key_parts()
     assert cdir2 == str(tmp_path)
     from exmc_tpu.nuts.sampler import _SAMPLER_OPT_KEYS
-    assert [k for k, _ in opts2] == list(_SAMPLER_OPT_KEYS)
+    keys2 = [k for k, _ in opts2]
+    assert keys2[: len(_SAMPLER_OPT_KEYS)] == list(_SAMPLER_OPT_KEYS)
+    # call-time-resolved program tunables ride the key too (a fast-key
+    # hit never re-lowers — review finding, round 4)
+    assert "marginal._BLOCK" in keys2

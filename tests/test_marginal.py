@@ -236,3 +236,17 @@ def test_implicit_diff_matches_unrolled_gradient():
     assert float(v_u) == float(v_i)  # forward path is the same program
     np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_sv_inla_all_failed_grid_raises():
+    """Review finding (round 4): when EVERY grid point is non-finite,
+    masking would re-create the NaN output — it must raise instead."""
+    import numpy as np
+    import pytest
+    from exmc_tpu.benchmarks.suite import sv_model
+    from exmc_tpu.marginal import sv_inla
+
+    r = np.asarray(sv_model(t=80).nodes["r_obs"].op[2])
+    with pytest.raises(ValueError, match="ALL"):
+        sv_inla(r, sigma_grid=np.array([1e-30, 1e-28]),
+                nu_grid=np.array([1e-6, 1e-5]), newton_iters=6)

@@ -720,3 +720,23 @@ def test_int_parameters_rejected():
     ast = parse("data { int N; array[2] int y; }\n"
                 "parameters { real mu; }\nmodel { mu ~ normal(0, 1); }")
     assert ast["data"][1]["type"] == "vector"
+
+
+def test_function_vector_local_indexed_via_data():
+    code = """
+    functions {
+      real second_of_double(vector x) {
+        vector[3] a = x + x;
+        return a[2];
+      }
+    }
+    data { vector[3] v; }
+    parameters { real mu; }
+    model { mu ~ normal(second_of_double(v), 1); }
+    """
+    ir = stan.compile(code, {"v": np.array([1.0, 2.0, 3.0], np.float32)})
+    lp0, m = _lp(ir, np.zeros(1))
+    import jax.numpy as jnp
+    # mean is a[2] = (v+v)[2] = 4 (1-based); logp peak at mu=4
+    lp4 = float(m.logp(jnp.asarray([4.0], np.float32)))
+    assert lp4 > lp0
