@@ -134,6 +134,18 @@ def chees_eight_schools_ncp():
     return ir, {"engine": "chees", "chees_chains": 4}
 
 
+def snaper_normal_loc_scale():
+    """SNAPER-HMC variant (D-T31) under SBC: same lockstep machinery as
+    ChEES with the principal-component trajectory criterion."""
+    ir, _ = normal_loc_scale()
+    return ir, {"engine": "snaper", "chees_chains": 4}
+
+
+def snaper_eight_schools_ncp():
+    ir, _ = eight_schools_ncp()
+    return ir, {"engine": "snaper", "chees_chains": 4}
+
+
 def meads_normal_loc_scale():
     """MEADS GHMC kernel (D-T30) under SBC: 16 chains / 4 folds per
     replication, ensemble initialized at the generating theta."""
@@ -156,6 +168,8 @@ MODELS = {
     "meas_obs_affine": meas_obs_affine,
     "chees_normal_loc_scale": chees_normal_loc_scale,
     "chees_eight_schools_ncp": chees_eight_schools_ncp,
+    "snaper_normal_loc_scale": snaper_normal_loc_scale,
+    "snaper_eight_schools_ncp": snaper_eight_schools_ncp,
     "meads_normal_loc_scale": meads_normal_loc_scale,
     "meads_eight_schools_ncp": meads_eight_schools_ncp,
 }
@@ -165,6 +179,8 @@ R_OVERRIDE.update({
     # L=400 rank support per replication
     "chees_normal_loc_scale": 256,
     "chees_eight_schools_ncp": 256,
+    "snaper_normal_loc_scale": 256,
+    "snaper_eight_schools_ncp": 256,
     # 16 chains (4 folds) per replication: L=1600 at R=256
     "meads_normal_loc_scale": 256,
     "meads_eight_schools_ncp": 256,
