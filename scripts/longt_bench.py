@@ -13,8 +13,14 @@ Usage: python scripts/longt_bench.py [--chains 8] [--seeds 1]
 import argparse
 import json
 import os
+import signal
 import sys
 import time
+
+# `timeout`-style SIGTERM must run `finally` blocks (the checkpoint
+# sidecar's cumulative wall is written there); the default handler
+# kills the process without unwinding
+signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
