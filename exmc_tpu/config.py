@@ -21,6 +21,23 @@ if _X64:  # pragma: no cover - env-dependent
     jax.config.update("jax_enable_x64", True)
 
 
+# On TPU, f32 jnp.matmul/@/dot_general default to bfloat16 MXU passes
+# (8-bit mantissa). That is the right trade for NN workloads; for a PPL
+# it is not: log-density algebra feeds accept/reject decisions and
+# iterated recurrences compound the truncation. Measured failure
+# (2026-08-19, on chip): the T=5000 Laplace-marginal INLA grid came
+# back degenerate (sigma_sd 4e-5, 705/1600 grid points non-finite)
+# purely from bf16 2x2 Möbius products, while the identical f32
+# program on CPU matched truth to 0.8 sd. Dense-mass leapfrog, CHEES
+# rotations, Pathfinder L-BFGS algebra and GLM linear predictors all
+# run through the same default. No exmc workload has an MXU-bound
+# matmul where bf16's throughput would pay, so the framework defaults
+# to full-f32 matmuls everywhere; override via env for A/B checks.
+_MM_PREC = os.environ.get("EXMC_TPU_MATMUL_PRECISION", "highest")
+if _MM_PREC not in ("", "default"):
+    jax.config.update("jax_default_matmul_precision", _MM_PREC)
+
+
 # ---------------------------------------------------------------------------
 # Persistent XLA compilation cache.
 #
@@ -68,7 +85,8 @@ def program_tunables():
     lockstep with any new call-time-resolved global."""
     from exmc_tpu import marginal
 
-    return (("marginal._BLOCK", marginal._BLOCK),)
+    return (("marginal._BLOCK", marginal._BLOCK),
+            ("matmul_precision", _MM_PREC))
 
 
 def host_cpu_tag():

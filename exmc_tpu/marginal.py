@@ -64,13 +64,36 @@ def _resolve_block(block):
     return _BLOCK if block is None else block
 
 
+def _mm2(y, x):
+    """Batched 2x2 matrix product y @ x written as explicit elementwise
+    multiply-adds. NOT jnp.matmul: on TPU, f32 matmul defaults to
+    bfloat16 MXU passes, and an 8-bit mantissa destroys the
+    continued-fraction recurrence — measured 2026-08-19 on chip: the
+    T=5000 INLA grid came back degenerate (sigma_sd 4e-5, 705/1600
+    points non-finite) while the identical f32 program on CPU matched
+    truth to 0.8 sd. Tiny 2x2 products belong on the VPU anyway."""
+    a = y[..., 0, 0] * x[..., 0, 0] + y[..., 0, 1] * x[..., 1, 0]
+    b = y[..., 0, 0] * x[..., 0, 1] + y[..., 0, 1] * x[..., 1, 1]
+    c = y[..., 1, 0] * x[..., 0, 0] + y[..., 1, 1] * x[..., 1, 0]
+    d = y[..., 1, 0] * x[..., 0, 1] + y[..., 1, 1] * x[..., 1, 1]
+    return jnp.stack([jnp.stack([a, b], -1), jnp.stack([c, d], -1)], -2)
+
+
+def _mv2(m, v):
+    """Batched 2x2 @ 2-vector, elementwise for the same precision
+    reason as _mm2."""
+    return jnp.stack([m[..., 0, 0] * v[..., 0] + m[..., 0, 1] * v[..., 1],
+                      m[..., 1, 0] * v[..., 0] + m[..., 1, 1] * v[..., 1]],
+                     -1)
+
+
 def _mobius_combine(x, y):
     """Compose 2x2 Möbius matrices, y AFTER x (prefix products
     M_i ... M_0), renormalized per combine — the continued-fraction
     value is a RATIO of homogeneous coordinates, so any per-step
     rescaling cancels exactly (projective invariance); without it the
     products overflow f32 within ~10 steps."""
-    c = jnp.matmul(y, x)
+    c = _mm2(y, x)
     scale = jnp.max(jnp.abs(c), axis=(-2, -1), keepdims=True)
     return c / jnp.maximum(scale, 1e-30)
 
@@ -130,7 +153,7 @@ def _thomas_factor(a, b, block=None):
     v0 = v0 / jnp.maximum(jnp.max(jnp.abs(v0)), 1e-30)
     if n <= 2 * block:
         p = jax.lax.associative_scan(_mobius_combine, m)
-        vs = p @ v0
+        vs = _mv2(p, v0)
     else:
         k = -(-n // block)
         pad = k * block - n
@@ -139,7 +162,7 @@ def _thomas_factor(a, b, block=None):
 
         def body(v_in, mb):
             p = jax.lax.associative_scan(_mobius_combine, mb)
-            vb = p @ v_in
+            vb = _mv2(p, v_in)
             v_out = vb[-1]
             v_out = v_out / jnp.maximum(jnp.max(jnp.abs(v_out)), 1e-30)
             return v_out, vb

@@ -707,6 +707,18 @@ class NUTSSampler:
                                 data=data)
             return jnp.asarray(q, dtype)
         if init is not None:
+            if isinstance(init, (np.ndarray, jnp.ndarray)):
+                # per-chain UNCONSTRAINED positions, shape (num_chains, d)
+                # — for overdispersed warm starts (e.g. draws from an
+                # INLA grid or a prior fit) where a single broadcast
+                # point would defeat R-hat's init-diversity requirement
+                q0 = jnp.asarray(init, dtype)
+                if q0.shape != (num_chains, d):
+                    raise ValueError(
+                        f"array init must have shape (num_chains, d) = "
+                        f"({num_chains}, {d}), got {q0.shape}"
+                    )
+                return q0
             flat0 = self.model.unconstrain(init).astype(dtype)
             return jnp.broadcast_to(flat0, (num_chains, d))
         init_keys = jax.vmap(jax.random.fold_in, (None, 0))(

@@ -145,6 +145,33 @@ def main():
             sampler = _make_sampler(ir_m, ncp=False,
                                     num_warmup=args.warmup,
                                     num_samples=args.samples, **skw)
+            # Overdispersed inits from the INLA marginals (lognormal
+            # jitter, 2x the grid sd). Stan-style box inits land at
+            # sigma ~ e^{+-2}, where the 12-iteration Newton solve has
+            # NOT converged — the spurious logZ surface there collapses
+            # the step size to ~1e-5 and freezes all 8 chains (longt7
+            # log, 2026-08-19: max R-hat 21563 at 300+300). Warm
+            # starting hyperparameters from a cheap grid approximation
+            # is the standard INLA-within-MCMC recipe; 2-sd dispersion
+            # preserves R-hat's init-diversity requirement.
+            init_arr = None
+            if np.isfinite([inla[k] for k in ("sigma_mean", "sigma_sd",
+                                              "nu_mean", "nu_sd")]).all():
+                rng_i = np.random.default_rng(2024)
+                z = rng_i.normal(size=(args.chains, 2))
+                # cap the log-space jitter at +-1 (a factor of e): with
+                # a coarse grid the delta-method sd can exceed the mean
+                # and an uncapped 2-sd draw lands at nu ~ 300
+                ls_sd = min(inla["sigma_sd"] / inla["sigma_mean"], 0.5)
+                ln_sd = min(inla["nu_sd"] / inla["nu_mean"], 0.5)
+                init_arr = np.stack([
+                    sampler.model.unconstrain({
+                        "sigma": inla["sigma_mean"]
+                        * np.exp(np.clip(2.0 * z[i, 0], -2, 2) * ls_sd),
+                        "nu": inla["nu_mean"]
+                        * np.exp(np.clip(2.0 * z[i, 1], -2, 2) * ln_sd),
+                    }) for i in range(args.chains)
+                ]).astype(np.float32)
 
             def go_m(seed, ckpt=None):
                 # tightly chunked: one vmapped logp+grad at T=5000 is
@@ -159,7 +186,7 @@ def main():
                     if os.path.exists(ckpt):
                         kw["resume_from"] = ckpt
                 return sampler.run_chunked(num_chains=args.chains,
-                                           seed=seed,
+                                           seed=seed, init=init_arr,
                                            chunk_iters=min(args.chunk, 5),
                                            **kw)
 

@@ -136,7 +136,11 @@ def test_associative_tridiagonal_matches_sequential():
             [s_rest[::-1], jnp.asarray([sT], delta.dtype)])
 
     rng = np.random.default_rng(0)
-    for t, tol in ((1, 1e-6), (2, 1e-6), (7, 1e-5), (500, 2e-3),
+    # 500's tolerance is 4e-3 (was 2e-3): the explicit elementwise 2x2
+    # products (_mm2, the TPU bf16-matmul fix) round in a different
+    # order than the dot kernels they replaced, and the compounded f32
+    # drift at t=500 is 2.6e-3 — still rounding, not error
+    for t, tol in ((1, 1e-6), (2, 1e-6), (7, 1e-5), (500, 4e-3),
                    (5000, 2e-2)):
         sigma = 0.02
         w = np.abs(rng.normal(0.5, 0.2, t)).astype(np.float32)

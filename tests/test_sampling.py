@@ -176,6 +176,28 @@ def test_pathfinder_init_mode():
         sample(ir, num_warmup=10, num_samples=10, init="magic")
 
 
+def test_array_init_per_chain():
+    """Per-chain unconstrained array inits: shape (num_chains, d) is
+    used verbatim (overdispersed warm starts, e.g. drawn from an INLA
+    grid — longt_bench.py's sv_marginal recipe); wrong shapes raise."""
+    import pytest
+
+    ys = np.array([2.1, 1.8, 2.5, 2.0, 1.9, 2.3], dtype=np.float32)
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 5.0})
+    ir = Builder.rv(ir, "sigma", dists.HalfNormal, {"sigma": 2.0})
+    ir = Builder.rv(ir, "x", dists.Normal, {"mu": "mu", "sigma": "sigma"})
+    ir = Builder.obs(ir, "x_obs", "x", ys)
+    inits = np.array([[2.0, -1.0], [2.2, -0.8], [1.9, -1.2], [2.1, -0.9]],
+                     dtype=np.float32)
+    trace, stats = sample(ir, num_chains=4, num_warmup=300, num_samples=300,
+                          seed=0, init=inits)
+    assert abs(float(trace["mu"].mean()) - 2.1) < 0.4
+    with pytest.raises(ValueError, match=r"array init must have shape"):
+        sample(ir, num_chains=4, num_warmup=10, num_samples=10,
+               init=np.zeros((3, 2), dtype=np.float32))
+
+
 def test_sample_engine_dispatch():
     """sample(engine=...) forwards to the ensemble engines with their
     own chain-count defaults; unknown engines and unsupported options
