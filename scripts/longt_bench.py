@@ -142,9 +142,20 @@ def main():
             skw = {}
             if args.treedepth:
                 skw["max_tree_depth"] = args.treedepth
+            # pooled_adaptation: with overdispersed inits the
+            # between-chain spread enters the merged Welford window-1
+            # variance, so the metric starts near the posterior scale
+            # even before individual chains traverse it. Guards against
+            # the frozen-metric feedback seen in the pre-D-T38 on-chip
+            # run (bf16 default corrupted the 2x2 scan algebra ->
+            # jagged logZ -> eps collapsed to 2e-3 -> Welford saw
+            # frozen chains -> M^-1 locked 7-15x too small; CPU f32
+            # at T=1200 mixes at eps ~0.9/depth 2.2 with either
+            # setting, pooled slightly better).
             sampler = _make_sampler(ir_m, ncp=False,
                                     num_warmup=args.warmup,
-                                    num_samples=args.samples, **skw)
+                                    num_samples=args.samples,
+                                    pooled_adaptation=True, **skw)
             # Overdispersed inits from the INLA marginals (lognormal
             # jitter, 2x the grid sd). Stan-style box inits land at
             # sigma ~ e^{+-2}, where the 12-iteration Newton solve has
