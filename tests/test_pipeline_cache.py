@@ -130,6 +130,46 @@ def test_chunked_checkpoint_resume_bit_identical(tmp_path):
     np.testing.assert_allclose(stats["step_size"], ref_stats["step_size"])
 
 
+def test_chunked_resume_with_pooled_adaptation_and_array_init(tmp_path):
+    """The longt_bench sv_marginal recipe in miniature: pooled
+    cross-chain adaptation + per-chain unconstrained array inits +
+    chunked checkpoint/resume must compose bit-identically (each
+    feature is separately tested above/in test_pooled_adaptation; the
+    T=5000 on-chip row runs all three at once)."""
+    ir = build_ir(YS)
+    s = _make_sampler(ir, num_warmup=200, num_samples=200,
+                      pooled_adaptation=True)
+    inits = np.array([[1.5], [2.5], [2.0], [1.0]], dtype=np.float32)
+    ref_trace, ref_stats = s.run_chunked(num_chains=4, chunk_iters=100,
+                                         seed=7, init=inits)
+    path = str(tmp_path / "midrun_pooled.npz")
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = NUTSSampler._save_chunk_state
+
+    def killer(p, carry, done, dp, sp):
+        orig(p, carry, done, dp, sp)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Killed
+
+    NUTSSampler._save_chunk_state = staticmethod(killer)
+    try:
+        with pytest.raises(Killed):
+            s.run_chunked(num_chains=4, chunk_iters=100, seed=7,
+                          init=inits, checkpoint_path=path)
+    finally:
+        NUTSSampler._save_chunk_state = staticmethod(orig)
+
+    trace, stats = s.run_chunked(num_chains=4, chunk_iters=100, seed=7,
+                                 init=inits, resume_from=path)
+    np.testing.assert_array_equal(trace["mu"], ref_trace["mu"])
+    np.testing.assert_allclose(stats["step_size"], ref_stats["step_size"])
+
+
 def test_chunked_padding_single_compile_matches_unpadded():
     """chunk_iters that doesn't divide the total: padded final chunk must
     not change results."""
