@@ -118,7 +118,13 @@ def retarget_cache_for_cpu():
     (tests/conftest.py, __graft_entry__ dryruns) call this after
     switching jax_platforms so each host reads only its own CPU
     binaries; the TPU cache (service-compiled, machine-independent)
-    stays shared at the parent dir."""
+    stays shared at the parent dir.
+
+    Note: cpu_aot_loader.cc still logs a feature-mismatch error for
+    +prefer-no-scatter/+prefer-no-gather on every reload -- those are
+    XLA-internal tuning pseudo-features absent from cpuid, so the
+    loader flags them even for blobs compiled on this same machine
+    (verified: fresh dir, compile, reload => same log). Benign."""
     global _CACHE_DIR
     if not _CACHE_DIR:
         return
