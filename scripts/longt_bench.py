@@ -47,6 +47,14 @@ def main():
                              "(depth 6 bounds the worst warmup iteration "
                              "to 63 leapfrogs ~ 10 s at T=5000 — the axon "
                              "watchdog kills multi-minute device calls)")
+    parser.add_argument("--x64", action="store_true",
+                        help="run everything in float64 (sets EXMC_TPU_X64 "
+                             "before JAX import). The sv_marginal row NEEDS "
+                             "this: f32 accumulation across the T=5000 "
+                             "tridiagonal/Newton scans leaves ~0.16-nat "
+                             "third-difference noise on the logZ transect "
+                             "(f64: 7.6e-8) — rough enough that 2-d NUTS "
+                             "stalls at min-ESS ~5 per 600 draws (D-T39)")
     parser.add_argument("--checkpoint", default=None,
                         help="path prefix for crash-resumable sv_marginal "
                              "sampling: run_chunked checkpoints after every "
@@ -55,6 +63,11 @@ def main():
                              "backend poisons the process); the INLA grid "
                              "and cumulative wall persist in a sidecar")
     args = parser.parse_args()
+
+    if args.x64:
+        # before ANY jax import: exmc_tpu.config reads the env at import
+        # and flips jax_enable_x64 (a no-op once a backend exists)
+        os.environ["EXMC_TPU_X64"] = "1"
 
     if args.cpu:
         import jax as _jax
@@ -250,6 +263,18 @@ def main():
                 "accuracy_z_nu": round(d_nu, 3),
                 "accuracy_pass": bool(d_sig < 3.0 and d_nu < 3.0),
             }
+            if args.x64:
+                row["dtype"] = "float64"
+                row["note_precision"] = (
+                    "f64 run (D-T39): f32 leaves ~0.16-nat third-difference "
+                    "noise on the logZ transect (TPU and CPU alike; Newton "
+                    "truncation ruled out at 12 vs 25 iters) -> DA shrinks "
+                    "eps into the noise floor and the watchdog-bounded "
+                    "depth-6 trees starve mixing (f32 chip rows: max R-hat "
+                    "3.19 plain / 2.11 pooled+INLA-seeded, min-ESS ~5). "
+                    "f64 transect d3 7.6e-8 (CPU) / 8.7e-8 (TPU); the "
+                    "scans are latency-bound so emulated f64 logZ+grad "
+                    "costs 138 ms vs 165 ms f32")
             if args.checkpoint:
                 row["attempts"] = meta["attempts"]
                 row["note"] = ("crash-resumable run: wall_s is cumulative "
