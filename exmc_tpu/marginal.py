@@ -453,9 +453,12 @@ def sv_inla(r, sigma_grid=None, nu_grid=None, newton_iters=25,
             parts.append(jax.tree.map(lambda a: a[: e - s0], out))
         lp, s_hat, var_hat = jax.tree.map(
             lambda *xs: jnp.concatenate(xs), *parts)
-    lp = np.asarray(lp, np.float64)
-    s_hat = np.asarray(s_hat, np.float64)
-    var_hat = np.asarray(var_hat, np.float64)
+    # np.array (not asarray): under x64 the device arrays are already
+    # f64 and asarray returns a READ-ONLY zero-copy view -> the masked
+    # writes below raise "output array is read-only"
+    lp = np.array(lp, np.float64)
+    s_hat = np.array(s_hat, np.float64)
+    var_hat = np.array(var_hat, np.float64)
     # extreme grid corners (tiny sigma x tiny nu at long T) can blow
     # the f32 Newton out of range -> non-finite logZ; one NaN would
     # poison max/sum, so failed points get exactly zero weight (they
