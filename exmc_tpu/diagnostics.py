@@ -24,13 +24,24 @@ from jax.scipy import special as jsp
 
 
 def autocovariance(x):
-    """Per-chain autocovariance via FFT. x: (..., n) -> (..., n)."""
+    """Per-chain autocovariance via FFT. x: (..., n) -> (..., n).
+
+    f64 input on a non-CPU backend is downcast to f32 around the FFT:
+    TPU has no complex128 ("Element type C128 is not supported on
+    TPU", measured on the x64 sv_marginal run 2026-08-20), and the
+    autocorrelation estimator is statistical — its own MC error dwarfs
+    the mantissa difference. The centering above stays in the input
+    dtype, so the downcast sees mean-zero O(sd) values, not raw
+    positions."""
     n = x.shape[-1]
     x = x - jnp.mean(x, axis=-1, keepdims=True)
     m = int(2 ** np.ceil(np.log2(2 * n)))
+    out_dtype = x.dtype
+    if x.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        x = x.astype(jnp.float32)
     f = jnp.fft.rfft(x, n=m, axis=-1)
     acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=-1)[..., :n]
-    return jnp.real(acov) / n
+    return (jnp.real(acov) / n).astype(out_dtype)
 
 
 def _split_chains(x):
