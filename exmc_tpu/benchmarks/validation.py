@@ -223,7 +223,12 @@ def validate(num_warmup=1000, num_samples=1000, num_chains=4, seed=42,
             flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
             for i in range(flat.shape[-1]):
                 max_rhat = max(max_rhat, float(_rhat(flat[:, :, i])))
-        n_total = int(np.prod(np.asarray(stats["divergences"]).shape))
+        # Denominator must be chains x draws: stats["divergences"] is
+        # ALREADY summed over draws (sampler.run: diverging.sum(-1)),
+        # so its own shape is (chains,) — dividing by that reported a
+        # rate ~1000x too high (round-4 VERDICT weak #1). The per-draw
+        # boolean stat carries the true total count of transitions.
+        n_total = int(np.asarray(stats["diverging"]).size)
         results.append({
             "model": gs.name,
             "pass": ok,

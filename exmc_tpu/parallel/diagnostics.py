@@ -44,6 +44,58 @@ def sharded_rhat(draws, mesh, axis="dp"):
     return compute(draws)
 
 
+def sharded_nested_rhat(draws, mesh, num_superchains, axis="dp"):
+    """Nested R-hat (Margossian 2022) over a chain-sharded (chains, n)
+    array — the many-short-chains convergence diagnostic computed with
+    one psum per moment, no draw matrix leaving its device. Matches
+    exmc_tpu.diagnostics.nested_rhat (consecutive superchain grouping).
+
+    Requires each device shard to hold WHOLE superchains: with chains
+    sharded over ``axis`` into n_dev equal shards of size chains/n_dev,
+    chains/num_superchains must divide chains/n_dev — the natural
+    layout, since superchain grouping and sharding are both consecutive.
+    """
+    c, n = draws.shape
+    k = int(num_superchains)
+    if k < 2:
+        raise ValueError("need >= 2 superchains")
+    if c % k != 0:
+        raise ValueError(f"chains ({c}) not divisible by k ({k})")
+    m = c // k
+    if m < 2:
+        raise ValueError("need >= 2 chains per superchain")
+    n_dev = mesh.shape[axis]
+    local_chains = c // n_dev
+    if local_chains % m != 0:
+        raise ValueError(
+            f"each of the {n_dev} '{axis}' shards holds {local_chains} "
+            f"chains, not a whole number of size-{m} superchains")
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None),), out_specs=P(),
+        check_vma=False,
+    )
+    def compute(local):
+        g = local.reshape(-1, m, n)                        # (k_local, m, n)
+        chain_means = jnp.mean(g, axis=2)                  # (k_local, m)
+        within_chain = (
+            jnp.var(g, axis=2, ddof=1).mean(axis=1) if n > 1
+            else jnp.zeros((g.shape[0],), local.dtype)
+        )                                                  # (k_local,)
+        super_means = jnp.mean(chain_means, axis=1)        # (k_local,)
+        cnt = jax.lax.psum(
+            jnp.asarray(g.shape[0], local.dtype), axis)    # total k
+        s1 = jax.lax.psum(jnp.sum(super_means), axis)
+        s2 = jax.lax.psum(jnp.sum(super_means**2), axis)
+        b = (s2 / cnt - (s1 / cnt) ** 2) * cnt / (cnt - 1.0)
+        w_terms = jnp.var(chain_means, axis=1, ddof=1) + within_chain
+        w = jax.lax.psum(jnp.sum(w_terms), axis) / cnt
+        return jnp.sqrt(1.0 + b / jnp.maximum(w, 1e-30))
+
+    return compute(draws)
+
+
 def sharded_ess(draws, mesh, axis="dp"):
     """Pooled-chain Geyer ESS over a sharded (chains, n) array; per-chain
     autocovariance runs locally (FFT on-device), psums pool the moments.

@@ -47,3 +47,40 @@ def test_sharded_ess_penalizes_unmixed_chains():
         got = float(sharded_ess(x, mesh))
     assert got < 60
     assert abs(got - float(ess(x))) / max(float(ess(x)), 1.0) < 1e-3
+
+
+def test_sharded_nested_rhat_matches_host():
+    from exmc_tpu.diagnostics import nested_rhat
+    from exmc_tpu.parallel.diagnostics import sharded_nested_rhat
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(32, 50)), jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        got = float(sharded_nested_rhat(x, mesh, num_superchains=8))
+    assert abs(got - float(nested_rhat(x, 8))) < 1e-5
+
+
+def test_sharded_nested_rhat_detects_stuck_superchain():
+    from exmc_tpu.parallel.diagnostics import sharded_nested_rhat
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(32, 50))
+    x[0:4] += 10.0  # first superchain stuck far away
+    x = jnp.asarray(x, jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        got = float(sharded_nested_rhat(x, mesh, num_superchains=8))
+    assert got > 1.5
+
+
+def test_sharded_nested_rhat_rejects_split_superchains():
+    import pytest
+
+    from exmc_tpu.parallel.diagnostics import sharded_nested_rhat
+
+    x = jnp.zeros((16, 10), jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    # 16 chains / 8 devices = 2 per shard; k=4 -> m=4 spans two shards
+    with pytest.raises(ValueError, match="whole number"):
+        sharded_nested_rhat(x, mesh, num_superchains=4)
