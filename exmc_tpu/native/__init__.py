@@ -49,6 +49,17 @@ def _load():
             ip, ip, ip, ip, dp,                # outputs
         ]
         fn.restype = ctypes.c_int
+        fn2 = lib.exmc_build_full_tree_dirs
+        fn2.argtypes = [
+            dp, dp, ctypes.c_double,           # q0, p0, logp0
+            dp, dp, dp, ctypes.c_int,          # fwd chain
+            dp, dp, dp, ctypes.c_int,          # bwd chain
+            ctypes.c_int, dp, ctypes.c_int,    # d, inv_mass, max_depth
+            ctypes.c_double, ctypes.c_uint64,  # div threshold, seed
+            ip,                                # forced dirs (+1/-1)
+            ip, ip, ip, ip, dp,                # outputs
+        ]
+        fn2.restype = ctypes.c_int
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         _load_error = e
@@ -64,7 +75,7 @@ def _cptr(a):
 
 
 def build_full_tree(q0, p0, logp0, fwd, bwd, inv_mass, max_depth=10,
-                    divergence_threshold=1000.0, seed=0):
+                    divergence_threshold=1000.0, seed=0, dirs=None):
     """Build a NUTS tree from precomputed leapfrog chains.
 
     ``fwd``/``bwd``: tuples (q[n,d], p[n,d], logp[n]) of forward/backward
@@ -74,6 +85,12 @@ def build_full_tree(q0, p0, logp0, fwd, bwd, inv_mass, max_depth=10,
     FORWARD time (matching the signed-eps convention of the XLA kernel,
     exmc_tpu/nuts/tree.py) — rho sums and U-turn dot products mix
     momenta from both chains and require one consistent orientation.
+
+    ``dirs``: optional per-doubling directions (+1/-1, length >=
+    max_depth) replacing the internal PRNG's coin flips — the
+    matched-RNG lockstep hook (tree SHAPE is deterministic given
+    geometry + directions; see test_native_tree.py lockstep tests).
+
     Returns dict(selected, depth, n_leapfrog, diverging, accept_prob);
     ``selected`` is a signed step index."""
     lib = _load()
@@ -91,15 +108,25 @@ def build_full_tree(q0, p0, logp0, fwd, bwd, inv_mass, max_depth=10,
     n_lf = ctypes.c_int()
     div = ctypes.c_int()
     acc = ctypes.c_double()
-    rc = lib.exmc_build_full_tree(
+    common = (
         _cptr(q0), _cptr(p0), ctypes.c_double(float(logp0)),
         _cptr(qf), _cptr(pf), _cptr(lf), ctypes.c_int(qf.shape[0]),
         _cptr(qb), _cptr(pb), _cptr(lb), ctypes.c_int(qb.shape[0]),
         ctypes.c_int(d), _cptr(inv_mass), ctypes.c_int(max_depth),
         ctypes.c_double(divergence_threshold), ctypes.c_uint64(seed),
+    )
+    outs = (
         ctypes.byref(sel), ctypes.byref(depth), ctypes.byref(n_lf),
         ctypes.byref(div), ctypes.byref(acc),
     )
+    if dirs is None:
+        rc = lib.exmc_build_full_tree(*common, *outs)
+    else:
+        dirs = np.ascontiguousarray(dirs, np.int32)
+        assert dirs.shape[0] >= max_depth and np.all(np.abs(dirs) == 1)
+        rc = lib.exmc_build_full_tree_dirs(
+            *common, dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            *outs)
     return {
         "ok": rc == 0,
         "selected": sel.value,

@@ -184,20 +184,21 @@ Subtree build_subtree(Ctx& ctx, int depth, int next, int dir) {
 
 }  // namespace
 
-extern "C" {
-
-// Build a full NUTS tree from precomputed bidirectional leapfrog chains.
-// Outputs: selected signed step index, depth reached, leapfrog count,
-// diverging flag, mean accept prob. Returns 0 on success, -1 if the
-// precomputed chains were exhausted before natural termination.
-int exmc_build_full_tree(
+// Shared implementation; `forced_dirs` (optional, length >= max_depth,
+// entries +1/-1) pins each doubling's direction instead of drawing it
+// from the PRNG — the matched-RNG lockstep hook: tree SHAPE (depth,
+// leapfrog count, divergence, mean accept) is a deterministic function
+// of geometry + directions, so forcing the directions to the XLA
+// kernel's own draws makes shape comparable EXACTLY per trial (the
+// remaining PRNG consumption only picks which leaf is proposed).
+static int build_full_tree_impl(
     const double* q0, const double* p0, double logp0,
     const double* q_fwd, const double* p_fwd, const double* logp_fwd,
     int n_fwd,
     const double* q_bwd, const double* p_bwd, const double* logp_bwd,
     int n_bwd,
     int d, const double* inv_mass_diag, int max_depth,
-    double divergence_threshold, uint64_t seed,
+    double divergence_threshold, uint64_t seed, const int* forced_dirs,
     int* out_selected, int* out_depth, int* out_n_leapfrog,
     int* out_diverging, double* out_accept) {
   States st{q0, p0, logp0, q_fwd, p_fwd, logp_fwd,
@@ -215,7 +216,7 @@ int exmc_build_full_tree(
   bool diverging = false;
 
   while (depth < max_depth) {
-    int dir = rng.coin() ? 1 : -1;
+    int dir = forced_dirs ? forced_dirs[depth] : (rng.coin() ? 1 : -1);
     int start = (dir > 0 ? t_right : t_left) + dir;
     int need = 1 << depth;
     // bounds check against precomputed budget
@@ -259,6 +260,48 @@ int exmc_build_full_tree(
   *out_diverging = diverging ? 1 : 0;
   *out_accept = n_leaf > 0 ? sum_accept / n_leaf : 0.0;
   return 0;
+}
+
+extern "C" {
+
+// Build a full NUTS tree from precomputed bidirectional leapfrog chains.
+// Outputs: selected signed step index, depth reached, leapfrog count,
+// diverging flag, mean accept prob. Returns 0 on success, -1 if the
+// precomputed chains were exhausted before natural termination.
+int exmc_build_full_tree(
+    const double* q0, const double* p0, double logp0,
+    const double* q_fwd, const double* p_fwd, const double* logp_fwd,
+    int n_fwd,
+    const double* q_bwd, const double* p_bwd, const double* logp_bwd,
+    int n_bwd,
+    int d, const double* inv_mass_diag, int max_depth,
+    double divergence_threshold, uint64_t seed,
+    int* out_selected, int* out_depth, int* out_n_leapfrog,
+    int* out_diverging, double* out_accept) {
+  return build_full_tree_impl(
+      q0, p0, logp0, q_fwd, p_fwd, logp_fwd, n_fwd,
+      q_bwd, p_bwd, logp_bwd, n_bwd, d, inv_mass_diag, max_depth,
+      divergence_threshold, seed, nullptr,
+      out_selected, out_depth, out_n_leapfrog, out_diverging, out_accept);
+}
+
+// Same, with each doubling's direction forced from `dirs` (+1/-1,
+// length >= max_depth) — the matched-RNG lockstep entry point.
+int exmc_build_full_tree_dirs(
+    const double* q0, const double* p0, double logp0,
+    const double* q_fwd, const double* p_fwd, const double* logp_fwd,
+    int n_fwd,
+    const double* q_bwd, const double* p_bwd, const double* logp_bwd,
+    int n_bwd,
+    int d, const double* inv_mass_diag, int max_depth,
+    double divergence_threshold, uint64_t seed, const int* dirs,
+    int* out_selected, int* out_depth, int* out_n_leapfrog,
+    int* out_diverging, double* out_accept) {
+  return build_full_tree_impl(
+      q0, p0, logp0, q_fwd, p_fwd, logp_fwd, n_fwd,
+      q_bwd, p_bwd, logp_bwd, n_bwd, d, inv_mass_diag, max_depth,
+      divergence_threshold, seed, dirs,
+      out_selected, out_depth, out_n_leapfrog, out_diverging, out_accept);
 }
 
 }  // extern "C"

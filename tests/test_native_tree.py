@@ -185,3 +185,74 @@ def test_cpp_vs_xla_kernel_statistics():
     # platforms/JAX versions, tight enough to catch formulation bugs
     ratio = np.mean(cpp_steps) / max(np.mean(np.asarray(xla_steps)), 1)
     assert 0.7 < ratio < 1.4
+
+
+def test_matched_rng_lockstep_tree_shape():
+    """Matched-RNG lockstep (round-5 VERDICT item 3): mirror the XLA
+    kernel's key-split discipline on the host (threefry is deterministic,
+    eager == traced) to extract the transition's momentum draw and
+    per-doubling direction bits, force those directions into the C++
+    oracle on chains precomputed with the same step size, and assert
+    EXACT per-trial equality of tree shape — depth, leapfrog count,
+    divergence flag — plus mean-accept parity. Shape is a deterministic
+    function of geometry + directions (only leaf selection consumes
+    further randomness), so ANY inner/outer U-turn-check or
+    merge-termination discrepancy between the recursive C++ and
+    iterative XLA formulations breaks equality deterministically,
+    rather than statistically.
+
+    Key-split mirror of nuts_transition (tree.py:297,319):
+        key, mom_key = split(key);  r0 = sample_momentum(mom_key, ...)
+        each doubling: key, dir_key, sub_key, merge_key = split(key, 4)
+                       go_right = bernoulli(dir_key)
+    """
+    from exmc_tpu.nuts.leapfrog import sample_momentum
+
+    d = 2
+    eps = 0.45
+    max_depth = 6
+    q0 = np.array([0.7, -0.4])
+    inv_mass = np.ones(d)
+    metric = make_metric(jnp.ones(d, jnp.float32))
+
+    def vag(q):
+        return -0.5 * jnp.sum(q * q), -q
+
+    @jax.jit
+    def kernel(key):
+        logp, grad = vag(jnp.asarray(q0, jnp.float32))
+        _, _, _, stats = nuts_transition(
+            vag, metric, eps, jnp.asarray(q0, jnp.float32), logp, grad,
+            key, max_depth,
+        )
+        return stats
+
+    n_trials = 300
+    depths_seen = set()
+    for t in range(n_trials):
+        key = jax.random.fold_in(jax.random.PRNGKey(42), t)
+        # host mirror of the kernel's split discipline
+        key, mom_key = jax.random.split(key)
+        r0 = np.asarray(sample_momentum(mom_key, metric, d), np.float64)
+        k, dirs = key, []
+        for _ in range(max_depth):
+            k, dir_key, _sub, _merge = jax.random.split(k, 4)
+            dirs.append(1 if bool(jax.random.bernoulli(dir_key)) else -1)
+
+        stats = kernel(jax.random.fold_in(jax.random.PRNGKey(42), t))
+        fwd, bwd = gaussian_chains(q0, r0, eps, 2**max_depth, inv_mass)
+        out = native.build_full_tree(
+            q0, r0, -0.5 * float(q0 @ q0), fwd, bwd, inv_mass,
+            max_depth=max_depth, seed=t, dirs=dirs,
+        )
+        assert out["ok"]
+        assert out["depth"] == int(stats["depth"]), (
+            f"trial {t}: oracle depth {out['depth']} != "
+            f"kernel {int(stats['depth'])} (dirs={dirs})")
+        assert out["n_leapfrog"] == int(stats["n_steps"]), (
+            f"trial {t}: oracle steps {out['n_leapfrog']} != "
+            f"kernel {int(stats['n_steps'])}")
+        assert out["diverging"] == bool(stats["diverging"])
+        assert abs(out["accept_prob"] - float(stats["accept_prob"])) < 5e-4
+        depths_seen.add(out["depth"])
+    assert len(depths_seen) >= 3  # the trials genuinely vary in shape
