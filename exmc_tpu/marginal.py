@@ -203,25 +203,20 @@ def grw_precision_diag(T, sigma, dtype=None):
     return d / (sigma * sigma)
 
 
-def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3,
-                      implicit_diff=True):
-    """Build the Laplace-marginal log-density for
+def _make_tridiag_marginal(loglik, T, prior, newton_iters=25,
+                           w_floor=1e-3, implicit_diff=True):
+    """Laplace-marginal engine for ANY Markov-1 Gaussian latent prior
+    with tridiagonal precision (round-5 generalization of the GRW-only
+    engine; reference STATE_SPACE_MODELS.md:20-31 is the family map).
 
-        s ~ GaussianRandomWalk(sigma) over T steps,
-        y_t ~ likelihood with elementwise log-density loglik(s, theta)_t.
+    ``prior`` supplies three functions of the prior's hyperparameter
+    pytree ``pp``:
+      tri(pp, dtype) -> (q_diag (T,), q_off scalar)   precision pieces
+      neg_half_quad(s, pp) -> scalar                  -1/2 s'Qs (stable)
+      half_logdet(pp) -> scalar                       +1/2 logdet Q
 
-    ``loglik(s, theta) -> (T,)`` must be elementwise in ``s`` (each
-    component depends only on s_t; data closed over). Returns
-
-        marginal(sigma, theta) -> (logZ, s_hat, var_hat)
-
-    jit/vmap/grad-compatible: Newton runs a FIXED ``newton_iters`` scans
-    and every tridiagonal op is a blocked O(T/B) parallel prefix. With
-    ``implicit_diff=True`` (default, D-T37) the mode's gradient comes
-    from the implicit-function theorem (one extra tridiagonal solve in
-    the backward pass) instead of transposing all ``newton_iters``
-    damped iterations; ``implicit_diff=False`` keeps the unrolled
-    reverse-mode path for A/B checks."""
+    Returns marginal(pp, theta) -> (logZ, s_hat, var_hat); see
+    make_grw_marginal for the contract."""
 
     def ell_sum(s, theta):
         return jnp.sum(loglik(s, theta))
@@ -229,29 +224,27 @@ def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3,
     g1 = jax.grad(ell_sum)                       # elementwise loglik'
     g2 = jax.grad(lambda s, th: jnp.sum(g1(s, th)))  # elementwise loglik''
 
-    def _q_parts(sigma, dtype):
-        return grw_precision_diag(T, sigma, dtype), -1.0 / (sigma * sigma)
+    def _q_parts(pp, dtype):
+        return prior["tri"](pp, dtype)
 
-    def _grad_g(s, sigma, theta):
+    def _grad_g(s, pp, theta):
         """∇_s of the objective g(s) = -1/2 s'Qs + sum loglik: the
         root function the Newton solve drives to zero."""
         dtype = s.dtype
-        q_diag, b = _q_parts(jnp.asarray(sigma, dtype), dtype)
+        q_diag, b = _q_parts(pp, dtype)
         z = jnp.zeros((1,), dtype)
         qs = (q_diag * s + b * jnp.concatenate([s[1:], z])
               + b * jnp.concatenate([z, s[:-1]]))
         return g1(s, theta) - qs
 
-    def _newton_scan(sigma, theta):
+    def _newton_scan(pp, theta):
         dtype = default_dtype()
-        sigma = jnp.asarray(sigma, dtype)
-        q_diag, b = _q_parts(sigma, dtype)
+        pp = jax.tree.map(lambda x: jnp.asarray(x, dtype), pp)
+        q_diag, b = _q_parts(pp, dtype)
         S_CLAMP = 40.0  # |log-vol| beyond this is numerically absurd
 
         def g_of(s):
-            inc = jnp.concatenate([s[:1], jnp.diff(s)])
-            return (-0.5 * jnp.sum(inc * inc) / (sigma * sigma)
-                    + ell_sum(s, theta))
+            return prior["neg_half_quad"](s, pp) + ell_sum(s, theta)
 
         def newton(s, _):
             l1 = g1(s, theta)
@@ -299,47 +292,431 @@ def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3,
     # reversible/volume-preserving and the tree weights use the exact
     # logp — it only perturbs proposal efficiency.
     @jax.custom_vjp
-    def s_mode(sigma, theta):
-        return _newton_scan(sigma, theta)
+    def s_mode(pp, theta):
+        return _newton_scan(pp, theta)
 
-    def s_mode_fwd(sigma, theta):
-        s_hat = _newton_scan(sigma, theta)
-        return s_hat, (s_hat, sigma, theta)
+    def s_mode_fwd(pp, theta):
+        s_hat = _newton_scan(pp, theta)
+        return s_hat, (s_hat, pp, theta)
 
     def s_mode_bwd(res, v):
-        s_hat, sigma, theta = res
+        s_hat, pp, theta = res
         dtype = s_hat.dtype
-        sig = jnp.asarray(sigma, dtype)
-        q_diag, b = _q_parts(sig, dtype)
+        ppd = jax.tree.map(lambda x: jnp.asarray(x, dtype), pp)
+        q_diag, b = _q_parts(ppd, dtype)
         w = jnp.maximum(-g2(s_hat, theta), w_floor)
         delta, ell = _thomas_factor(q_diag + w, b)
         u = _thomas_solve(delta, ell, v)
         _, pull = jax.vjp(
-            lambda sg, th: _grad_g(s_hat, sg, th), sigma, theta)
+            lambda p, th: _grad_g(s_hat, p, th), pp, theta)
         return pull(u)
 
     s_mode.defvjp(s_mode_fwd, s_mode_bwd)
 
-    def marginal(sigma, theta):
+    def marginal(pp, theta):
         dtype = default_dtype()
-        sigma = jnp.asarray(sigma, dtype)
-        q_diag, b = _q_parts(sigma, dtype)
+        pp = jax.tree.map(lambda x: jnp.asarray(x, dtype), pp)
+        q_diag, b = _q_parts(pp, dtype)
 
-        s_hat = (s_mode(sigma, theta) if implicit_diff
-                 else _newton_scan(sigma, theta))
+        s_hat = (s_mode(pp, theta) if implicit_diff
+                 else _newton_scan(pp, theta))
 
         l2 = g2(s_hat, theta)
         w = jnp.maximum(-l2, w_floor)
         delta, ell = _thomas_factor(q_diag + w, b)
-        # g at the mode: -(1/2) s'Qs = -(1/2) ||D s||^2 / sigma^2
-        inc = jnp.concatenate([s_hat[:1], jnp.diff(s_hat)])
-        quad = jnp.sum(inc * inc) / (sigma * sigma)
-        g_hat = -0.5 * quad + ell_sum(s_hat, theta)
-        # logdet Q = -2 T log sigma (|D'D| = 1); logdet(Q+W) = sum log
-        # delta; the (2 pi)^{+-T/2} prior/Laplace constants cancel
-        logZ = (g_hat - T * jnp.log(sigma)
+        g_hat = prior["neg_half_quad"](s_hat, pp) + ell_sum(s_hat, theta)
+        # logZ = g_hat + 1/2 logdet Q - 1/2 logdet(Q+W); the
+        # (2 pi)^{+-T/2} prior/Laplace constants cancel
+        logZ = (g_hat + prior["half_logdet"](pp)
                 - 0.5 * jnp.sum(jnp.log(delta)))
         var_hat = _takahashi_diag(delta, ell)
+        return logZ, s_hat, var_hat
+
+    return marginal
+
+
+def make_grw_marginal(loglik, T, newton_iters=25, w_floor=1e-3,
+                      implicit_diff=True):
+    """Build the Laplace-marginal log-density for
+
+        s ~ GaussianRandomWalk(sigma) over T steps,
+        y_t ~ likelihood with elementwise log-density loglik(s, theta)_t.
+
+    ``loglik(s, theta) -> (T,)`` must be elementwise in ``s`` (each
+    component depends only on s_t; data closed over). Returns
+
+        marginal(sigma, theta) -> (logZ, s_hat, var_hat)
+
+    jit/vmap/grad-compatible: Newton runs a FIXED ``newton_iters`` scans
+    and every tridiagonal op is a blocked O(T/B) parallel prefix. With
+    ``implicit_diff=True`` (default, D-T37) the mode's gradient comes
+    from the implicit-function theorem (one extra tridiagonal solve in
+    the backward pass) instead of transposing all ``newton_iters``
+    damped iterations; ``implicit_diff=False`` keeps the unrolled
+    reverse-mode path for A/B checks."""
+
+    prior = {
+        "tri": lambda sigma, dtype: (
+            grw_precision_diag(T, sigma, dtype),
+            -1.0 / (sigma * sigma),
+        ),
+        # -(1/2) s'Qs = -(1/2) ||D s||^2 / sigma^2
+        "neg_half_quad": lambda s, sigma: -0.5 * (
+            jnp.sum(jnp.concatenate([s[:1], jnp.diff(s)]) ** 2)
+            / (sigma * sigma)
+        ),
+        # logdet Q = -2 T log sigma (|D'D| = 1)
+        "half_logdet": lambda sigma: -T * jnp.log(sigma),
+    }
+    return _make_tridiag_marginal(loglik, T, prior, newton_iters,
+                                  w_floor, implicit_diff)
+
+
+def make_ar1_marginal(loglik, T, newton_iters=25, w_floor=1e-3,
+                      implicit_diff=True):
+    """Laplace marginal for a STATIONARY AR(1) latent path (round-5
+    VERDICT item 6: the first latent family beyond the random walk —
+    the textbook SV latent, reference STATE_SPACE_MODELS.md:20-31):
+
+        s_1 ~ N(0, sigma^2 / (1 - phi^2)),
+        s_t = phi s_{t-1} + N(0, sigma^2),   |phi| < 1
+        y_t ~ likelihood with elementwise log-density loglik(s, theta)_t.
+
+    Returns marginal(sigma, phi, theta) -> (logZ, s_hat, var_hat),
+    jit/vmap/grad-compatible in BOTH hyperparameters (phi can be a
+    sampled RV). The AR(1) precision is tridiagonal —
+    diag [1, 1+phi^2, ..., 1+phi^2, 1]/sigma^2, off-diag -phi/sigma^2,
+    logdet Q = log(1-phi^2) - 2T log sigma — so the whole blocked
+    parallel-prefix machinery is reused unchanged. Validated against
+    the exact Kalman likelihood for Gaussian observations in
+    tests/test_marginal.py (Laplace is exact there)."""
+
+    def tri(pp, dtype):
+        sigma, phi = pp
+        inv_s2 = 1.0 / (sigma * sigma)
+        d = jnp.full((T,), 1.0 + phi * phi, dtype)
+        d = d.at[0].set(1.0).at[-1].set(1.0)
+        return d * inv_s2, -phi * inv_s2
+
+    def neg_half_quad(s, pp):
+        sigma, phi = pp
+        inn = s[1:] - phi * s[:-1]
+        return -0.5 * (
+            s[0] * s[0] * (1.0 - phi * phi) + jnp.sum(inn * inn)
+        ) / (sigma * sigma)
+
+    def half_logdet(pp):
+        sigma, phi = pp
+        return 0.5 * jnp.log1p(-phi * phi) - T * jnp.log(sigma)
+
+    prior = {"tri": tri, "neg_half_quad": neg_half_quad,
+             "half_logdet": half_logdet}
+    base = _make_tridiag_marginal(loglik, T, prior, newton_iters,
+                                  w_floor, implicit_diff)
+
+    def marginal(sigma, phi, theta):
+        return base((sigma, phi), theta)
+
+    return marginal
+
+
+# ---------------------------------------------------------------------------
+# Banded extension: AR(p) latents (round-5 VERDICT item 6)
+#
+# An AR(p) prior's precision is BANDED with bandwidth p (Markov-p). The
+# banded LDL'/solve/Takahashi kernels below are plain length-T
+# lax.scans with a (p, p) carry — p is static and tiny (2-3), so each
+# step is a handful of VPU ops. Unlike the tridiagonal kernels they are
+# not (yet) blocked parallel prefixes: the p=1 Möbius/affine algebra
+# generalizes to (p+1)-dim matrix composition, but at the validated
+# scales (T <= ~2000 non-Gaussian Laplace; any T for the exact-Kalman
+# Gaussian path in exmc_tpu.kalman) the sequential scan compiles
+# compactly and runs fine. Cross-validated against exact Kalman in
+# tests/test_kalman.py.
+# ---------------------------------------------------------------------------
+
+
+def _banded_ldl(q_bands, p):
+    """LDL' of an SPD banded matrix. ``q_bands``: (p+1, T) with
+    q_bands[j, i] = Q[i, i-j] (zero-padded where i < j). Returns
+    (d (T,), l (p, T)) with l[j-1, i] = L[i, i-j]."""
+    T = q_bands.shape[1]
+    dtype = q_bands.dtype
+
+    def step(carry, cols):
+        d_prev, l_prev = carry    # d_prev[m-1] = d[i-m]; l_prev[a-1, m-1] = L[i-a, i-a-m]
+        li = [jnp.zeros((), dtype)] * p
+        for j in range(p, 0, -1):
+            acc = cols[j]
+            for m in range(j + 1, p + 1):
+                # L[i-j, i-m] = l_prev[j-1, m-j-1]
+                acc = acc - li[m - 1] * d_prev[m - 1] * l_prev[j - 1, m - j - 1]
+            li[j - 1] = acc / d_prev[j - 1]
+        di = cols[0]
+        for m in range(1, p + 1):
+            di = di - li[m - 1] * li[m - 1] * d_prev[m - 1]
+        li_v = jnp.stack(li)
+        # shift the carries: new row i becomes a=1
+        d_new = jnp.concatenate([di[None], d_prev[:-1]])
+        l_new = jnp.concatenate([li_v[None, :], l_prev[:-1]])
+        return (d_new, l_new), (di, li_v)
+
+    # virtual rows i < 0: d = 1, L = 0 (they multiply only the zero
+    # padding in q_bands, so they never contribute)
+    init = (jnp.ones((p,), dtype), jnp.zeros((p, p), dtype))
+    _, (d, l) = jax.lax.scan(step, init, q_bands.T)
+    return d, l.T
+
+
+def _banded_solve(d, l, rhs):
+    """Solve (L D L') x = rhs with the factors from _banded_ldl."""
+    p = l.shape[0]
+    dtype = rhs.dtype
+
+    def fwd(carry, inp):
+        r, lc = inp
+        y = r
+        for m in range(1, p + 1):
+            y = y - lc[m - 1] * carry[m - 1]
+        new = jnp.concatenate([y[None], carry[:-1]])
+        return new, y
+
+    _, y = jax.lax.scan(fwd, jnp.zeros((p,), dtype), (rhs, l.T))
+    z = y / d
+
+    def bwd(carry, inp):
+        zi, lrows = inp           # lrows[m-1] = L[i+m, i]
+        x = zi
+        for m in range(1, p + 1):
+            x = x - lrows[m - 1] * carry[m - 1]
+        new = jnp.concatenate([x[None], carry[:-1]])
+        return new, x
+
+    # L[i+m, i] = l[m-1, i+m]: build per-i rows by shifting l
+    T = rhs.shape[0]
+    lrows = jnp.stack([
+        jnp.concatenate([l[m - 1, m:], jnp.zeros((m,), dtype)])
+        for m in range(1, p + 1)
+    ])                            # (p, T): lrows[m-1, i] = L[i+m, i]
+    _, x_rev = jax.lax.scan(bwd, jnp.zeros((p,), dtype),
+                            (z[::-1], lrows.T[::-1]))
+    return x_rev[::-1]
+
+
+def _banded_takahashi_diag(d, l):
+    """diag((LDL')^-1) for a banded factorization via the Takahashi
+    recurrence run in reverse, carrying the trailing (p, p) block of
+    the inverse's band."""
+    p = l.shape[0]
+    T = d.shape[0]
+    dtype = d.dtype
+    lrows = jnp.stack([
+        jnp.concatenate([l[m - 1, m:], jnp.zeros((m,), dtype)])
+        for m in range(1, p + 1)
+    ])                            # lrows[m-1, i] = L[i+m, i]
+
+    def step(carry, inp):
+        W = carry                 # W[a, c] = B[i+1+a, i+1+c], a,c in 0..p-1
+        inv_di, lr = inp          # lr[m-1] = L[i+m, i]
+        # B[i, i+b] for b = p..1 (uses only W), then b = 0
+        b_off = [jnp.zeros((), dtype)] * (p + 1)
+        for b in range(p, 0, -1):
+            acc = jnp.zeros((), dtype)
+            for m in range(1, p + 1):
+                # B[i+m, i+b] = W[m-1, b-1]
+                acc = acc - lr[m - 1] * W[m - 1, b - 1]
+            b_off[b] = acc
+        acc = inv_di
+        for m in range(1, p + 1):
+            acc = acc - lr[m - 1] * b_off[m]
+        b_off[0] = acc
+        # new trailing block W'[a, c] = B[i+a, i+c], a,c in 0..p-1
+        rows = []
+        for a in range(p):
+            cols = []
+            for c in range(p):
+                if a == 0:
+                    cols.append(b_off[c])
+                elif c == 0:
+                    cols.append(b_off[a])
+                else:
+                    cols.append(W[a - 1, c - 1])
+            rows.append(jnp.stack(cols))
+        W_new = jnp.stack(rows)
+        return W_new, b_off[0]
+
+    _, diag_rev = jax.lax.scan(
+        step, jnp.zeros((p, p), dtype),
+        ((1.0 / d)[::-1], lrows.T[::-1])
+    )
+    return diag_rev[::-1]
+
+
+def _arp_whitener_bands(phis, sigma, T, dtype):
+    """Band representation (T, p+1) of the AR(p) whitening operator A
+    (Q = A'A): c[t, k] is A's row-t coefficient for column t-p+k.
+    Rows t >= p: [-phi_p, ..., -phi_1, 1]/sigma. Rows t < p: the
+    stationary-block whitener C^-1 (C = chol of the stationary p x p
+    covariance), giving the EXACT stationary initial distribution.
+    Also returns log|det A| for the logdet."""
+    from exmc_tpu.kalman import ar_ssm
+
+    p = phis.shape[0]
+    ssm = ar_ssm(phis, sigma, dtype=dtype)
+    # companion-state covariance = stationary Sigma_p (Toeplitz in the
+    # lag, so the companion's reversed ordering is immaterial)
+    C = jnp.linalg.cholesky(ssm.P0)
+    Cinv = jax.scipy.linalg.solve_triangular(
+        C, jnp.eye(p, dtype=dtype), lower=True)
+    c = jnp.zeros((T, p + 1), dtype)
+    row = jnp.concatenate([-phis[::-1], jnp.ones((1,), dtype)]) / sigma
+    c = c.at[p:, :].set(row[None, :])
+    for t in range(p):          # static tiny loop
+        c = c.at[t, p - t: p + 1].set(Cinv[t, : t + 1])
+    log_det_a = (jnp.sum(jnp.log(jnp.abs(jnp.diag(Cinv))))
+                 - (T - p) * jnp.log(sigma))
+    return c, log_det_a
+
+
+def _bands_from_whitener(c, p):
+    """Q = A'A bands from A's band rep: q_bands[j, i] = Q[i, i-j]."""
+    T = c.shape[0]
+    dtype = c.dtype
+    c_pad = jnp.concatenate([c, jnp.zeros((p, p + 1), dtype)])
+    idx = jnp.arange(T)
+    bands = []
+    for j in range(p + 1):
+        acc = jnp.zeros((T,), dtype)
+        for u in range(0, p - j + 1):
+            acc = acc + (c_pad[idx + u, p - u] * c_pad[idx + u, p - u - j])
+        bands.append(acc)
+    return jnp.stack(bands)
+
+
+def make_arp_marginal(loglik, T, p, newton_iters=25, w_floor=1e-3,
+                      implicit_diff=True):
+    """Laplace marginal for a STATIONARY AR(p) latent path (banded
+    precision, bandwidth p):
+
+        (s_1..s_p) ~ exact stationary distribution,
+        s_t = phi_1 s_{t-1} + ... + phi_p s_{t-p} + N(0, sigma^2)
+
+    Returns marginal(sigma, phis, theta) -> (logZ, s_hat, var_hat);
+    jit/vmap/grad-compatible in sigma and phis ((p,) vector — must be
+    stationary). For p == 1 prefer make_ar1_marginal (blocked
+    parallel-prefix kernels); these banded kernels are sequential
+    scans — see the module note above. Validated against exact Kalman
+    (Gaussian obs) in tests/test_kalman.py."""
+
+    def ell_sum(s, theta):
+        return jnp.sum(loglik(s, theta))
+
+    g1 = jax.grad(ell_sum)
+    g2 = jax.grad(lambda s, th: jnp.sum(g1(s, th)))
+
+    def _bands(sigma, phis, dtype):
+        c, log_det_a = _arp_whitener_bands(phis, sigma, T, dtype)
+        return _bands_from_whitener(c, p), c, log_det_a
+
+    def _apply_a(c, s):
+        """A s from the band rep (for the stable quad ||A s||^2)."""
+        s_pad = jnp.concatenate([jnp.zeros((p,), s.dtype), s])
+        idx = jnp.arange(T)
+        out = jnp.zeros((T,), s.dtype)
+        for k in range(p + 1):
+            out = out + c[:, k] * s_pad[idx + k]
+        return out
+
+    def _grad_g(s, pp, theta):
+        sigma, phis = pp
+        dtype = s.dtype
+        _, c, _ = _bands(sigma, phis, dtype)
+        a_s = _apply_a(c, s)
+        # Q s = A'(A s): column i of A has entries c[i+u, p-u], u=0..p
+        as_pad = jnp.concatenate([a_s, jnp.zeros((p,), dtype)])
+        idx = jnp.arange(T)
+        qs = jnp.zeros((T,), dtype)
+        c_pad = jnp.concatenate([c, jnp.zeros((p, p + 1), dtype)])
+        for u in range(p + 1):
+            qs = qs + c_pad[idx + u, p - u] * as_pad[idx + u]
+        return g1(s, theta) - qs
+
+    def _newton_scan(pp, theta):
+        dtype = default_dtype()
+        sigma, phis = (jnp.asarray(pp[0], dtype),
+                       jnp.asarray(pp[1], dtype))
+        q_bands, c, _ = _bands(sigma, phis, dtype)
+        S_CLAMP = 40.0
+
+        def g_of(s):
+            a_s = _apply_a(c, s)
+            return -0.5 * jnp.sum(a_s * a_s) + ell_sum(s, theta)
+
+        def newton(s, _):
+            l1 = g1(s, theta)
+            l2 = g2(s, theta)
+            w = jnp.maximum(-l2, w_floor)
+            bw = q_bands.at[0].add(w)
+            d, l = _banded_ldl(bw, p)
+            rhs = w * s + l1
+            s_full = _banded_solve(d, l, rhs)
+            g_cur = g_of(s)
+
+            def try_step(alpha):
+                cand = jnp.clip(s + alpha * (s_full - s), -S_CLAMP,
+                                S_CLAMP)
+                g_new = g_of(cand)
+                ok = jnp.isfinite(g_new) & (g_new >= g_cur - 1e-3)
+                return cand, ok
+
+            c1, ok1 = try_step(1.0)
+            c2, ok2 = try_step(0.25)
+            c3, ok3 = try_step(0.0625)
+            s_new = jnp.where(ok1, c1, jnp.where(ok2, c2,
+                                                 jnp.where(ok3, c3, s)))
+            return s_new, None
+
+        s0 = jnp.zeros((T,), dtype)
+        s_hat, _ = jax.lax.scan(newton, s0, None, length=newton_iters)
+        return s_hat
+
+    @jax.custom_vjp
+    def s_mode(pp, theta):
+        return _newton_scan(pp, theta)
+
+    def s_mode_fwd(pp, theta):
+        s_hat = _newton_scan(pp, theta)
+        return s_hat, (s_hat, pp, theta)
+
+    def s_mode_bwd(res, v):
+        s_hat, pp, theta = res
+        dtype = s_hat.dtype
+        sigma, phis = (jnp.asarray(pp[0], dtype),
+                       jnp.asarray(pp[1], dtype))
+        q_bands, _, _ = _bands(sigma, phis, dtype)
+        w = jnp.maximum(-g2(s_hat, theta), w_floor)
+        d, l = _banded_ldl(q_bands.at[0].add(w), p)
+        u = _banded_solve(d, l, v)
+        _, pull = jax.vjp(
+            lambda P, th: _grad_g(s_hat, P, th), pp, theta)
+        return pull(u)
+
+    s_mode.defvjp(s_mode_fwd, s_mode_bwd)
+
+    def marginal(sigma, phis, theta):
+        dtype = default_dtype()
+        pp = (jnp.asarray(sigma, dtype), jnp.asarray(phis, dtype))
+        q_bands, c, log_det_a = _bands(pp[0], pp[1], dtype)
+
+        s_hat = (s_mode(pp, theta) if implicit_diff
+                 else _newton_scan(pp, theta))
+
+        w = jnp.maximum(-g2(s_hat, theta), w_floor)
+        d, l = _banded_ldl(q_bands.at[0].add(w), p)
+        a_s = _apply_a(c, s_hat)
+        g_hat = -0.5 * jnp.sum(a_s * a_s) + ell_sum(s_hat, theta)
+        logZ = g_hat + log_det_a - 0.5 * jnp.sum(jnp.log(d))
+        var_hat = _banded_takahashi_diag(d, l)
         return logZ, s_hat, var_hat
 
     return marginal
