@@ -53,6 +53,8 @@ EXAMPLES = [
     "43_bayesian_workflow.py",
     "44_map_laplace_psir.py",
     "45_long_series_marginalization.py",
+    "46_live_streaming_monitor.py",
+    "47_ar_latents_and_kalman.py",
 ]
 
 
