@@ -56,7 +56,7 @@ def stationary_cov(F, Q):
     return 0.5 * (P + P.T)
 
 
-def grw_ssm(sigma, T=None, dtype=None):
+def grw_ssm(sigma, dtype=None):
     """GaussianRandomWalk(sigma) in state-space form (m=1), matching the
     library convention x_1 ~ N(0, sigma^2) (dists/timeseries.py)."""
     dtype = dtype or default_dtype()

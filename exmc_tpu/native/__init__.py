@@ -123,7 +123,13 @@ def build_full_tree(q0, p0, logp0, fwd, bwd, inv_mass, max_depth=10,
         rc = lib.exmc_build_full_tree(*common, *outs)
     else:
         dirs = np.ascontiguousarray(dirs, np.int32)
-        assert dirs.shape[0] >= max_depth and np.all(np.abs(dirs) == 1)
+        # explicit raise (not assert: stripped under python -O, and the
+        # C side reads dirs[depth] unchecked — an out-of-bounds or
+        # non-±1 value is undefined behavior in native code)
+        if dirs.shape[0] < max_depth or not np.all(np.abs(dirs) == 1):
+            raise ValueError(
+                f"dirs must have >= max_depth ({max_depth}) entries of "
+                f"+1/-1; got shape {dirs.shape}")
         rc = lib.exmc_build_full_tree_dirs(
             *common, dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             *outs)

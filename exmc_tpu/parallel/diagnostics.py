@@ -31,13 +31,17 @@ def sharded_rhat(draws, mesh, axis="dp"):
         m_local, n = s.shape
         means = jnp.mean(s, axis=1)
         vars_ = jnp.var(s, axis=1, ddof=1)
-        # psum the moments of the per-(split-)chain statistics
+        # psum the moments of the per-(split-)chain statistics. The
+        # between-chain variance is computed CENTERED (second psum pass
+        # on (means - grand)^2): the one-pass E[x^2]-E[x]^2 form
+        # catastrophically cancels in f32 for posteriors with a large
+        # common offset (round-5 review finding) — a mean near 1e3
+        # leaves ~0.1 of f32 rounding noise against a true b of ~1e-4.
         cnt = jax.lax.psum(jnp.asarray(m_local, s.dtype), axis)
-        sum_means = jax.lax.psum(jnp.sum(means), axis)
-        sum_means2 = jax.lax.psum(jnp.sum(means**2), axis)
+        grand = jax.lax.psum(jnp.sum(means), axis) / cnt
+        b_sum = jax.lax.psum(jnp.sum((means - grand) ** 2), axis)
         w = jax.lax.psum(jnp.sum(vars_), axis) / cnt
-        mean_of_means = sum_means / cnt
-        b = n * (sum_means2 / cnt - mean_of_means**2) * cnt / (cnt - 1.0)
+        b = n * b_sum / (cnt - 1.0)
         var_plus = (n - 1) / n * w + b / n
         return jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
 
@@ -86,9 +90,12 @@ def sharded_nested_rhat(draws, mesh, num_superchains, axis="dp"):
         super_means = jnp.mean(chain_means, axis=1)        # (k_local,)
         cnt = jax.lax.psum(
             jnp.asarray(g.shape[0], local.dtype), axis)    # total k
-        s1 = jax.lax.psum(jnp.sum(super_means), axis)
-        s2 = jax.lax.psum(jnp.sum(super_means**2), axis)
-        b = (s2 / cnt - (s1 / cnt) ** 2) * cnt / (cnt - 1.0)
+        # centered two-pass between-variance (see sharded_rhat: the
+        # one-pass form cancels catastrophically in f32 for offset
+        # posteriors)
+        grand = jax.lax.psum(jnp.sum(super_means), axis) / cnt
+        b_sum = jax.lax.psum(jnp.sum((super_means - grand) ** 2), axis)
+        b = b_sum / (cnt - 1.0)
         w_terms = jnp.var(chain_means, axis=1, ddof=1) + within_chain
         w = jax.lax.psum(jnp.sum(w_terms), axis) / cnt
         return jnp.sqrt(1.0 + b / jnp.maximum(w, 1e-30))
@@ -118,12 +125,13 @@ def sharded_ess(draws, mesh, axis="dp"):
         w_biased = mean_acov[0]
         mean_var = w_biased * n / (n - 1.0)
         chain_means = jnp.mean(local, axis=1)
-        sum_m = jax.lax.psum(jnp.sum(chain_means), axis)
-        sum_m2 = jax.lax.psum(jnp.sum(chain_means**2), axis)
         var_plus = w_biased
         if c_total > 1:
-            b_over_n = (sum_m2 / cnt - (sum_m / cnt) ** 2) * cnt / (cnt - 1.0)
-            var_plus = var_plus + b_over_n
+            # centered two-pass between-variance (see sharded_rhat)
+            grand = jax.lax.psum(jnp.sum(chain_means), axis) / cnt
+            b_sum = jax.lax.psum(
+                jnp.sum((chain_means - grand) ** 2), axis)
+            var_plus = var_plus + b_sum / (cnt - 1.0)
         rho = 1.0 - (mean_var - mean_acov) / jnp.maximum(var_plus, 1e-30)
         rho = rho.at[0].set(1.0)
         n_pairs = n // 2

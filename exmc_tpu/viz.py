@@ -21,6 +21,12 @@ granularity (BENCHMARKS.md "Per-draw streaming cost": emission
 granularity is dispatch-bound, so the monitor consumes whatever chunk
 size the run uses).
 
+Memory is BOUNDED regardless of stream length: per displayed row the
+monitor keeps per-chain Welford moments in two halves (draw index
+below/above ``total_draws/2`` — the split R-hat construction), never
+the draws themselves, and the sparkline path decimates by pairwise
+averaging once it exceeds its resolution budget.
+
 Also exposes ``sparkline(values)`` for ad-hoc use.
 """
 
@@ -50,12 +56,35 @@ def sparkline(values, width=28):
     return s + " " * (width - len(s))
 
 
+class _HalfMoments:
+    """Per-chain Welford accumulator for one split half: count, mean,
+    M2, each shape (chains,)."""
+
+    def __init__(self, chains):
+        self.n = 0
+        self.mean = np.zeros(chains)
+        self.m2 = np.zeros(chains)
+
+    def update(self, cols):
+        """cols: (chains, k) new draws for this half."""
+        for j in range(cols.shape[1]):
+            x = cols[:, j]
+            self.n += 1
+            d = x - self.mean
+            self.mean += d / self.n
+            self.m2 += d * (x - self.mean)
+
+    def var(self):
+        return self.m2 / max(self.n - 1, 1)
+
+
 class LiveMonitor:
     """``sample_stream`` chunk consumer that renders a live dashboard.
 
     Parameters
     ----------
-    num_chains, total_draws : run geometry (for the progress line).
+    num_chains, total_draws : run geometry (``total_draws`` also fixes
+        the split point for the running split R-hat).
     params : optional list of trace keys to display (default: all,
         scalar-expanded, capped at ``max_rows``).
     stream : file-like to render into (default ``sys.stderr``).
@@ -76,32 +105,50 @@ class LiveMonitor:
                      else bool(ansi))
         self.max_rows = max_rows
         self.spark_width = spark_width
-        self._draws = {}          # name -> list of (chains, k) chunks
-        self._mean_path = {}      # name -> list of per-chunk means
+        self._halves = {}         # (name, idx) -> [_HalfMoments, _HalfMoments]
+        self._mean_path = {}      # (name, idx) -> per-chunk means (bounded)
         self._divergences = 0
         self._seen = 0
         self._frame_lines = 0
         self._t0 = None
+        self._rate_base = None    # draws already produced when _t0 stamped
 
     # -- the sample_stream callback protocol ---------------------------
     def __call__(self, start_index, trace_chunk, stats_chunk):
         import time
 
-        if self._t0 is None:
-            self._t0 = time.time()
-            self._chunk0 = start_index
         names = self._select(trace_chunk)
+        half_at = self.total_draws // 2
         k = None
         for name, idx in names:
             arr = np.asarray(trace_chunk[name], np.float64)
             col = arr if arr.ndim == 2 else arr.reshape(
                 arr.shape[0], arr.shape[1], -1)[:, :, idx]
-            self._draws.setdefault((name, idx), []).append(col)
-            self._mean_path.setdefault((name, idx), []).append(
-                float(col.mean()))
+            halves = self._halves.setdefault(
+                (name, idx),
+                [_HalfMoments(col.shape[0]), _HalfMoments(col.shape[0])])
+            split = max(min(half_at - start_index, col.shape[1]), 0)
+            if split > 0:
+                halves[0].update(col[:, :split])
+            if split < col.shape[1]:
+                halves[1].update(col[:, split:])
+            path = self._mean_path.setdefault((name, idx), [])
+            path.append(float(col.mean()))
+            if len(path) > 16 * self.spark_width:
+                # pairwise decimation keeps the trajectory SHAPE at
+                # bounded memory on arbitrarily long streams
+                half = [(path[i] + path[i + 1]) / 2
+                        for i in range(0, len(path) - 1, 2)]
+                self._mean_path[(name, idx)] = half
             k = col.shape[1]
         if k:
             self._seen = start_index + k
+        if self._t0 is None:
+            # stamp time at the END of the first chunk: its draws were
+            # produced before the monitor had a clock, so they are the
+            # rate baseline, not part of the measured production
+            self._t0 = time.time()
+            self._rate_base = self._seen
         div = stats_chunk.get("diverging")
         if div is not None:
             self._divergences += int(np.asarray(div).sum())
@@ -121,45 +168,64 @@ class LiveMonitor:
                     return out
         return out
 
-    def _rhat(self, draws):
-        """Split R-hat over the accumulated (chains, n) draws."""
-        x = np.concatenate(draws, axis=1)
-        c, n = x.shape
-        if n < 4:
-            return float("nan")
-        half = n // 2
-        s = np.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
-        means = s.mean(axis=1)
-        w = s.var(axis=1, ddof=1).mean()
-        b = half * means.var(ddof=1)
-        var_plus = (half - 1) / half * w + b / half
-        return float(np.sqrt(var_plus / max(w, 1e-30)))
+    def _row_stats(self, halves):
+        """(mean, sd, split-R-hat) from the two halves' per-chain
+        moments — no draws retained."""
+        h0, h1 = halves
+        groups = [h for h in (h0, h1) if h.n >= 2]
+        n_tot = h0.n + h1.n
+        if n_tot == 0:
+            return float("nan"), float("nan"), float("nan")
+        # overall mean/sd by combining half moments per chain
+        tot_mean = (h0.n * h0.mean + h1.n * h1.mean) / max(n_tot, 1)
+        tot_m2 = (h0.m2 + h1.m2
+                  + (h0.n * (h0.mean - tot_mean) ** 2 if h0.n else 0.0)
+                  + (h1.n * (h1.mean - tot_mean) ** 2 if h1.n else 0.0))
+        mean = float(tot_mean.mean())
+        sd = float(np.sqrt(max(
+            (tot_m2.sum() / max(n_tot * len(tot_mean) - 1, 1))
+            + tot_mean.var(), 0.0)))
+        if len(groups) < 2:
+            return mean, sd, float("nan")
+        # split R-hat over 2 x chains groups; group lengths may differ
+        # by one chunk boundary — use the mean length (monitor-grade)
+        g_means = np.concatenate([h.mean for h in groups])
+        g_vars = np.concatenate([h.var() for h in groups])
+        n_bar = np.mean([h.n for h in groups])
+        w = float(g_vars.mean())
+        b = n_bar * float(g_means.var(ddof=1))
+        var_plus = (n_bar - 1) / n_bar * w + b / n_bar
+        return mean, sd, float(np.sqrt(var_plus / max(w, 1e-30)))
 
     def _label(self, name, idx, multi):
         return f"{name}[{idx}]" if multi else name
+
+    def _comp_count(self):
+        out = {}
+        for (name, idx) in self._halves:
+            out[name] = out.get(name, 0) + 1
+        return out
 
     def _render(self):
         import time
 
         lines = []
         elapsed = max(time.time() - self._t0, 1e-9)
-        produced = max(self._seen - self._chunk0, 0) * self.num_chains
+        produced = max(self._seen - self._rate_base, 0) * self.num_chains
         rate = produced / elapsed
+        rate_s = f"{rate:,.0f} draws/s" if produced else "-- draws/s"
         lines.append(
             f"exmc_tpu live │ draw {self._seen}/{self.total_draws} "
             f"│ {self.num_chains} chains │ "
-            f"{rate:,.0f} draws/s │ divergences {self._divergences}"
+            f"{rate_s} │ divergences {self._divergences}"
         )
-        comp_count = {}
-        for (name, idx) in self._draws:
-            comp_count[name] = comp_count.get(name, 0) + 1
-        for (name, idx), chunks in self._draws.items():
-            x = np.concatenate(chunks, axis=1)
+        comp_count = self._comp_count()
+        for (name, idx), halves in self._halves.items():
             label = self._label(name, idx, comp_count[name] > 1)
-            rhat = self._rhat(chunks)
+            mean, sd, rhat = self._row_stats(halves)
             rh = f"{rhat:6.3f}" if np.isfinite(rhat) else "   -- "
             lines.append(
-                f"  {label:<12.12} {x.mean():9.3f} ±{x.std():7.3f}  "
+                f"  {label:<12.12} {mean:9.3f} ±{sd:7.3f}  "
                 f"R-hat {rh}  "
                 f"{sparkline(self._mean_path[(name, idx)], self.spark_width)}"
             )
@@ -175,15 +241,12 @@ class LiveMonitor:
         """Final one-shot summary string (no ANSI)."""
         lines = [f"streamed {self._seen} draws x {self.num_chains} "
                  f"chains, divergences {self._divergences}"]
-        comp_count = {}
-        for (name, idx) in self._draws:
-            comp_count[name] = comp_count.get(name, 0) + 1
-        for (name, idx), chunks in self._draws.items():
-            x = np.concatenate(chunks, axis=1)
+        comp_count = self._comp_count()
+        for (name, idx), halves in self._halves.items():
             label = self._label(name, idx, comp_count[name] > 1)
-            rhat = self._rhat(chunks)
+            mean, sd, rhat = self._row_stats(halves)
             lines.append(
-                f"  {label:<12.12} mean {x.mean():9.3f}  sd {x.std():8.3f}"
+                f"  {label:<12.12} mean {mean:9.3f}  sd {sd:8.3f}"
                 f"  R-hat {rhat:6.3f}"
             )
         return "\n".join(lines)

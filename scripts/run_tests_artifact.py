@@ -27,19 +27,23 @@ def main():
     out = proc.stdout + proc.stderr
     tail = "\n".join(out.strip().splitlines()[-40:])
 
+    # token-pair parse of the summary line: robust to any combination
+    # and order of passed/failed/skipped/xfailed/xpassed/error tokens
+    # (the fixed-order regex dropped counts exactly when something
+    # unusual happened — review finding)
     counts = {}
-    m = re.search(
-        r"(?:(\d+) failed, )?(\d+) passed(?:, (\d+) skipped)?"
-        r"(?:, (\d+) deselected)?(?:, \d+ warnings?)? in ([0-9.]+)s",
-        out)
+    summary = ""
+    for line in out.splitlines():
+        if re.search(r"\bin [0-9.]+s", line) and re.search(
+                r"\d+ (passed|failed|error)", line):
+            summary = line
+    for n, tok in re.findall(
+            r"(\d+) (passed|failed|skipped|deselected|xfailed|"
+            r"xpassed|errors?)", summary):
+        counts[tok.rstrip("s") if tok.startswith("error") else tok] = int(n)
+    m = re.search(r"\bin ([0-9.]+)s", summary)
     if m:
-        counts = {
-            "failed": int(m.group(1) or 0),
-            "passed": int(m.group(2)),
-            "skipped": int(m.group(3) or 0),
-            "deselected": int(m.group(4) or 0),
-            "pytest_wall_s": float(m.group(5)),
-        }
+        counts["pytest_wall_s"] = float(m.group(1))
     skip_reasons = re.findall(r"^SKIPPED \[\d+\] (.+)$", out, re.M)
 
     import jax

@@ -153,26 +153,38 @@ def capacity_extension():
 
     rows = []
     for c in (4096, 8192):
-        s = _make_sampler(eight_schools_ir(), num_warmup=200,
-                          num_samples=500, pooled_adaptation=True)
-        s.run(num_chains=c, seed=0)
-        t0 = time.time()
-        trace, stats = s.run(num_chains=c, seed=1)
-        wall = time.time() - t0
-        e = float(ess(trace["mu"]))
-        row = {
-            "chains": c,
-            "wall_s": round(wall, 2),
-            "draws_per_s": round(c * 500 / wall, 0),
-            "ess_per_s": round(e / wall, 0),
-            "mu": round(float(trace["mu"].mean()), 2),
-        }
+        # each count in a try/except: the 8192-chain single call is
+        # KNOWN to kernel-fault the axon worker (single-call ceiling,
+        # recorded in UTILIZATION.json) — one crashing count must not
+        # discard the measured rows or the artifacts (review finding)
+        try:
+            s = _make_sampler(eight_schools_ir(), num_warmup=200,
+                              num_samples=500, pooled_adaptation=True)
+            s.run(num_chains=c, seed=0)
+            t0 = time.time()
+            trace, stats = s.run(num_chains=c, seed=1)
+            wall = time.time() - t0
+            e = float(ess(trace["mu"]))
+            row = {
+                "chains": c,
+                "wall_s": round(wall, 2),
+                "draws_per_s": round(c * 500 / wall, 0),
+                "ess_per_s": round(e / wall, 0),
+                "mu": round(float(trace["mu"].mean()), 2),
+            }
+        except Exception as exc:
+            row = {"chains": c, "error": type(exc).__name__,
+                   "note": str(exc).splitlines()[0][:160]}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        if "error" in row:
+            break  # a worker crash poisons the backend for this process
     cap_path = os.path.join(ROOT, "CAPACITY.json")
     cap = json.load(open(cap_path))
-    have = {r["chains"] for r in cap}
-    cap.extend(r for r in rows if r["chains"] not in have)
+    # fresh measurements REPLACE stale same-chain-count rows
+    fresh = {r["chains"]: r for r in rows if "error" not in r}
+    cap = [r for r in cap if r["chains"] not in fresh]
+    cap.extend(fresh.values())
     cap.sort(key=lambda r: r["chains"])
     json.dump(cap, open(cap_path, "w"), indent=1)
     return rows
@@ -180,11 +192,15 @@ def capacity_extension():
 
 def main():
     out = {}
-    out["eight_schools"] = eight_schools_row()
-    print(json.dumps(out["eight_schools"]), flush=True)
-    out["dense_mvn"] = dense_mvn_row()
-    print(json.dumps(out["dense_mvn"]), flush=True)
-    out["capacity_extension"] = capacity_extension()
+    for key, fn in (("eight_schools", eight_schools_row),
+                    ("dense_mvn", dense_mvn_row),
+                    ("capacity_extension", capacity_extension)):
+        try:
+            out[key] = fn()
+        except Exception as exc:  # partial results still get written
+            out[key] = {"error": type(exc).__name__,
+                        "note": str(exc).splitlines()[0][:160]}
+        print(json.dumps(out[key]), flush=True)
     with open(os.path.join(ROOT, "UTILIZATION.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("wrote UTILIZATION.json")

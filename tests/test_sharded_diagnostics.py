@@ -84,3 +84,24 @@ def test_sharded_nested_rhat_rejects_split_superchains():
     # 16 chains / 8 devices = 2 per shard; k=4 -> m=4 spans two shards
     with pytest.raises(ValueError, match="whole number"):
         sharded_nested_rhat(x, mesh, num_superchains=4)
+
+
+def test_sharded_diagnostics_survive_large_offset():
+    """f32 one-pass between-variance cancellation regression (round-5
+    review): draws with a large common offset must still match the
+    host estimators, which center before squaring."""
+    from exmc_tpu.diagnostics import nested_rhat
+    from exmc_tpu.parallel.diagnostics import sharded_nested_rhat
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(32, 200)) * 0.01 + 1000.0,
+                    jnp.float32)
+    mesh = make_mesh(8, dp=8, sp=1)
+    with mesh:
+        r = float(sharded_rhat(x, mesh))
+        nr = float(sharded_nested_rhat(x, mesh, num_superchains=8))
+        e = float(sharded_ess(x, mesh))
+    assert np.isfinite(r) and abs(r - float(rhat(x))) < 1e-3
+    assert np.isfinite(nr) and abs(nr - float(nested_rhat(x, 8))) < 1e-3
+    host_e = float(ess(x))
+    assert np.isfinite(e) and abs(e - host_e) / host_e < 0.05
