@@ -84,10 +84,16 @@ class _Subtree(NamedTuple):
     sum_accept: jnp.ndarray
     turning: jnp.ndarray
     diverging: jnp.ndarray
-    ckpt_r: jnp.ndarray       # (max_depth, d) checkpoint momenta
-    ckpt_rho: jnp.ndarray     # (max_depth, d) rho-through-checkpoint
-    ckpt_prev_r: jnp.ndarray  # (max_depth, d) momentum of the leaf BEFORE
-    #                           each checkpoint leaf (for extended check c)
+    ckpt: jnp.ndarray         # (max_depth + 1, 3, d) checkpoint stacks:
+    #                           [:, 0] momenta, [:, 1] rho-through,
+    #                           [:, 2] momentum of the leaf BEFORE each
+    #                           checkpoint leaf (extended check c). ONE
+    #                           array, ONE dynamic-update-slice per leaf
+    #                           (round-5 profiler finding: three masked
+    #                           DUS + full-array selects cost as much as
+    #                           the compute fusions); odd leaves write
+    #                           row max_depth — a scratch row the U-turn
+    #                           checks never read — instead of masking.
     key: jnp.ndarray
 
 
@@ -177,9 +183,7 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
         sum_accept=jnp.zeros((), dtype),
         turning=jnp.zeros((), bool),
         diverging=jnp.zeros((), bool),
-        ckpt_r=jnp.zeros((max_depth, d), dtype),
-        ckpt_rho=jnp.zeros((max_depth, d), dtype),
-        ckpt_prev_r=jnp.zeros((max_depth, d), dtype),
+        ckpt=jnp.zeros((max_depth + 1, 3, d), dtype),
         key=key,
     )
 
@@ -211,18 +215,14 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
         # checkpoint store at even leaves (slot = popcount(n)); st.r is
         # still the PREVIOUS leaf's momentum here (leaf n-1, or the
         # start boundary for n=0 — never read as a midpoint, see
-        # _iterative_uturn_check)
+        # _iterative_uturn_check). Odd leaves write the scratch row
+        # (max_depth) unconditionally: one unmasked DUS replaces three
+        # masked ones + whole-stack selects (round-5 profiler finding).
         is_even = (n & 1) == 0
-        slot = jnp.minimum(_popcount(n), max_depth - 1)
-        ckpt_r = jnp.where(
-            is_even, st.ckpt_r.at[slot].set(r), st.ckpt_r
+        slot = jnp.where(
+            is_even, jnp.minimum(_popcount(n), max_depth - 1), max_depth
         )
-        ckpt_rho = jnp.where(
-            is_even, st.ckpt_rho.at[slot].set(rho), st.ckpt_rho
-        )
-        ckpt_prev_r = jnp.where(
-            is_even, st.ckpt_prev_r.at[slot].set(st.r), st.ckpt_prev_r
-        )
+        ckpt = st.ckpt.at[slot].set(jnp.stack([r, rho, st.r]))
 
         # U-turn checks at odd leaves over all sub-trajectories ending here
         idx_max = _popcount(n) - 1
@@ -231,8 +231,8 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
             is_even | diverging_leaf,
             jnp.zeros((), bool),
             _iterative_uturn_check(
-                metric, r, rho, ckpt_r, ckpt_rho, ckpt_prev_r, idx_min,
-                idx_max, max_depth,
+                metric, r, rho, ckpt[:max_depth, 0], ckpt[:max_depth, 1],
+                ckpt[:max_depth, 2], idx_min, idx_max, max_depth,
             ),
         )
 
@@ -251,9 +251,7 @@ def _build_subtree(vag_fn, metric, eps_signed, depth, z0, r0, g0, joint0, key, m
             sum_accept=st.sum_accept + accept,
             turning=turning,
             diverging=diverging_leaf,
-            ckpt_r=ckpt_r,
-            ckpt_rho=ckpt_rho,
-            ckpt_prev_r=ckpt_prev_r,
+            ckpt=ckpt,
             key=key,
         )
 
