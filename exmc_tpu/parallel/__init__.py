@@ -27,7 +27,11 @@ from exmc_tpu.parallel.distributed import (
     initialize_distributed,
     sample_chains_sharded,
 )
-from exmc_tpu.parallel.diagnostics import sharded_ess, sharded_rhat
+from exmc_tpu.parallel.diagnostics import (
+    sharded_ess,
+    sharded_nested_rhat,
+    sharded_rhat,
+)
 
 __all__ = [
     "make_mesh",
@@ -37,4 +41,5 @@ __all__ = [
     "sample_chains_sharded",
     "sharded_rhat",
     "sharded_ess",
+    "sharded_nested_rhat",
 ]
