@@ -22,10 +22,12 @@ granularity is dispatch-bound, so the monitor consumes whatever chunk
 size the run uses).
 
 Memory is BOUNDED regardless of stream length: per displayed row the
-monitor keeps per-chain Welford moments in two halves (draw index
-below/above ``total_draws/2`` — the split R-hat construction), never
-the draws themselves, and the sparkline path decimates by pairwise
-averaging once it exceeds its resolution budget.
+monitor keeps per-chain Welford moments in 8 draw-index SEGMENTS
+(fixed boundaries at total_draws/8 — a segmented split-R-hat
+construction, so a running R-hat is available from ~1/8 of the stream
+onward and sharpens as segments fill), never the draws themselves, and
+the sparkline path decimates by pairwise averaging once it exceeds its
+resolution budget.
 
 Also exposes ``sparkline(values)`` for ad-hoc use.
 """
@@ -56,9 +58,9 @@ def sparkline(values, width=28):
     return s + " " * (width - len(s))
 
 
-class _HalfMoments:
-    """Per-chain Welford accumulator for one split half: count, mean,
-    M2, each shape (chains,)."""
+class _SegMoments:
+    """Per-chain Welford accumulator for one draw-index segment:
+    count, mean, M2, each shape (chains,)."""
 
     def __init__(self, chains):
         self.n = 0
@@ -66,13 +68,19 @@ class _HalfMoments:
         self.m2 = np.zeros(chains)
 
     def update(self, cols):
-        """cols: (chains, k) new draws for this half."""
-        for j in range(cols.shape[1]):
-            x = cols[:, j]
-            self.n += 1
-            d = x - self.mean
-            self.mean += d / self.n
-            self.m2 += d * (x - self.mean)
+        """cols: (chains, k) new draws — merged as one chunk via Chan's
+        parallel-Welford combine (vectorized; no per-draw Python loop
+        on the streaming hot path)."""
+        k = cols.shape[1]
+        if k == 0:
+            return
+        c_mean = cols.mean(axis=1)
+        c_m2 = ((cols - c_mean[:, None]) ** 2).sum(axis=1)
+        n_new = self.n + k
+        delta = c_mean - self.mean
+        self.m2 = self.m2 + c_m2 + delta**2 * (self.n * k / n_new)
+        self.mean = self.mean + delta * (k / n_new)
+        self.n = n_new
 
     def var(self):
         return self.m2 / max(self.n - 1, 1)
@@ -105,7 +113,8 @@ class LiveMonitor:
                      else bool(ansi))
         self.max_rows = max_rows
         self.spark_width = spark_width
-        self._halves = {}         # (name, idx) -> [_HalfMoments, _HalfMoments]
+        self.n_segments = 8
+        self._segs = {}           # (name, idx) -> [_SegMoments] * n_segments
         self._mean_path = {}      # (name, idx) -> per-chunk means (bounded)
         self._divergences = 0
         self._seen = 0
@@ -118,27 +127,36 @@ class LiveMonitor:
         import time
 
         names = self._select(trace_chunk)
-        half_at = self.total_draws // 2
+        seg_len = max(self.total_draws // self.n_segments, 1)
         k = None
         for name, idx in names:
             arr = np.asarray(trace_chunk[name], np.float64)
             col = arr if arr.ndim == 2 else arr.reshape(
                 arr.shape[0], arr.shape[1], -1)[:, :, idx]
-            halves = self._halves.setdefault(
+            segs = self._segs.setdefault(
                 (name, idx),
-                [_HalfMoments(col.shape[0]), _HalfMoments(col.shape[0])])
-            split = max(min(half_at - start_index, col.shape[1]), 0)
-            if split > 0:
-                halves[0].update(col[:, :split])
-            if split < col.shape[1]:
-                halves[1].update(col[:, split:])
+                [_SegMoments(col.shape[0])
+                 for _ in range(self.n_segments)])
+            # route draw-index ranges to their fixed segments
+            lo = 0
+            while lo < col.shape[1]:
+                seg = min((start_index + lo) // seg_len,
+                          self.n_segments - 1)
+                seg_end = ((seg + 1) * seg_len if seg < self.n_segments - 1
+                           else self.total_draws)
+                hi = min(col.shape[1], max(seg_end - start_index, lo + 1))
+                segs[seg].update(col[:, lo:hi])
+                lo = hi
             path = self._mean_path.setdefault((name, idx), [])
             path.append(float(col.mean()))
             if len(path) > 16 * self.spark_width:
                 # pairwise decimation keeps the trajectory SHAPE at
-                # bounded memory on arbitrarily long streams
+                # bounded memory on arbitrarily long streams; an odd
+                # tail element is kept, never dropped
                 half = [(path[i] + path[i + 1]) / 2
                         for i in range(0, len(path) - 1, 2)]
+                if len(path) % 2:
+                    half.append(path[-1])
                 self._mean_path[(name, idx)] = half
             k = col.shape[1]
         if k:
@@ -168,30 +186,42 @@ class LiveMonitor:
                     return out
         return out
 
-    def _row_stats(self, halves):
-        """(mean, sd, split-R-hat) from the two halves' per-chain
-        moments — no draws retained."""
-        h0, h1 = halves
-        groups = [h for h in (h0, h1) if h.n >= 2]
-        n_tot = h0.n + h1.n
+    def _row_stats(self, segs):
+        """(mean, sd, segmented split-R-hat) from the per-chain segment
+        moments — no draws retained. R-hat uses every segment with
+        >= 2 draws (chains x filled-segments groups), so it is
+        available from ~1/8 of the stream and sharpens as segments
+        fill."""
+        filled = [h for h in segs if h.n >= 2]
+        n_tot = sum(h.n for h in segs)
         if n_tot == 0:
             return float("nan"), float("nan"), float("nan")
-        # overall mean/sd by combining half moments per chain
-        tot_mean = (h0.n * h0.mean + h1.n * h1.mean) / max(n_tot, 1)
-        tot_m2 = (h0.m2 + h1.m2
-                  + (h0.n * (h0.mean - tot_mean) ** 2 if h0.n else 0.0)
-                  + (h1.n * (h1.mean - tot_mean) ** 2 if h1.n else 0.0))
+        # overall per-chain moments by chained Chan combination
+        tot_n, tot_mean = 0, None
+        tot_m2 = None
+        for h in segs:
+            if h.n == 0:
+                continue
+            if tot_mean is None:
+                tot_n, tot_mean, tot_m2 = h.n, h.mean.copy(), h.m2.copy()
+                continue
+            n_new = tot_n + h.n
+            delta = h.mean - tot_mean
+            tot_m2 = tot_m2 + h.m2 + delta**2 * (tot_n * h.n / n_new)
+            tot_mean = tot_mean + delta * (h.n / n_new)
+            tot_n = n_new
         mean = float(tot_mean.mean())
         sd = float(np.sqrt(max(
             (tot_m2.sum() / max(n_tot * len(tot_mean) - 1, 1))
             + tot_mean.var(), 0.0)))
-        if len(groups) < 2:
+        if len(filled) < 2:
             return mean, sd, float("nan")
-        # split R-hat over 2 x chains groups; group lengths may differ
-        # by one chunk boundary — use the mean length (monitor-grade)
-        g_means = np.concatenate([h.mean for h in groups])
-        g_vars = np.concatenate([h.var() for h in groups])
-        n_bar = np.mean([h.n for h in groups])
+        # split R-hat over (filled segments x chains) groups; segment
+        # lengths may differ at chunk boundaries — mean length
+        # (monitor-grade)
+        g_means = np.concatenate([h.mean for h in filled])
+        g_vars = np.concatenate([h.var() for h in filled])
+        n_bar = np.mean([h.n for h in filled])
         w = float(g_vars.mean())
         b = n_bar * float(g_means.var(ddof=1))
         var_plus = (n_bar - 1) / n_bar * w + b / n_bar
@@ -202,7 +232,7 @@ class LiveMonitor:
 
     def _comp_count(self):
         out = {}
-        for (name, idx) in self._halves:
+        for (name, idx) in self._segs:
             out[name] = out.get(name, 0) + 1
         return out
 
@@ -220,9 +250,9 @@ class LiveMonitor:
             f"{rate_s} │ divergences {self._divergences}"
         )
         comp_count = self._comp_count()
-        for (name, idx), halves in self._halves.items():
+        for (name, idx), segs in self._segs.items():
             label = self._label(name, idx, comp_count[name] > 1)
-            mean, sd, rhat = self._row_stats(halves)
+            mean, sd, rhat = self._row_stats(segs)
             rh = f"{rhat:6.3f}" if np.isfinite(rhat) else "   -- "
             lines.append(
                 f"  {label:<12.12} {mean:9.3f} ±{sd:7.3f}  "
@@ -242,11 +272,12 @@ class LiveMonitor:
         lines = [f"streamed {self._seen} draws x {self.num_chains} "
                  f"chains, divergences {self._divergences}"]
         comp_count = self._comp_count()
-        for (name, idx), halves in self._halves.items():
+        for (name, idx), segs in self._segs.items():
             label = self._label(name, idx, comp_count[name] > 1)
-            mean, sd, rhat = self._row_stats(halves)
+            mean, sd, rhat = self._row_stats(segs)
+            rh = f"{rhat:6.3f}" if np.isfinite(rhat) else "    --"
             lines.append(
                 f"  {label:<12.12} mean {mean:9.3f}  sd {sd:8.3f}"
-                f"  R-hat {rhat:6.3f}"
+                f"  R-hat {rh}"
             )
         return "\n".join(lines)

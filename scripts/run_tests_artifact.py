@@ -35,7 +35,8 @@ def main():
     summary = ""
     for line in out.splitlines():
         if re.search(r"\bin [0-9.]+s", line) and re.search(
-                r"\d+ (passed|failed|error)", line):
+                r"\d+ (passed|failed|skipped|deselected|xfailed|"
+                r"xpassed|error)", line):
             summary = line
     for n, tok in re.findall(
             r"(\d+) (passed|failed|skipped|deselected|xfailed|"

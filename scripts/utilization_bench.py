@@ -174,7 +174,7 @@ def capacity_extension():
             }
         except Exception as exc:
             row = {"chains": c, "error": type(exc).__name__,
-                   "note": str(exc).splitlines()[0][:160]}
+                   "note": (str(exc).splitlines() or [""])[0][:160]}
         rows.append(row)
         print(json.dumps(row), flush=True)
         if "error" in row:
@@ -199,7 +199,7 @@ def main():
             out[key] = fn()
         except Exception as exc:  # partial results still get written
             out[key] = {"error": type(exc).__name__,
-                        "note": str(exc).splitlines()[0][:160]}
+                        "note": (str(exc).splitlines() or [""])[0][:160]}
         print(json.dumps(out[key]), flush=True)
     with open(os.path.join(ROOT, "UTILIZATION.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -61,3 +61,25 @@ def test_live_monitor_vector_params_and_row_cap():
     out = buf.getvalue()
     assert "v[0]" in out and "v[2]" in out
     assert "v[3]" not in out  # row cap respected
+
+
+def test_live_monitor_early_rhat_and_moment_exactness():
+    """Regression (round-5 review): the segmented accumulator must
+    produce a finite R-hat well before the stream midpoint, and its
+    combined moments must match the exact batch values."""
+    rng = np.random.default_rng(7)
+    buf = io.StringIO()
+    mon = LiveMonitor(num_chains=4, total_draws=1000, stream=buf,
+                      ansi=False)
+    draws = rng.normal(loc=3.0, size=(4, 300))
+    # stream the first 300 of a notional 1000 draws in 3 chunks
+    for s in range(0, 300, 100):
+        mon(s, {"x": draws[:, s:s + 100]}, {})
+    summary = mon.render_summary()
+    line = [ln for ln in summary.splitlines() if "x" in ln][-1]
+    assert "nan" not in line and "--" not in line  # finite R-hat at 30%
+    mean = float(line.split("mean")[1].split("sd")[0])
+    sd = float(line.split("sd")[1].split("R-hat")[0])
+    # the summary prints 3 decimals; compare at format precision
+    assert abs(mean - draws.mean()) < 5e-4
+    assert abs(sd - draws.std()) < 0.02 * draws.std()
